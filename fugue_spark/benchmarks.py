@@ -1,0 +1,74 @@
+"""Headline query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry is one operator family from SURVEY.md §2 (or a beyond-reference
+pipeline operator) expressed as:
+  * a Spark callable ``(spark, sf_dir) -> DataFrame`` built on this engine,
+  * an equivalent ANSI-SQL string DuckDB can run over the same parquet
+    tables (views: region nation customer supplier part orders lineitem
+    events documents embeddings), or ``None`` for non-SQL-expressible ops.
+
+Column-name contract: every computed column is aliased identically in both
+forms — the driver sorts columns by name before value-hashing.
+
+Float contract: aggregates over doubles are rounded (ROUND(x, k)) in BOTH
+engines so independent summation orders still hash identically.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["QUERIES", "QuerySpec", "load_table", "register"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator: add a (spark_fn, oracle) pair to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+# Import modules that populate the registry (order = display order).
+from fugue_spark import queries_relational  # noqa: E402,F401
+from fugue_spark import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,76 @@
+"""Differential-test helpers: Spark result vs DuckDB oracle.
+
+Mirrors the driver's correctness gate: columns sorted by name, rows sorted,
+values compared exactly after the queries' own explicit rounding (so a
+passing run here predicts a passing value-hash in CORRECTNESS_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import pandas as pd
+
+from fugue_spark.benchmarks import TABLES
+
+__all__ = ["duckdb_connect", "run_oracle", "normalize", "assert_dataframes_match"]
+
+
+def duckdb_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb_connect(sf_dir)
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
+    return v
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    """Columns sorted by name, rows normalized + sorted — order-insensitive."""
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def assert_dataframes_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    mismatches = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"

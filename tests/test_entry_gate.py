@@ -1,0 +1,30 @@
+"""Mirror of the driver's correctness gate: every registered query's Spark
+result must match its DuckDB oracle at sf0.001 (fast smoke; sf0.01 in CI
+round). Non-SQL queries get a rows-only sanity check."""
+
+from __future__ import annotations
+
+import pytest
+
+from fugue_spark.benchmarks import QUERIES
+from fugue_spark.testing import assert_dataframes_match, run_oracle
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.schema.fields) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.spark_fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0
+        return
+    odf = run_oracle(spec.oracle, sf_dir)
+    assert_dataframes_match(sdf, odf, name)
