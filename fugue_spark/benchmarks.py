@@ -39,7 +39,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as nano-long (see
+        # session defaults), truncate to micros, expose as timestamp_ntz —
+        # matching DuckDB's CAST(ts AS TIMESTAMP) truncation.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+    return df
 
 
 @dataclass

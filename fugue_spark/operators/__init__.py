@@ -1,0 +1,25 @@
+"""Engine primitives (SURVEY.md §2.1) — each a thin, well-specified wrapper
+whose physical execution is Catalyst's problem."""
+
+from fugue_spark.operators.joins import broadcast, join
+from fugue_spark.operators.na import dropna, fillna
+from fugue_spark.operators.sampling import sample, take
+from fugue_spark.operators.select import aggregate, assign, filter, select
+from fugue_spark.operators.setops import distinct, intersect, subtract, union
+
+__all__ = [
+    "join",
+    "broadcast",
+    "union",
+    "subtract",
+    "intersect",
+    "distinct",
+    "dropna",
+    "fillna",
+    "sample",
+    "take",
+    "select",
+    "filter",
+    "assign",
+    "aggregate",
+]

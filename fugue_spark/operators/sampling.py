@@ -1,0 +1,76 @@
+"""sample / take (reference: fugue/execution/execution_engine.py:682-734).
+
+``take`` follows the *pandas* null convention: ``na_position`` first/last
+applies to nulls regardless of sort direction (unlike SQL, where NULLS
+FIRST/LAST defaults flip with ASC/DESC) — reference notes this explicitly
+(execution_engine.py:717-722). Grouped take is the row_number window
+pattern; ``n==1`` without presort degenerates to ``dropDuplicates`` on the
+keys (no window, cheaper shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fugue_spark.partition import PartitionSpec, parse_presort
+
+__all__ = ["sample", "take"]
+
+
+def sample(
+    df: DataFrame,
+    n: "int | None" = None,
+    frac: "float | None" = None,
+    replace: bool = False,
+    seed: "int | None" = None,
+) -> DataFrame:
+    if (n is None) == (frac is None):
+        raise ValueError("provide exactly one of n / frac")
+    if frac is not None:
+        return df.sample(withReplacement=replace, fraction=frac, seed=seed)
+    if replace:
+        raise NotImplementedError("sample(n, replace=True) is not supported")
+    if seed is None:
+        # arbitrary n rows — cheapest plan (LIMIT, no shuffle of the rest)
+        return df.limit(n)
+    # deterministic n-row sample: random order then limit (superset of the
+    # reference, which rejects n+seed on Spark: execution_engine.py:617-626)
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def _sort_cols(presort: list[tuple[str, bool]], na_position: str):
+    cols = []
+    for name, asc in presort:
+        c = F.col(name)
+        if na_position == "first":
+            cols.append(c.asc_nulls_first() if asc else c.desc_nulls_first())
+        else:
+            cols.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+    return cols
+
+
+def take(
+    df: DataFrame,
+    n: int,
+    presort: "str | list[tuple[str, bool]] | None" = None,
+    na_position: str = "last",
+    partition: "PartitionSpec | dict | None" = None,
+) -> DataFrame:
+    if not isinstance(n, int) or n <= 0:
+        raise ValueError(f"n must be a positive int, got {n!r}")
+    if na_position not in ("first", "last"):
+        raise ValueError(f"na_position must be 'first' or 'last', got {na_position!r}")
+    spec = PartitionSpec(partition) if not isinstance(partition, PartitionSpec) else partition
+    sort_list = parse_presort(presort) or spec.presort
+    cols = _sort_cols(sort_list, na_position)
+    if not spec.by:
+        return df.orderBy(*cols).limit(n) if cols else df.limit(n)
+    if n == 1 and not sort_list:
+        return df.dropDuplicates(subset=spec.by)
+    w = Window.partitionBy(*spec.by).orderBy(*(cols or [F.lit(1)]))
+    return (
+        df.withColumn("__fugue_rn__", F.row_number().over(w))
+        .filter(F.col("__fugue_rn__") <= n)
+        .drop("__fugue_rn__")
+    )

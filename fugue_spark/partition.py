@@ -1,0 +1,194 @@
+"""PartitionSpec — the engine's unit of physical-layout control.
+
+Semantics follow the reference (fugue/collections/partition.py:79-214):
+``by`` partition keys, ``presort`` within-partition ordering, ``num`` a count
+or a lazy expression over ROWCOUNT / CONCURRENCY, ``algo`` one of
+default|hash|rand|even|coarse. The executor maps each algo to the Spark
+physical strategy that survives scale:
+
+* hash/default → ``df.repartition(num, *keys)`` — Catalyst hash exchange,
+  AQE may coalesce; the normal path for grouped work.
+* rand → ``df.repartition(num, F.rand(seed))`` — break skew when no key.
+* even → exact round-robin over an RDD zipWithIndex (driver-free, two
+  passes); used only on explicit request (``per_row``) since it defeats
+  AQE and costs a persist+count. Keyed even puts each distinct key group
+  in its own partition (skew-proof "one group per task").
+* coarse → no data movement: treat each existing physical partition as one
+  logical partition.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PartitionSpec", "parse_presort", "apply_partition_spec"]
+
+ROWCOUNT = "ROWCOUNT"
+CONCURRENCY = "CONCURRENCY"
+
+
+def parse_presort(presort: "str | list[tuple[str, bool]] | None") -> list[tuple[str, bool]]:
+    """``"b DESC, c ASC"`` → ``[("b", False), ("c", True)]`` (True=asc)."""
+    if presort is None:
+        return []
+    if isinstance(presort, list):
+        return presort
+    out: list[tuple[str, bool]] = []
+    for item in presort.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        parts = item.split()
+        if len(parts) == 1:
+            out.append((parts[0], True))
+        elif len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+            out.append((parts[0], parts[1].upper() == "ASC"))
+        else:
+            raise ValueError(f"invalid presort item {item!r}")
+    names = [n for n, _ in out]
+    if len(names) != len(set(names)):
+        raise ValueError(f"duplicate presort columns in {presort!r}")
+    return out
+
+
+@dataclass
+class PartitionSpec:
+    by: list[str] = field(default_factory=list)
+    presort: list[tuple[str, bool]] = field(default_factory=list)
+    num: "int | str" = 0  # 0 = engine default; str may use ROWCOUNT/CONCURRENCY
+    algo: str = "default"
+
+    def __init__(
+        self,
+        spec: Any = None,
+        *,
+        by: "list[str] | str | None" = None,
+        presort: "str | list[tuple[str, bool]] | None" = None,
+        num: "int | str" = 0,
+        algo: str = "",
+    ):
+        if isinstance(spec, PartitionSpec):
+            by = by or spec.by
+            presort = presort if presort is not None else spec.presort
+            num = num or spec.num
+            algo = algo or spec.algo
+        elif isinstance(spec, int):
+            num = num or spec
+        elif isinstance(spec, str) and spec:
+            if spec.lower() == "per_row":
+                num, algo = ROWCOUNT, "even"
+            elif spec.lower() == "per_partition":
+                algo = algo or "coarse"
+            else:
+                raise ValueError(f"unknown partition shorthand {spec!r}")
+        elif isinstance(spec, dict):
+            by = by or spec.get("by", [])
+            presort = presort if presort is not None else spec.get("presort")
+            num = num or spec.get("num", 0)
+            algo = algo or spec.get("algo", "")
+        elif spec is not None:
+            raise ValueError(f"invalid partition spec {spec!r}")
+        self.by = [by] if isinstance(by, str) else list(by or [])
+        self.presort = parse_presort(presort)
+        self.num = num
+        algo = (algo or "default").lower()
+        if algo not in ("default", "hash", "rand", "even", "coarse"):
+            raise ValueError(f"unknown partition algo {algo!r}")
+        self.algo = algo
+        overlap = set(self.by) & {n for n, _ in self.presort}
+        if overlap:
+            raise ValueError(f"presort columns overlap partition keys: {overlap}")
+
+    @property
+    def empty(self) -> bool:
+        return not self.by and not self.presort and self.num == 0 and self.algo == "default"
+
+    def resolve_num(self, df: DataFrame) -> int:
+        """Evaluate ``num``, lazily pulling ROWCOUNT/CONCURRENCY only if used."""
+        if isinstance(self.num, int):
+            return self.num
+        expr = str(self.num).strip()
+        if not expr:
+            return 0
+        up = expr.upper()
+        if ROWCOUNT in up:
+            up = up.replace(ROWCOUNT, str(df.count()))
+        if CONCURRENCY in up:
+            up = up.replace(CONCURRENCY, str(df.sparkSession.sparkContext.defaultParallelism))
+        if not re.fullmatch(r"[0-9+\-*/(). ]+", up):
+            raise ValueError(f"invalid partition num expression {self.num!r}")
+        val = eval(up, {"__builtins__": {}}, {})  # arithmetic-only, validated above
+        return max(int(val), 1)
+
+    def sort_columns(self):
+        return [
+            (F.col(n).asc_nulls_first() if asc else F.col(n).desc_nulls_last())
+            for n, asc in self.presort
+        ]
+
+
+def _even_repartition(df: DataFrame, num: int, by: list[str]) -> DataFrame:
+    """Exact round-robin (unkeyed) or one-partition-per-key-group (keyed).
+
+    RDD-based: not available on Spark Connect; only used for algo=even /
+    per_row, mirroring the reference's restriction
+    (fugue_spark/_utils/partition.py:38-78 — behavior, not code).
+    """
+    schema = df.schema
+    spark = df.sparkSession
+    if not by:
+        if num <= 0:
+            num = df.rdd.getNumPartitions()
+        rdd = (
+            df.rdd.zipWithIndex()
+            .map(lambda pair: (pair[1], pair[0]))
+            .partitionBy(num, lambda k: k % num)
+            .map(lambda pair: pair[1])
+        )
+        return spark.createDataFrame(rdd, schema)
+    # keyed: assign each distinct key tuple an index, then round-robin groups
+    keys = df.select(*by).distinct()
+    key_schema = keys.schema
+    indexed = keys.rdd.zipWithIndex().map(
+        lambda pair: tuple(pair[0]) + (pair[1],)
+    )
+    from pyspark.sql import types as T
+
+    idx_schema = T.StructType(list(key_schema.fields) + [T.StructField("__fugue_gid__", T.LongType(), False)])
+    key_df = spark.createDataFrame(indexed, idx_schema)
+    n = num if num > 0 else keys.count()
+    joined = df.join(key_df, on=by, how="inner")
+    rdd = (
+        joined.rdd.map(lambda row: (row["__fugue_gid__"], row))
+        .partitionBy(n, lambda k: k % n)
+        .map(lambda pair: pair[1])
+    )
+    out = spark.createDataFrame(rdd, joined.schema)
+    return out.drop("__fugue_gid__").select(*[f.name for f in schema.fields])
+
+
+def apply_partition_spec(df: DataFrame, spec: "PartitionSpec | None") -> DataFrame:
+    """Physically realize a PartitionSpec on a DataFrame."""
+    if spec is None or spec.empty:
+        return df
+    num = spec.resolve_num(df)
+    algo = spec.algo
+    if algo in ("default", "hash"):
+        if spec.by:
+            df = df.repartition(num, *spec.by) if num > 0 else df.repartition(*spec.by)
+        elif num > 0:
+            df = df.repartition(num)
+    elif algo == "rand":
+        n = num if num > 0 else df.rdd.getNumPartitions()
+        df = df.repartition(n, F.rand(0))
+    elif algo == "even":
+        df = _even_repartition(df, num, spec.by)
+    # coarse: leave physical layout untouched
+    if spec.presort:
+        df = df.sortWithinPartitions(*spec.sort_columns())
+    return df

@@ -6,9 +6,14 @@ B-series shapes from BASELINE.md: scan/filter/project, group-agg, multi-join
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import fugue_spark.api as fa
+from fugue_spark import functions as ff
 from fugue_spark.benchmarks import load_table, register
 
 
@@ -56,4 +61,267 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q2_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount > 0.05 AND l_quantity < 25
+    """,
+    tags=("filter", "select"),
+    bench=True,
+)
+def q2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: scan → filter → project through the engine's select operator.
+
+    Predicates and the 6-column projection push down into the parquet scan
+    (PushedFilters + ReadSchema) — the scan never materializes unused
+    columns, which is the whole game at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return fa.select(
+        li,
+        ff.col("l_orderkey"),
+        ff.col("l_linenumber"),
+        ff.col("l_quantity"),
+        (ff.col("l_extendedprice") * (1 - ff.col("l_discount"))).alias("net_price"),
+        where=(ff.col("l_shipdate") >= ff.lit("1995-01-01").cast("datetime"))
+        & (ff.col("l_discount") > 0.05)
+        & (ff.col("l_quantity") < 25),
+    )
+
+
+@register(
+    "q3_join_revenue_by_nation",
+    oracle="""
+    SELECT n_name, r_name,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name, r_name
+    ORDER BY n_name
+    """,
+    tags=("join", "broadcast", "aggregate"),
+    bench=True,
+)
+def q3_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: fact ⋈ dims with explicit broadcast of the small sides.
+
+    nation/region (25/5 rows at any SF) are broadcast so the only shuffle
+    is orders⋈customer on custkey; Catalyst+AQE handle that exchange.
+    Joins go through the engine's key-inference join after rename.
+    """
+    cust = fa.rename(load_table(spark, sf_dir, "customer"), {"c_nationkey": "n_nationkey"})
+    nat = fa.rename(load_table(spark, sf_dir, "nation"), {"n_regionkey": "r_regionkey"})
+    reg = load_table(spark, sf_dir, "region")
+    orders = fa.rename(load_table(spark, sf_dir, "orders"), {"o_custkey": "c_custkey"})
+    dims = fa.join(fa.broadcast(nat), fa.broadcast(reg), "inner")  # nation ⋈ region
+    enriched = fa.join(cust, fa.broadcast(dims), "inner")
+    joined = fa.join(orders, enriched, "inner")
+    return fa.select(
+        joined,
+        ff.col("n_name"),
+        ff.col("r_name"),
+        ff.function("round", ff.sum(ff.col("o_totalprice")), 2, is_aggregate=True).alias("revenue"),
+        ff.count(ff.all_cols()).alias("n_orders"),
+    ).orderBy("n_name")
+
+
+@register(
+    "q4_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+    tags=("join",),
+    bench=True,
+)
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: customers having a big order — left-semi join, left schema only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = fa.rename(
+        fa.filter(orders, ff.col("o_totalprice") > 300000.0), {"o_custkey": "c_custkey"}
+    )
+    res = fa.semi_join(cust, fa.select_columns(big, ["c_custkey"]))
+    return fa.select_columns(res, ["c_custkey", "c_name", "c_acctbal"])
+
+
+@register(
+    "q5_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    )
+    """,
+    tags=("join",),
+)
+def q5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: customers with no big urgent order — left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = fa.rename(
+        fa.filter(
+            orders,
+            (ff.col("o_orderpriority") == "1-URGENT") & (ff.col("o_totalprice") > 250000.0),
+        ),
+        {"o_custkey": "c_custkey"},
+    )
+    res = fa.anti_join(cust, fa.select_columns(urgent, ["c_custkey"]))
+    return fa.select_columns(res, ["c_custkey", "c_mktsegment"])
+
+
+@register(
+    "q6_topk_per_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("take", "window"),
+    bench=True,
+)
+def q6_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: top-3 orders per customer via the take operator (row_number
+    window — one shuffle on the partition key, no global sort)."""
+    orders = fa.select_columns(
+        load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return fa.take(orders, 3, presort="o_totalprice DESC", partition={"by": ["o_custkey"]})
+
+
+@register(
+    "q7_setops_brands",
+    oracle="""
+    WITH small_parts AS (SELECT p_brand, p_size FROM part WHERE p_size < 15),
+         cheap_parts AS (SELECT p_brand, p_size FROM part WHERE p_retailprice < 1200)
+    SELECT p_brand, p_size FROM (
+      SELECT * FROM small_parts UNION SELECT * FROM cheap_parts
+    ) EXCEPT
+    SELECT p_brand, p_size FROM (
+      SELECT * FROM small_parts INTERSECT SELECT * FROM cheap_parts
+    )
+    """,
+    tags=("setops", "distinct"),
+    bench=True,
+)
+def q7_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: union/intersect/subtract composition with distinct semantics."""
+    part = load_table(spark, sf_dir, "part")
+    cols = ["p_brand", "p_size"]
+    small = fa.select_columns(fa.filter(part, ff.col("p_size") < 15), cols)
+    cheap = fa.select_columns(fa.filter(part, ff.col("p_retailprice") < 1200.0), cols)
+    return fa.subtract(fa.union(small, cheap), fa.intersect(small, cheap))
+
+
+@register(
+    "q8_assign_fillna_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(CASE WHEN value >= 10 THEN value ELSE 0 END), 2) AS big_value_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("assign", "fillna", "aggregate"),
+)
+def q8_assign_fillna_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assign → fillna → aggregate chain: small-value events nulled then
+    filled with 0 — exercises the NA operators inside one Catalyst plan."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = fa.assign(
+        ev,
+        big_value=ff.ColumnExpr(
+            F.when(F.col("value") >= 10, F.col("value")).otherwise(F.lit(None))
+        ),
+    )
+    ev = fa.fillna(ev, {"big_value": 0.0})
+    return fa.aggregate(
+        ev,
+        "event_type",
+        big_value_sum=ff.function("round", ff.sum(ff.col("big_value")), 2, is_aggregate=True),
+        n=ff.count(ff.all_cols()),
+    )
+
+
+@register(
+    "q9_io_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("io",),
+    bench=True,
+)
+def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: save partitioned parquet → reload → aggregate. The oracle runs
+    on the original table; equality proves the round trip is lossless."""
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_quantity"]
+    )
+    out = os.path.join(tempfile.gettempdir(), "fugue_spark_q9.parquet")
+    fa.save(li, out, mode="overwrite", partition_by=["l_returnflag"])
+    back = fa.load(spark, out)
+    return fa.aggregate(
+        back,
+        "l_returnflag",
+        n=ff.count(ff.all_cols()),
+        qty=ff.function("round", ff.sum(ff.col("l_quantity")), 2, is_aggregate=True),
+    )
+
+
+@register(
+    "q10_sql_passthrough_window",
+    oracle="""
+    SELECT user_id, n_sessions, n_events FROM (
+      SELECT user_id,
+             1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+               EPOCH_US(CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+        FROM events
+      )
+      GROUP BY user_id
+    )
+    """,
+    tags=("sql", "window"),
+    bench=True,
+)
+def q10_sql_passthrough_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL passthrough (the reference's posture for window functions:
+    SELECT bodies ship verbatim to the backend). Sessionization: count
+    gaps > 1h per user with LAG — integer output, engine-independent."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, n_sessions, n_events FROM (
+          SELECT user_id,
+                 1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS n_sessions,
+                 COUNT(*) AS n_events
+          FROM (
+            SELECT user_id,
+                   unix_micros(CAST(ts AS TIMESTAMP)) - LAG(unix_micros(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+            FROM events
+          )
+          GROUP BY user_id
+        )
+        """
     )

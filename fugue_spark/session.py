@@ -26,6 +26,9 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Self-describing parquet timestamps.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ns data) is otherwise an
+    # analysis error; read it as a long of nanoseconds and convert at load.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

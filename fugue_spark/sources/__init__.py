@@ -1,0 +1,130 @@
+"""Load/save for parquet, csv, json (+ stubs for lake formats).
+
+Reference semantics (fugue/execution/execution_engine.py:1127-1168,
+fugue_spark/_utils/io.py behavior):
+
+* format inferred from the path suffix when not given;
+* ``columns`` = projection (list) — pushed into the scan;
+* csv: ``header`` / ``infer_schema`` params, or an explicit schema;
+* save modes overwrite/append/error; ``partition_by``; ``force_single``
+  writes one data file at exactly ``path`` (coalesce(1) through a temp
+  dir — a deliberate anti-scale escape hatch for small exports only).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fugue_spark.schema import parse_schema
+
+__all__ = ["load_df", "save_df", "infer_format"]
+
+_FORMATS = ("parquet", "csv", "json", "orc", "avro")
+
+
+def infer_format(path: str) -> str:
+    base = path.rstrip("/*")
+    for fmt in _FORMATS:
+        if base.endswith("." + fmt):
+            return fmt
+    raise ValueError(
+        f"cannot infer format from {path!r}; pass format_hint explicitly"
+    )
+
+
+def load_df(
+    spark: SparkSession,
+    path: "str | list[str]",
+    format_hint: "str | None" = None,
+    columns: "list[str] | str | None" = None,
+    schema: "str | None" = None,
+    **params,
+) -> DataFrame:
+    paths = [path] if isinstance(path, str) else list(path)
+    fmt = format_hint or infer_format(paths[0])
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if fmt == "csv":
+        header = params.pop("header", False)
+        infer_schema = params.pop("infer_schema", False)
+        if schema is not None and infer_schema:
+            raise ValueError("cannot set both schema and infer_schema")
+        reader = reader.option("header", str(bool(header)).lower())
+        if schema is not None:
+            reader = reader.schema(parse_schema(schema))
+        elif infer_schema:
+            reader = reader.option("inferSchema", "true")
+    elif schema is not None:
+        reader = reader.schema(parse_schema(schema))
+    for k, v in params.items():
+        reader = reader.option(k, v)
+    df = getattr(reader, fmt)(*paths) if fmt in ("parquet", "csv", "json", "orc") else reader.format(fmt).load(paths)
+    if fmt == "csv" and schema is None and not params.get("infer_schema", False):
+        pass  # all-string columns, Spark default
+    if columns is not None:
+        if isinstance(columns, str):  # schema string: project + cast
+            target = parse_schema(columns)
+            df = df.select(*[df[f.name].cast(f.dataType).alias(f.name) for f in target.fields])
+        else:
+            df = df.select(*columns)
+    return df
+
+
+def save_df(
+    df: DataFrame,
+    path: str,
+    format_hint: "str | None" = None,
+    mode: str = "overwrite",
+    partition_by: "list[str] | None" = None,
+    force_single: bool = False,
+    **params,
+) -> None:
+    fmt = format_hint or infer_format(path)
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if mode not in ("overwrite", "append", "error", "ignore"):
+        raise ValueError(f"unsupported save mode {mode!r}")
+    if force_single:
+        if partition_by:
+            raise ValueError("force_single and partition_by are mutually exclusive")
+        _save_single_file(df, path, fmt, mode, **params)
+        return
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", str(bool(params.pop("header", False))).lower())
+    for k, v in params.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path) if fmt in ("parquet", "csv", "json", "orc") else writer.format(fmt).save(path)
+
+
+def _save_single_file(df: DataFrame, path: str, fmt: str, mode: str, **params) -> None:
+    if mode in ("error", "ignore") and os.path.exists(path):
+        if mode == "ignore":
+            return
+        raise FileExistsError(path)
+    tmp = tempfile.mkdtemp(prefix="fugue_spark_single_")
+    try:
+        out_dir = os.path.join(tmp, "out")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", str(bool(params.pop("header", False))).lower())
+        for k, v in params.items():
+            writer = writer.option(k, v)
+        getattr(writer, fmt)(out_dir)
+        parts = _glob.glob(os.path.join(out_dir, f"part-*"))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected one part file, found {parts}")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        shutil.move(parts[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,326 @@
+"""Engine-primitive conformance tests, modeled on the reference's
+execution_suite fixtures (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark import functions as ff
+from fugue_spark.partition import PartitionSpec
+from fugue_spark.schema import parse_schema
+
+
+def make_df(spark, data, schema):
+    return spark.createDataFrame(data, parse_schema(schema))
+
+
+def rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(map(str, t)))
+
+
+# ---------------- joins ----------------
+
+
+def test_join_inner_key_inference(spark):
+    a = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+    b = make_df(spark, [[1, 200], [20, 2]], "a:int,c:int")
+    res = fa.inner_join(a, b)
+    assert res.columns == ["a", "b", "c"]
+    assert rows(res) == [(1, 2, 200)]
+
+
+def test_join_types(spark):
+    a = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+    b = make_df(spark, [[1, 200], [20, 2]], "a:int,c:int")
+    assert rows(fa.semi_join(a, b)) == [(1, 2)]
+    assert fa.semi_join(a, b).columns == ["a", "b"]
+    assert rows(fa.anti_join(a, b)) == [(3, 4)]
+    lo = fa.left_outer_join(a, b)
+    assert rows(lo) == [(1, 2, 200), (3, 4, None)]
+    ro = fa.right_outer_join(a, b)
+    assert rows(ro) == [(1, 2, 200), (20, None, 2)]
+    fo = fa.full_outer_join(a, b)
+    assert len(rows(fo)) == 3
+
+
+def test_cross_join(spark):
+    a = make_df(spark, [[1], [2]], "a:int")
+    b = make_df(spark, [[10], [20]], "c:int")
+    assert len(rows(fa.cross_join(a, b))) == 4
+    with pytest.raises(ValueError):
+        fa.cross_join(a, make_df(spark, [[1]], "a:int"))
+
+
+def test_join_null_keys(spark):
+    a = make_df(spark, [[None, 2], [1, 3]], "a:int,b:int")
+    b = make_df(spark, [[None, 20], [1, 30]], "a:int,c:int")
+    assert rows(fa.inner_join(a, b)) == [(1, 3, 30)]  # SQL semantics: NULL != NULL
+
+
+def test_join_validation(spark):
+    a = make_df(spark, [[1, 2]], "a:int,b:int")
+    b = make_df(spark, [[1, 2]], "a:int,c:int")
+    with pytest.raises(ValueError):
+        fa.join(a, b, "inner", on=["b"])
+    with pytest.raises(ValueError):
+        fa.join(a, make_df(spark, [[1]], "x:int"), "inner")
+    with pytest.raises(ValueError):
+        fa.join(a, b, "bogus_join")
+
+
+def test_multi_key_join(spark):
+    a = make_df(spark, [[1, 2, "x"], [3, 4, "y"]], "a:int,b:int,d:str")
+    b = make_df(spark, [[1, 2, 9.0], [3, 5, 8.0]], "a:int,b:int,e:double")
+    res = fa.inner_join(a, b)
+    assert res.columns == ["a", "b", "d", "e"]
+    assert rows(res) == [(1, 2, "x", 9.0)]
+
+
+# ---------------- set ops ----------------
+
+
+def test_setops(spark):
+    a = make_df(spark, [[1.0, "x"], [1.0, "x"], [2.0, "y"]], "a:double,b:str")
+    b = make_df(spark, [[1.0, "x"], [3.0, "z"]], "a:double,b:str")
+    assert len(rows(fa.union(a, b))) == 3
+    assert len(rows(fa.union(a, b, distinct=False))) == 5
+    assert rows(fa.subtract(a, b)) == [(2.0, "y")]
+    assert rows(fa.subtract(a, b, distinct=False)) == [(1.0, "x"), (2.0, "y")]
+    assert rows(fa.intersect(a, b)) == [(1.0, "x")]
+    assert len(rows(fa.distinct(a))) == 2
+    with pytest.raises(ValueError):
+        fa.union(a, make_df(spark, [[1.0]], "a:double"))
+
+
+# ---------------- na ----------------
+
+
+def test_dropna(spark):
+    df = make_df(
+        spark,
+        [[1.0, 2.0, 3.0], [None, 2.0, None], [None, None, None]],
+        "a:double,b:double,c:double",
+    )
+    assert len(rows(fa.dropna(df))) == 1
+    assert len(rows(fa.dropna(df, how="all"))) == 2
+    assert len(rows(fa.dropna(df, thresh=2))) == 1
+    assert len(rows(fa.dropna(df, how="any", subset=["b"]))) == 2
+    with pytest.raises(ValueError):
+        fa.dropna(df, how="bogus")
+
+
+def test_fillna(spark):
+    df = make_df(spark, [[1.0, None], [None, "x"]], "a:double,b:str")
+    assert rows(fa.fillna(df, {"a": 0.0, "b": "?"})) == [(0.0, "x"), (1.0, "?")]
+    assert rows(fa.fillna(df, 9.0))[1] == (9.0, "x")
+    with pytest.raises(ValueError):
+        fa.fillna(df, None)
+    with pytest.raises(ValueError):
+        fa.fillna(df, {"a": None})
+
+
+# ---------------- sample / take ----------------
+
+
+def test_sample(spark):
+    df = make_df(spark, [[i] for i in range(100)], "a:int")
+    assert len(rows(fa.sample(df, n=7))) == 7
+    s = rows(fa.sample(df, n=7, seed=42))
+    assert s == rows(fa.sample(df, n=7, seed=42))  # deterministic
+    f = rows(fa.sample(df, frac=0.3, seed=1))
+    assert 10 <= len(f) <= 60
+    with pytest.raises(ValueError):
+        fa.sample(df)
+    with pytest.raises(ValueError):
+        fa.sample(df, n=5, frac=0.5)
+
+
+def test_take_global(spark):
+    df = make_df(
+        spark,
+        [["a", 2, 3], ["a", 3, 4], ["b", 1, 2], ["b", 2, 2], [None, 4, 2], [None, 2, 1]],
+        "a:str,b:int,c:long",
+    )
+    r = [tuple(x) for x in fa.take(df, 2, presort="b DESC").collect()]
+    assert r == [(None, 4, 2), ("a", 3, 4)]
+    r = [tuple(x) for x in fa.take(df, 1, presort="a ASC", na_position="first").collect()]
+    assert r == [(None, 4, 2) ] or r == [(None, 2, 1)]
+    r = [tuple(x) for x in fa.take(df, 1, presort="a ASC", na_position="last").collect()]
+    assert r[0][0] == "a"
+    assert len(fa.take(df, 3).collect()) == 3
+
+
+def test_take_per_partition(spark):
+    df = make_df(
+        spark,
+        [["a", 2, 3], ["a", 3, 4], ["b", 1, 2], ["b", 2, 2], [None, 4, 2], [None, 2, 1]],
+        "a:str,b:int,c:long",
+    )
+    res = rows(fa.take(df, 1, presort="b DESC", partition={"by": ["a"]}))
+    assert res == [(None, 4, 2), ("a", 3, 4), ("b", 2, 2)]
+    res = fa.take(df, 1, partition={"by": ["a"]})
+    assert len(res.collect()) == 3  # arbitrary row per group via dropDuplicates
+
+
+# ---------------- select / assign / aggregate ----------------
+
+
+def test_select_simple_and_where(spark):
+    df = make_df(spark, [[1.0, 2], [None, 2], [None, 1], [3.0, 4], [None, 4]], "a:double,b:int")
+    res = fa.select(df, ff.col("b"), (ff.col("b") + 1).alias("c"), where=ff.col("a").not_null())
+    assert rows(res) == [(2, 3), (4, 5)]
+
+
+def test_select_groupby_inference(spark):
+    df = make_df(spark, [[1.0, 2], [None, 2], [None, 1], [3.0, 4], [None, 4]], "a:double,b:int")
+    res = fa.select(df, ff.col("b"), ff.sum(ff.col("a")).alias("s"))
+    assert rows(res) == [(1, None), (2, 1.0), (4, 3.0)]
+    # HAVING
+    res = fa.select(
+        df,
+        ff.col("b"),
+        ff.sum(ff.col("a")).alias("s"),
+        having=ff.col("s") > 2.0,
+    )
+    assert rows(res) == [(4, 3.0)]
+    # global agg + literal
+    res = fa.select(df, ff.lit(1, "one"), ff.count(ff.all_cols()).alias("n"))
+    assert rows(res) == [(1, 5)]
+
+
+def test_assign_and_filter(spark):
+    df = make_df(spark, [[1, 2]], "a:int,b:int")
+    res = fa.assign(df, c=ff.col("a") + ff.col("b"), b=ff.lit(9))
+    assert rows(res) == [(1, 9, 3)]
+    assert rows(fa.filter(df, ff.col("a") == 1)) == [(1, 2)]
+    with pytest.raises(ValueError):
+        fa.assign(df, c=ff.sum(ff.col("a")))
+
+
+def test_aggregate(spark):
+    df = make_df(spark, [[1.0, 2], [2.0, 2], [3.0, 4]], "a:double,b:int")
+    res = fa.aggregate(df, "b", s=ff.sum(ff.col("a")), m=ff.max(ff.col("a")))
+    assert res.columns == ["b", "s", "m"]
+    assert rows(res) == [(2, 3.0, 2.0), (4, 3.0, 3.0)]
+    res = fa.aggregate(df, None, n=ff.count_distinct(ff.col("b")))
+    assert rows(res) == [(2,)]
+    with pytest.raises(ValueError):
+        fa.aggregate(df, "b", s=ff.col("a"))
+
+
+# ---------------- frame ops ----------------
+
+
+def test_frame_ops(spark):
+    df = make_df(spark, [[1, "x", 1.5]], "a:int,b:str,c:double")
+    assert fa.rename(df, {"a": "aa"}).columns == ["aa", "b", "c"]
+    with pytest.raises(ValueError):
+        fa.rename(df, {"zz": "q"})
+    assert fa.drop_columns(df, ["b"]).columns == ["a", "c"]
+    with pytest.raises(ValueError):
+        fa.drop_columns(df, ["a", "b", "c"])
+    assert fa.select_columns(df, ["c", "a"]).columns == ["c", "a"]
+    assert fa.peek_row(df) == (1, "x", 1.5)
+    assert fa.peek_dict(df)["b"] == "x"
+    assert fa.as_array(df) == [[1, "x", 1.5]]
+    assert fa.as_dicts(df)[0]["c"] == 1.5
+    assert fa.head(df, 1, ["b"]).columns == ["b"]
+
+
+def test_alter_columns_nan_guard(spark):
+    df = make_df(spark, [[1.5, 1.0], [float("nan"), 2.0]], "a:double,b:double")
+    res = fa.alter_columns(df, "a:str")
+    vals = rows(res)
+    assert vals == [("1.5", 1.0), (None, 2.0)]
+    res2 = fa.alter_columns(df, "b:int")
+    assert res2.schema["b"].dataType.simpleString() == "int"
+
+
+# ---------------- partition spec ----------------
+
+
+def test_partition_spec_basics():
+    s = PartitionSpec({"by": ["a"], "presort": "b DESC", "num": 4, "algo": "hash"})
+    assert s.by == ["a"] and s.presort == [("b", False)] and s.num == 4
+    assert PartitionSpec(4).num == 4
+    pr = PartitionSpec("per_row")
+    assert pr.algo == "even" and pr.num == "ROWCOUNT"
+    assert PartitionSpec().empty
+    with pytest.raises(ValueError):
+        PartitionSpec({"by": ["a"], "presort": "a ASC"})
+    with pytest.raises(ValueError):
+        PartitionSpec(algo="bogus")
+
+
+def test_partition_apply(spark):
+    df = make_df(spark, [[i % 3, i] for i in range(30)], "k:int,v:int")
+    out = fa.repartition(df, PartitionSpec({"by": ["k"], "num": 3}))
+    assert out.rdd.getNumPartitions() == 3
+    # even round-robin: exact balance
+    out = fa.repartition(df, PartitionSpec({"num": 5, "algo": "even"}))
+    sizes = out.rdd.glom().map(len).collect()
+    assert sorted(sizes) == [6, 6, 6, 6, 6]
+    # keyed even: one group per partition
+    out = fa.repartition(df, PartitionSpec({"by": ["k"], "algo": "even"}))
+    sizes = [s for s in out.rdd.glom().map(len).collect() if s > 0]
+    assert sorted(sizes) == [10, 10, 10]
+    # presort within partitions
+    out = fa.repartition(df, PartitionSpec({"by": ["k"], "num": 3, "presort": "v DESC"}))
+    for part in out.rdd.glom().collect():
+        vs = [r["v"] for r in part]
+        assert vs == sorted(vs, reverse=True)
+
+
+def test_partition_num_expr(spark):
+    df = make_df(spark, [[i] for i in range(10)], "a:int")
+    assert PartitionSpec(num="ROWCOUNT/2").resolve_num(df) == 5
+    assert PartitionSpec(num="CONCURRENCY").resolve_num(df) >= 1
+    with pytest.raises(ValueError):
+        PartitionSpec(num="__import__('os')").resolve_num(df)
+
+
+# ---------------- io ----------------
+
+
+def test_io_roundtrip(spark, tmp_path):
+    df = make_df(spark, [[1, "x"], [2, "y"]], "a:long,b:str")
+    p = os.path.join(str(tmp_path), "t.parquet")
+    fa.save(df, p)
+    assert rows(fa.load(spark, p)) == [(1, "x"), (2, "y")]
+    # csv with header round trip
+    c = os.path.join(str(tmp_path), "t.csv")
+    fa.save(df, c, header=True)
+    back = fa.load(spark, c, header=True, infer_schema=True)
+    assert rows(back) == [(1, "x"), (2, "y")]
+    # csv with explicit schema + projection
+    back = fa.load(spark, c, header=True, columns="b:str")
+    assert back.columns == ["b"]
+    # json
+    j = os.path.join(str(tmp_path), "t.json")
+    fa.save(df, j)
+    back = fa.load(spark, j, columns="a:long,b:str")
+    assert rows(back) == [(1, "x"), (2, "y")]
+    # partitioned write
+    pp = os.path.join(str(tmp_path), "part.parquet")
+    fa.save(df, pp, partition_by=["b"])
+    assert len(rows(fa.load(spark, pp))) == 2
+    # single file
+    sp = os.path.join(str(tmp_path), "single.parquet")
+    fa.save(df, sp, force_single=True)
+    assert os.path.isfile(sp)
+    assert rows(fa.load(spark, sp)) == [(1, "x"), (2, "y")]
+    with pytest.raises(ValueError):
+        fa.load(spark, os.path.join(str(tmp_path), "t.unknown"))
+
+
+def test_save_modes(spark, tmp_path):
+    df = make_df(spark, [[1, "x"]], "a:long,b:str")
+    p = os.path.join(str(tmp_path), "m.parquet")
+    fa.save(df, p)
+    fa.save(df, p, mode="append")
+    assert len(rows(fa.load(spark, p))) == 2
+    with pytest.raises(Exception):
+        fa.save(df, p, mode="error")
