@@ -35,7 +35,9 @@ from fugue_spark.operators import (
     take,
     union,
 )
+from fugue_spark.cotransform import cotransform
 from fugue_spark.partition import PartitionSpec, apply_partition_spec as repartition
+from fugue_spark.transform import PartitionCursor, Transformer, out_transform, transform
 from fugue_spark.schema import parse_schema
 from fugue_spark.session import get_spark
 from fugue_spark.sources import load_df as load, save_df as save

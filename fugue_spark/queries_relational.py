@@ -17,17 +17,25 @@ from fugue_spark import functions as ff
 from fugue_spark.benchmarks import load_table, register
 
 
+def _money_sum(col, scale: int):
+    """Exact cross-engine SUM of fixed-decimal doubles: scale each row to an
+    integer, sum as int64 (order-independent), then divide back. A float SUM
+    rounded after the fact is NOT reproducible across engines — half-even vs
+    half-up at .xx5 boundaries flips the last digit."""
+    return (F.sum(F.round(col * scale, 0).cast("long")).cast("double") / scale)
+
+
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -47,18 +55,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    qty_sum = F.sum(F.col("l_quantity").cast("long")).cast("double")
+    price_sum = _money_sum(F.col("l_extendedprice"), 100)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            qty_sum.alias("sum_qty"),
+            price_sum.alias("sum_base_price"),
+            _money_sum(disc_price, 10000).alias("sum_disc_price"),
+            _money_sum(charge, 1000000).alias("sum_charge"),
+            (qty_sum / n).alias("avg_qty"),
+            (price_sum / n).alias("avg_price"),
+            (_money_sum(F.col("l_discount"), 100) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -100,7 +111,7 @@ def q2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_join_revenue_by_nation",
     oracle="""
     SELECT n_name, r_name,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
            COUNT(*) AS n_orders
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -130,7 +141,7 @@ def q3_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         ff.col("n_name"),
         ff.col("r_name"),
-        ff.function("round", ff.sum(ff.col("o_totalprice")), 2, is_aggregate=True).alias("revenue"),
+        ff.ColumnExpr(_money_sum(F.col("o_totalprice"), 100), has_agg=True).alias("revenue"),
         ff.count(ff.all_cols()).alias("n_orders"),
     ).orderBy("n_name")
 
@@ -235,7 +246,7 @@ def q7_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_assign_fillna_agg",
     oracle="""
     SELECT event_type,
-           ROUND(SUM(CASE WHEN value >= 10 THEN value ELSE 0 END), 2) AS big_value_sum,
+           CAST(SUM(CAST(ROUND((CASE WHEN value >= 10 THEN value ELSE 0 END) * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS big_value_sum,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -256,7 +267,7 @@ def q8_assign_fillna_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fa.aggregate(
         ev,
         "event_type",
-        big_value_sum=ff.function("round", ff.sum(ff.col("big_value")), 2, is_aggregate=True),
+        big_value_sum=ff.ColumnExpr(_money_sum(F.col("big_value"), 100), has_agg=True),
         n=ff.count(ff.all_cols()),
     )
 
@@ -264,7 +275,7 @@ def q8_assign_fillna_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_io_roundtrip",
     oracle="""
-    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("io",),
@@ -283,7 +294,7 @@ def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back,
         "l_returnflag",
         n=ff.count(ff.all_cols()),
-        qty=ff.function("round", ff.sum(ff.col("l_quantity")), 2, is_aggregate=True),
+        qty=ff.sum(ff.col("l_quantity").cast("long")),
     )
 
 
@@ -324,4 +335,88 @@ def q10_sql_passthrough_window(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY user_id
         )
         """
+    )
+
+
+@register(
+    "q11_transform_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lines,
+           FIRST(l_linenumber ORDER BY l_quantity DESC, l_linenumber ASC) AS top_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("transform", "map"),
+    bench=True,
+)
+def q11_transform_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: the flagship map engine — per-orderkey pandas function with
+    prepartition + presort, executed as groupBy().applyInPandas (one
+    shuffle on the key, Arrow exchange, no driver involvement)."""
+    from fugue_spark.transform import transform
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def per_order(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # exact fixed-point sum (see _money_sum): identical across engines
+        rev_e4 = np.round(pdf.l_extendedprice * (1 - pdf.l_discount) * 10000).astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "l_orderkey": [pdf.l_orderkey.iloc[0]],
+                "revenue": [rev_e4 / 10000.0],
+                "n_lines": [len(pdf)],
+                "top_line": [int(pdf.l_linenumber.iloc[0])],
+            }
+        )
+
+    return transform(
+        li,
+        per_order,
+        schema="l_orderkey:long,revenue:double,n_lines:long,top_line:int",
+        partition={"by": ["l_orderkey"], "presort": "l_quantity DESC, l_linenumber ASC"},
+    )
+
+
+@register(
+    "q12_cotransform_order_lines",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           COUNT(l.l_linenumber) AS n_lines,
+           CAST(ROUND(MAX(o.o_totalprice) * 10000, 0) AS BIGINT)
+             - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS price_gap_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("zip", "comap", "cogroup"),
+    bench=True,
+)
+def q12_cotransform_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: zip/comap — orders cogrouped with lineitem by orderkey via
+    cogroup().applyInPandas; both sides shuffle once on the key."""
+    from fugue_spark.cotransform import cotransform
+
+    orders = fa.rename(load_table(spark, sf_dir, "orders"), {"o_orderkey": "orderkey"})
+    li = fa.rename(load_table(spark, sf_dir, "lineitem"), {"l_orderkey": "orderkey"})
+
+    def gap(cursor, o, l):
+        import numpy as np
+        import pandas as pd
+
+        rev_e4 = np.round(l.l_extendedprice * (1 - l.l_discount) * 10000).astype("int64").sum()
+        total_e4 = int(np.round(o.o_totalprice.max() * 10000))
+        return pd.DataFrame(
+            {
+                "orderkey": [cursor["orderkey"]],
+                "n_lines": [len(l)],
+                "price_gap_e4": [total_e4 - rev_e4],
+            }
+        )
+
+    return cotransform(
+        [orders, li], gap, schema="orderkey:long,n_lines:long,price_gap_e4:long", how="inner"
     )

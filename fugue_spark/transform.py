@@ -1,0 +1,392 @@
+"""The map engine: ``transform`` / ``out_transform`` — apply a plain Python
+function to every logical partition, Spark-natively.
+
+This is the reference's #1 user-facing capability (fugue transform(),
+README "the simplest way to use Fugue"; abstract op map_dataframe,
+fugue/execution/execution_engine.py:283-315). The "interfaceless" design is
+kept: a bare function declares its input/output shape via type annotations
+(fugue/dataframe/function_wrapper.py:322-553 registers the same forms) and
+its output schema via ``schema=`` or a ``# schema:`` comment hint.
+
+Execution maps onto the pandas-UDF family — the Arrow-vectorized fast path:
+
+* grouped (``partition.by``)      → ``df.groupBy(keys).applyInPandas``
+* ungrouped / coarse              → ``df.mapInPandas`` (streaming iterator,
+                                    so ``Iterable[pd.DataFrame]`` functions
+                                    never materialize a whole partition)
+* arrow-annotated functions       → same paths, converted at the boundary
+
+Presort runs inside the UDF with pandas (na_position='last' to match the
+take/presort convention). ``on_init`` fires once per physical partition;
+``ignore_errors`` turns listed exceptions into empty output for that
+logical partition (reference: processors.py:330-338).
+"""
+
+from __future__ import annotations
+
+import inspect
+import itertools
+import re
+import typing
+from collections.abc import Iterable
+from typing import Any, Callable
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from fugue_spark.partition import PartitionSpec, apply_partition_spec
+from fugue_spark.schema import apply_schema_hint, is_schema_hint, parse_schema
+
+__all__ = ["transform", "out_transform", "PartitionCursor", "Transformer"]
+
+
+class PartitionCursor:
+    """Visible state of the logical partition a function is processing
+    (reference: fugue/collections/partition.py:404-469)."""
+
+    def __init__(self, keys: list[str], key_values: list[Any], partition_no: int):
+        self.keys = list(keys)
+        self.key_values = list(key_values)
+        self.partition_no = partition_no
+
+    @property
+    def key_value_dict(self) -> dict[str, Any]:
+        return dict(zip(self.keys, self.key_values))
+
+    def __getitem__(self, name: str) -> Any:
+        return self.key_value_dict[name]
+
+
+class Transformer:
+    """Class-form transformer (reference: fugue/extensions/transformer/
+    transformer.py:8-98). Subclass and override ``transform``; optional
+    ``get_output_schema`` / ``on_init``."""
+
+    def get_output_schema(self, input_schema: T.StructType) -> "str | T.StructType":
+        raise NotImplementedError
+
+    def on_init(self, input_schema: T.StructType) -> None:
+        pass
+
+    def transform(self, df: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError
+
+    cursor: PartitionCursor  # set by the runner before each call
+
+
+_SCHEMA_HINT_RE = re.compile(r"^\s*#\s*schema:\s*(.+)$", re.MULTILINE)
+
+
+def _schema_from_comment(fn: Callable) -> "str | None":
+    """The reference's comment hint: a ``# schema: ...`` line directly above
+    the function definition (or inside it)."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    m = _SCHEMA_HINT_RE.search(src)
+    if m:
+        return m.group(1).strip()
+    try:
+        lines, lineno = inspect.findsource(fn)
+    except (OSError, TypeError):
+        return None
+    i = lineno - 1  # line above 'def' (findsource lineno is 0-based at def)
+    while i >= 0:
+        stripped = lines[i].strip()
+        if stripped.startswith("#"):
+            m = _SCHEMA_HINT_RE.match(lines[i])
+            if m:
+                return m.group(1).strip()
+            i -= 1
+        elif stripped == "" or stripped.startswith("@"):
+            i -= 1
+        else:
+            break
+    return None
+
+
+# ---------------------------------------------------------------------------
+# annotation classification
+
+_IN_PANDAS, _IN_ITER_PANDAS, _IN_ARROW, _IN_ITER_ARROW = "pd", "ipd", "pa", "ipa"
+_IN_LISTS, _IN_ITER_LISTS, _IN_DICTS, _IN_ITER_DICTS = "ll", "ill", "ld", "ild"
+
+
+def _classify(ann: Any, default: str) -> str:
+    if ann is inspect.Parameter.empty or ann is None or ann is Any:
+        return default
+    origin = typing.get_origin(ann)
+    args = typing.get_args(ann)
+    if ann is pd.DataFrame:
+        return _IN_PANDAS
+    if ann is pa.Table:
+        return _IN_ARROW
+    if origin in (list, typing.List):
+        if args and typing.get_origin(args[0]) in (list, typing.List):
+            return _IN_LISTS
+        if args and typing.get_origin(args[0]) in (dict, typing.Dict):
+            return _IN_DICTS
+        if args and args[0] in (list, dict):
+            return _IN_LISTS if args[0] is list else _IN_DICTS
+        return _IN_LISTS
+    if origin in (Iterable, typing.Iterable, typing.Iterator) or (
+        origin is not None and origin.__name__ in ("Iterable", "Iterator", "Generator")
+    ):
+        inner = args[0] if args else None
+        if inner is pd.DataFrame:
+            return _IN_ITER_PANDAS
+        if inner is pa.Table:
+            return _IN_ITER_ARROW
+        inner_origin = typing.get_origin(inner)
+        if inner_origin in (dict, typing.Dict) or inner is dict:
+            return _IN_ITER_DICTS
+        return _IN_ITER_LISTS
+    raise ValueError(f"unsupported transform annotation {ann!r}")
+
+
+def _to_input(pdf: pd.DataFrame, form: str) -> Any:
+    if form == _IN_PANDAS:
+        return pdf
+    if form == _IN_ITER_PANDAS:
+        return iter([pdf])
+    if form == _IN_ARROW:
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+    if form == _IN_ITER_ARROW:
+        return iter([pa.Table.from_pandas(pdf, preserve_index=False)])
+    if form == _IN_LISTS:
+        return pdf.values.tolist()
+    if form == _IN_ITER_LISTS:
+        return iter(pdf.values.tolist())
+    if form == _IN_DICTS:
+        return pdf.to_dict("records")
+    if form == _IN_ITER_DICTS:
+        return iter(pdf.to_dict("records"))
+    raise AssertionError(form)
+
+
+def _result_to_pandas(res: Any, out_cols: list[str]) -> pd.DataFrame:
+    if res is None:
+        return pd.DataFrame(columns=out_cols)
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, dict):
+        return pd.DataFrame([res], columns=out_cols)
+    if isinstance(res, Iterable):
+        items = list(res)
+        if not items:
+            return pd.DataFrame(columns=out_cols)
+        if isinstance(items[0], pd.DataFrame):
+            return pd.concat(items, ignore_index=True)
+        if isinstance(items[0], pa.Table):
+            return pa.concat_tables(items).to_pandas()
+        if isinstance(items[0], dict):
+            return pd.DataFrame(items, columns=out_cols)
+        return pd.DataFrame(items, columns=out_cols)
+    raise ValueError(f"unsupported transform output {type(res)}")
+
+
+def _conform(pdf: pd.DataFrame, out_cols: list[str], name: str) -> pd.DataFrame:
+    if list(pdf.columns) == out_cols:
+        return pdf
+    if all(isinstance(c, str) for c in pdf.columns) and set(out_cols) <= set(pdf.columns):
+        return pdf[out_cols]
+    if len(pdf.columns) == len(out_cols):
+        pdf = pdf.copy()
+        pdf.columns = out_cols
+        return pdf
+    raise ValueError(
+        f"{name}: output columns {list(pdf.columns)} do not match schema {out_cols}"
+    )
+
+
+def _resolve_fn(using: Any) -> tuple[Any, "str | None", bool]:
+    """→ (callable-or-instance, comment-schema, is_class_transformer)."""
+    if isinstance(using, type) and issubclass(using, Transformer):
+        return using(), None, True
+    if isinstance(using, Transformer):
+        return using, None, True
+    if callable(using):
+        return using, _schema_from_comment(using), False
+    raise ValueError(f"cannot use {using!r} as a transformer")
+
+
+def _output_schema(
+    using: Any, schema: Any, comment: "str | None", input_schema: T.StructType
+) -> T.StructType:
+    s = schema if schema is not None else comment
+    if s is None and isinstance(using, Transformer):
+        s = using.get_output_schema(input_schema)
+    if s is None:
+        raise ValueError("transform requires an output schema (schema= or '# schema:' hint)")
+    if isinstance(s, T.StructType):
+        return s
+    s = str(s)
+    if is_schema_hint(s):
+        return apply_schema_hint(s, input_schema)
+    return parse_schema(s)
+
+
+def _sort_pandas(pdf: pd.DataFrame, presort: list[tuple[str, bool]]) -> pd.DataFrame:
+    if not presort:
+        return pdf
+    return pdf.sort_values(
+        [n for n, _ in presort],
+        ascending=[a for _, a in presort],
+        na_position="last",
+        kind="mergesort",
+    )
+
+
+def transform(
+    df: DataFrame,
+    using: Any,
+    schema: Any = None,
+    partition: "PartitionSpec | dict | int | str | None" = None,
+    params: "dict | None" = None,
+    ignore_errors: "tuple | list" = (),
+    on_init: "Callable[[], None] | None" = None,
+    discard_output: bool = False,
+) -> DataFrame:
+    """Apply ``using`` to every logical partition of ``df``.
+
+    Scale posture: grouped path is one hash exchange on the keys (Catalyst
+    plans the shuffle, AQE sizes it); ungrouped path is shuffle-free. The
+    user function only ever sees one logical partition in memory — with an
+    ``Iterable[pd.DataFrame]`` annotation it sees Arrow-sized batches and
+    can stream, so worker memory is bounded by batch size, not partition
+    size.
+    """
+    spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
+    fn, comment_schema, is_class = _resolve_fn(using)
+    out_schema = _output_schema(fn, schema, comment_schema, df.schema)
+    out_cols = [f.name for f in out_schema.fields]
+    kwargs = dict(params or {})
+    err_types = tuple(ignore_errors)
+
+    if is_class:
+        inst = fn
+        in_form = _IN_PANDAS
+
+        def call(pdf: pd.DataFrame, cursor: PartitionCursor) -> pd.DataFrame:
+            inst.cursor = cursor
+            return inst.transform(pdf)
+
+        init_fn = inst.on_init
+    else:
+        sig = inspect.signature(fn)
+        sig_params = list(sig.parameters.values())
+        wants_cursor = bool(sig_params) and sig_params[0].name == "cursor"
+        data_param = sig_params[1] if wants_cursor else (sig_params[0] if sig_params else None)
+        if data_param is None:
+            raise ValueError("transformer function needs a data parameter")
+        try:
+            hints = typing.get_type_hints(fn)
+        except Exception:
+            hints = {}
+        in_form = _classify(hints.get(data_param.name, data_param.annotation), _IN_PANDAS)
+
+        def call(pdf: pd.DataFrame, cursor: PartitionCursor) -> Any:
+            data = _to_input(pdf, in_form)
+            if wants_cursor:
+                return fn(cursor, data, **kwargs)
+            return fn(data, **kwargs)
+
+        init_fn = (lambda _schema: on_init()) if on_init is not None else None
+
+    presort = spec.presort
+    keys = list(spec.by)
+    input_schema = df.schema
+    init_state: list[bool] = []  # once per python worker (≈ physical partition)
+
+    def maybe_init() -> None:
+        if init_fn is not None and not init_state:
+            init_state.append(True)
+            init_fn(input_schema)
+
+    def run_one(pdf: pd.DataFrame, cursor: PartitionCursor) -> pd.DataFrame:
+        pdf = _sort_pandas(pdf, presort)
+        try:
+            res = call(pdf, cursor)
+            out = _result_to_pandas(res, out_cols)
+            if discard_output:
+                return pd.DataFrame(columns=out_cols)
+            return _conform(out, out_cols, "transform")
+        except err_types:
+            return pd.DataFrame(columns=out_cols)
+
+    def _partition_no() -> int:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        return ctx.partitionId() if ctx is not None else 0
+
+    if keys:
+        if spec.algo not in ("default", "hash"):
+            df = apply_partition_spec(df, PartitionSpec(by=keys, num=spec.num, algo=spec.algo))
+
+        def grouped_udf(pdf: pd.DataFrame) -> pd.DataFrame:
+            maybe_init()
+            kv = [pdf.iloc[0][k] for k in keys] if len(pdf) else [None] * len(keys)
+            return run_one(pdf, PartitionCursor(keys, kv, _partition_no()))
+
+        return df.groupBy(*keys).applyInPandas(grouped_udf, schema=out_schema)
+
+    # ungrouped: apply per physical partition (coarse) via mapInPandas
+    df = apply_partition_spec(df, spec)
+    streaming = (
+        not is_class
+        and in_form in (_IN_ITER_PANDAS, _IN_ITER_ARROW)
+        and not presort
+        and not err_types
+        and not discard_output
+    )
+
+    def map_udf(it: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        it = iter(it)
+        first = next(it, None)
+        if first is None:
+            return  # skip empty physical partitions (reference behavior)
+        chain = itertools.chain([first], it)
+        maybe_init()
+        cursor = PartitionCursor([], [], _partition_no())
+        if streaming:
+            # feed batches straight through — bounded memory
+            batches: Any = chain
+            if in_form == _IN_ITER_ARROW:
+                batches = (pa.Table.from_pandas(b, preserve_index=False) for b in chain)
+            res = fn(cursor, batches, **kwargs) if wants_cursor else fn(batches, **kwargs)
+            out = _result_to_pandas(res, out_cols)
+            yield _conform(out, out_cols, "transform")
+        else:
+            pdf = pd.concat(list(chain), ignore_index=True)
+            yield run_one(pdf, cursor)
+
+    return df.mapInPandas(map_udf, schema=out_schema)
+
+
+def out_transform(
+    df: DataFrame,
+    using: Any,
+    partition: "PartitionSpec | dict | int | str | None" = None,
+    params: "dict | None" = None,
+    ignore_errors: "tuple | list" = (),
+    on_init: "Callable[[], None] | None" = None,
+) -> None:
+    """Run a transformer for its side effects, eagerly, discarding output
+    (reference: workflow.py:570 out_transform; output schema is a dummy)."""
+    res = transform(
+        df,
+        using,
+        schema="__dummy__:int",
+        partition=partition,
+        params=params,
+        ignore_errors=ignore_errors,
+        on_init=on_init,
+        discard_output=True,
+    )
+    res.count()

@@ -1,0 +1,236 @@
+"""Map-engine tests, modeled on the reference's builtin/execution suites
+(transformer forms, schema hints, presort, ignore_errors, cotransform)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any, Iterator
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark.schema import parse_schema
+
+
+def make_df(spark, data, schema):
+    return spark.createDataFrame(data, parse_schema(schema))
+
+
+def rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(map(str, t)))
+
+
+def test_transform_pandas_identity_plus(spark):
+    df = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+
+    def add_col(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(c=pdf.a + pdf.b)
+
+    res = fa.transform(df, add_col, schema="*,c:int")
+    assert res.columns == ["a", "b", "c"]
+    assert rows(res) == [(1, 2, 3), (3, 4, 7)]
+
+
+def test_transform_schema_comment_hint(spark):
+    df = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+
+    # schema: *,doubled:long
+    def doubler(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(doubled=pdf.b * 2)
+
+    res = fa.transform(df, doubler)
+    assert res.columns == ["a", "b", "doubled"]
+    assert rows(res) == [(1, 2, 4), (3, 4, 8)]
+
+
+def test_transform_drop_column_hint(spark):
+    df = make_df(spark, [[1, 2]], "a:int,b:int")
+    res = fa.transform(df, lambda pdf: pdf[["a"]], schema="*-b")
+    assert rows(res) == [(1,)]
+
+
+def test_transform_iterable_pandas_streaming(spark):
+    df = make_df(spark, [[i] for i in range(100)], "a:int")
+
+    def batched(dfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in dfs:
+            yield pdf[pdf.a % 2 == 0]
+
+    res = fa.transform(df, batched, schema="*")
+    assert len(rows(res)) == 50
+
+
+def test_transform_arrow(spark):
+    df = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+
+    def at(t: pa.Table) -> pa.Table:
+        return t.append_column("s", pa.compute.add(t["a"], t["b"]).cast(pa.int64()))
+
+    res = fa.transform(df, at, schema="*,s:long")
+    assert rows(res) == [(1, 2, 3), (3, 4, 7)]
+
+
+def test_transform_list_and_dict_forms(spark):
+    df = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+
+    def as_lists(data: list[list[Any]]) -> list[list[Any]]:
+        return [[r[0] + r[1]] for r in data]
+
+    res = fa.transform(df, as_lists, schema="s:int")
+    assert rows(res) == [(3,), (7,)]
+
+    def as_dicts(data: Iterable[dict[str, Any]]) -> Iterable[dict[str, Any]]:
+        for r in data:
+            yield {"s": r["a"] * 10}
+
+    res = fa.transform(df, as_dicts, schema="s:int")
+    assert rows(res) == [(10,), (30,)]
+
+
+def test_transform_grouped_with_presort_and_cursor(spark):
+    df = make_df(
+        spark,
+        [["a", 3], ["a", 1], ["a", 2], ["b", 9], ["b", 7]],
+        "k:str,v:int",
+    )
+
+    def head1(cursor, pdf: pd.DataFrame) -> pd.DataFrame:
+        assert cursor.key_value_dict["k"] == pdf.iloc[0]["k"]
+        return pdf.head(1)
+
+    res = fa.transform(df, head1, schema="*", partition={"by": ["k"], "presort": "v DESC"})
+    assert rows(res) == [("a", 3), ("b", 9)]
+    res = fa.transform(df, head1, schema="*", partition={"by": ["k"], "presort": "v ASC"})
+    assert rows(res) == [("a", 1), ("b", 7)]
+
+
+def test_transform_params_and_ignore_errors(spark):
+    df = make_df(spark, [["a", 1], ["b", 2]], "k:str,v:int")
+
+    def boom(pdf: pd.DataFrame, fail_on: str) -> pd.DataFrame:
+        if (pdf.k == fail_on).any():
+            raise ValueError("boom")
+        return pdf
+
+    with pytest.raises(Exception):
+        fa.transform(df, boom, schema="*", partition={"by": ["k"]}, params={"fail_on": "a"}).collect()
+    res = fa.transform(
+        df, boom, schema="*", partition={"by": ["k"]},
+        params={"fail_on": "a"}, ignore_errors=[ValueError],
+    )
+    assert rows(res) == [("b", 2)]
+
+
+def test_transform_class_transformer_and_on_init(spark):
+    df = make_df(spark, [["a", 1], ["a", 5], ["b", 2]], "k:str,v:int")
+
+    class MeanByKey(fa.Transformer):
+        def get_output_schema(self, input_schema):
+            return "k:str,mean_v:double"
+
+        def on_init(self, input_schema):
+            self.ready = True
+
+        def transform(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            assert self.ready
+            return pd.DataFrame({"k": [pdf.k.iloc[0]], "mean_v": [pdf.v.mean()]})
+
+    res = fa.transform(df, MeanByKey, partition={"by": ["k"]})
+    assert rows(res) == [("a", 3.0), ("b", 2.0)]
+
+
+def test_out_transform_side_effect(spark, tmp_path):
+    import os
+
+    df = make_df(spark, [[1], [2], [3]], "a:int")
+    out = str(tmp_path)
+
+    def writer(pdf: pd.DataFrame) -> None:
+        pdf.to_csv(os.path.join(out, f"part_{os.getpid()}_{pdf.a.iloc[0]}.csv"), index=False)
+
+    fa.out_transform(df, writer, partition={"by": ["a"]})
+    import glob
+
+    assert len(glob.glob(os.path.join(out, "part_*.csv"))) == 3
+
+
+def test_transform_empty_partition_skip(spark):
+    df = make_df(spark, [[1]], "a:int").repartition(8)
+    calls = []
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        calls.append(1)
+        return pdf
+
+    res = fa.transform(df, f, schema="*")
+    assert rows(res) == [(1,)]
+
+
+def test_transform_requires_schema(spark):
+    df = make_df(spark, [[1]], "a:int")
+    with pytest.raises(ValueError):
+        fa.transform(df, lambda pdf: pdf)
+
+
+# ---------------- cotransform ----------------
+
+
+def test_cotransform_inner(spark):
+    a = make_df(spark, [[1, 10], [2, 20], [3, 30]], "k:int,x:int")
+    b = make_df(spark, [[1, "p"], [1, "q"], [3, "r"], [4, "s"]], "k:int,y:str")
+
+    def merge(cursor, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [cursor["k"]], "nx": [len(left)], "ny": [len(right)]}
+        )
+
+    res = fa.cotransform([a, b], merge, schema="k:int,nx:long,ny:long")
+    assert rows(res) == [(1, 1, 2), (3, 1, 1)]
+
+
+def test_cotransform_outer_variants(spark):
+    a = make_df(spark, [[1, 10], [2, 20]], "k:int,x:int")
+    b = make_df(spark, [[2, "p"], [3, "q"]], "k:int,y:str")
+
+    def counts(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nx": [len(left)], "ny": [len(right)]})
+
+    res = fa.cotransform([a, b], counts, schema="nx:long,ny:long", how="left_outer")
+    assert rows(res) == [(1, 0), (1, 1)]
+    res = fa.cotransform([a, b], counts, schema="nx:long,ny:long", how="right_outer")
+    assert rows(res) == [(0, 1), (1, 1)]
+    res = fa.cotransform([a, b], counts, schema="nx:long,ny:long", how="full_outer")
+    assert rows(res) == [(0, 1), (1, 0), (1, 1)]
+
+
+def test_cotransform_three_way(spark):
+    a = make_df(spark, [[1, 10], [2, 20]], "k:int,x:int")
+    b = make_df(spark, [[1, "p"], [2, "q"]], "k:int,y:str")
+    c = make_df(spark, [[1, 1.5], [1, 2.5]], "k:int,z:double")
+
+    def agg3(cursor, d1: pd.DataFrame, d2: pd.DataFrame, d3: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [cursor["k"]], "n": [len(d1) + len(d2) + len(d3)]}
+        )
+
+    res = fa.cotransform([a, b, c], agg3, schema="k:int,n:long", how="full_outer")
+    assert rows(res) == [(1, 4), (2, 2)]
+
+
+def test_cotransform_validation(spark):
+    a = make_df(spark, [[1, 10]], "k:int,x:int")
+    b = make_df(spark, [[1, "p"]], "k:int,y:str")
+
+    def f(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return l
+
+    with pytest.raises(ValueError):
+        fa.cotransform([a], f, schema="k:int,x:int")
+    with pytest.raises(ValueError):
+        fa.cotransform([a, b], f, schema="k:int,x:int", how="bogus")
+    with pytest.raises(ValueError):
+        fa.cotransform(
+            [a.select("x"), b.select("y")], f, schema="x:int"
+        )
