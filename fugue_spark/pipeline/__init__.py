@@ -1,0 +1,29 @@
+"""Large-scale training-data pipeline operators (beyond the reference's
+surface; first-class per BASELINE.json): dedup, similarity search, text
+analysis, multimodal columns."""
+
+from fugue_spark.pipeline.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from fugue_spark.pipeline.multimodal import (
+    MEDIA_SCHEMA,
+    as_media,
+    extract_features,
+    register_decoder,
+    with_media_meta,
+)
+from fugue_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    near_duplicates_by_embedding,
+)
+from fugue_spark.pipeline.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)

@@ -1,0 +1,261 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Five strategies, each expressed as a shuffle-conscious DataFrame plan:
+
+* exact            — fingerprint hash → groupBy keep-first. One shuffle on
+                     a 128-bit key; at scale the shuffle carries (id, hash)
+                     only, never the text.
+* ngram_jaccard    — word n-gram shingles → explode → inverted-index
+                     self-join on shingle → per-pair intersection count →
+                     Jaccard. Exact but quadratic in worst case; the
+                     shingle join is the classic "small candidate set"
+                     trick: only pairs sharing ≥1 shingle are generated.
+* minhash_lsh      — shingle → m minhashes (one groupBy, m min() aggs) →
+                     b bands → band-bucket join produces candidates →
+                     exact-Jaccard verify. Near-linear; the banded join is
+                     the scale path (no all-pairs anywhere).
+* simhash          — 64-bit simhash per doc (vectorized pandas UDF, no
+                     shuffle) → 16-bit chunk banding (pigeonhole: hamming
+                     ≤3 ⇒ ≥1 of 4 chunks equal) → candidate join →
+                     popcount verify.
+* embedding cosine — see similarity.py (near_duplicates_by_embedding).
+
+All emit candidate/confirmed duplicate PAIRS (id_a < id_b) so downstream
+can pick survivors; ``dedup_exact`` also offers keep-first directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def _normalized(text_col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct normalized text. The shuffle key
+    is the md5 fingerprint, not the document — at 100 TB the exchange moves
+    ~48 bytes/row."""
+    fp = F.md5(_normalized(text_col))
+    w = Window.partitionBy("__fp__").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp__", fp)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    words = F.split(_normalized(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via inverted-index self-join.
+
+    Plan: explode shingles → join on shingle (only co-shingled pairs
+    materialize) → count shared → Jaccard = shared / (|A|+|B|-shared).
+    Output: id_a, id_b (a<b), jaccard_e4 (int, ×10⁴ — exact cross-engine).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
+    pairs = (
+        a.join(b, on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac_e4 = (F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard_e4", F.floor(jac_e4).cast("long"))
+        .filter(F.col("jaccard_e4") >= int(threshold * 10000))
+        .select("id_a", "id_b", "jaccard_e4")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>) — m independent minhashes per document.
+
+    One explode + one groupBy(id) with m min() aggregates: a single
+    shuffle keyed on id, carrying only (id, m×8 bytes)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    banding: b=16 bands × r=4 rows ⇒ candidate-capture probability
+    1-(1-j^r)^b (≈0.98 at j=0.7). Candidates come from a groupBy on
+    (band, band-hash) buckets — never an all-pairs join — then are
+    verified exactly (shingle-set Jaccard) so the output has no false
+    positives. Output: id_a, id_b, jaccard_e4.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cands = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    verified = (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_e4",
+            F.floor((F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long"),
+        )
+        .filter(F.col("jaccard_e4") >= int(threshold * 10000))
+    )
+    return verified.select("id_a", "id_b", "jaccard_e4")
+
+
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4
+
+
+def _word_hash64(w: str) -> int:
+    """Deterministic 64-bit word hash (blake2b digest — stable across runs
+    and processes, unlike python's salted hash())."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit simhash over word tokens (numpy, per Arrow batch)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = str(t).lower().split()
+        if not words:
+            continue
+        hs = np.array([np.uint64(_word_hash64(w)) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(v << np.arange(64, dtype=np.uint64))
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: per-row simhash (map-only), 16-bit chunk
+    banding (hamming ≤ 3 over 4 chunks ⇒ some chunk matches exactly),
+    popcount verify. Output: id_a, id_b, hamming. Word hashes are blake2b —
+    deterministic across runs and engines.
+    """
+    sim_udf = F.pandas_udf(_simhash_batch, "long")
+    s = df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh"))
+    chunks = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk", "c.ch")
+    left = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ch")
+    right = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ch")
+    cands = (
+        left.join(right, on=["chunk", "ch"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

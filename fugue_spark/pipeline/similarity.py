@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale ladder:
+
+* brute-force cosine top-k — exact; the dot product stays JVM-side via
+  ``F.zip_with`` + ``F.aggregate`` (no Python). Query side is broadcast,
+  so the only pass is one scan of the corpus per batch of queries.
+  O(|Q|·|C|) — the correctness baseline and fine whenever |Q| is small.
+* LSH-bucketed (random hyperplanes) — sign-bit sketch → bucket equi-join
+  → exact cosine re-rank within buckets. Sub-linear candidate generation;
+  recall < 1 by construction (report tracks it against brute force).
+
+An IVF variant (k-means coarse quantizer) is the next rung; its Spark
+shape is the same bucket-join as LSH with learned centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "near_duplicates_by_embedding",
+]
+
+
+def _dot(a, b) -> F.Column:
+    # cast to double BEFORE multiplying: float32 products then a left fold
+    # are not reproducible across engines; double products + left fold are.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _cosine_e6(a, b) -> F.Column:
+    """Cosine scaled to int ×10⁶ — floored, so cross-engine float noise in
+    the last bits cannot flip a comparison at sane thresholds."""
+    cos = _dot(a, b) / (_norm(a) * _norm(b))
+    return F.floor(cos * 1000000).cast("long")
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries is broadcast (small by assumption); ranking is a row_number
+    window per query — one shuffle keyed on query_id.
+    Output: query_id, neighbor_id, cosine_e6, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_e6", _cosine_e6(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_e6", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign sketches bucket the corpus
+    (n_tables independent tables to boost recall); exact cosine re-ranks
+    bucket-mates. Candidate generation is an equi-join on (table, bucket) —
+    the 100 TB path: no cross join anywhere.
+    """
+
+    def sketch(vec) -> F.Column:
+        tables = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=1000 + t)
+            bits = [
+                F.when(_dot(vec, F.array(*[F.lit(float(p)) for p in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
+                * (2**i)
+                for i, plane in enumerate(planes)
+            ]
+            bucket = bits[0]
+            for b in bits[1:]:
+                bucket = bucket + b
+            tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+        return F.array(*tables)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cb = c.select("neighbor_id", "cv", F.explode(sketch(F.col("cv"))).alias("s")).select(
+        "neighbor_id", "cv", "s.tbl", "s.bucket"
+    )
+    qb = q.select("query_id", "qv", F.explode(sketch(F.col("qv"))).alias("s")).select(
+        "query_id", "qv", "s.tbl", "s.bucket"
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cands.withColumn("cosine_e6", _cosine_e6(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_e6", "rank")
+    )
+
+
+def near_duplicates_by_embedding(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine_e6 ≥ t·10⁶).
+
+    This baseline is the exact all-pairs form (self cross join) — correct
+    at any SF but quadratic; at corpus scale swap the candidate generator
+    for the LSH bucket join above (same verify step).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_e6", _cosine_e6(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_e6") >= int(threshold * 1000000))
+        .select("id_a", "id_b", "cosine_e6")
+    )

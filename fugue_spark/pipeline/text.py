@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting — every operator
+is pure ``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd, zero
+Python in the hot path), so it runs at scan speed on any data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_token_stats",
+    "with_quality_score",
+    "with_lang_id",
+    "with_fingerprint",
+    "LANG_MARKERS",
+]
+
+# A BPE-ish pre-tokenization: word pieces, numbers, or single non-space
+# symbols (the GPT-2 pre-tokenizer shape, simplified to an engine-portable
+# character-class regex).
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_WORD_RE = r"[A-Za-z]+"
+
+_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,it,that,for,on,as,with,was,at,by,be,this"
+).split(",")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_ws_tokens`` (whitespace tokenization) and ``n_bpe_tokens``
+    (regex pre-tokenization à la BPE pre-tokenizers)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws)
+    bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_TOKEN_RE), 0))
+    return df.withColumns({"n_ws_tokens": ws, "n_bpe_tokens": bpe})
+
+
+def _stopword_count(t: Column) -> Column:
+    pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(t), F.lit(pat), 0))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a 0..1 composite score.
+
+    Features follow the common pretraining-filter recipe (C4/Gopher-style
+    length, symbol-ratio and stopword signals), each computed as an exact
+    integer count so the score is engine-reproducible: word count, mean
+    word length (×100, int), punctuation count, stopword count.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.regexp_extract_all(t, F.lit(_WORD_RE), 0)
+    n_words = F.size(words)
+    word_chars = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
+    n_stop = _stopword_count(t)
+    # integer-scaled ratios (see queries: cross-engine float discipline)
+    mean_word_len_e2 = F.when(n_words > 0, (word_chars * 100) / n_words).otherwise(F.lit(0.0))
+    stop_ratio_e4 = F.when(n_words > 0, (n_stop * 10000) / n_words).otherwise(F.lit(0.0))
+    punct_ratio_e4 = F.when(n_chars > 0, (n_punct * 10000) / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(1)).otherwise(F.lit(0))
+        + F.when(n_stop * 100 >= n_words * 2, F.lit(1)).otherwise(F.lit(0))  # ≥2% stopwords
+        + F.when(n_punct * 100 <= n_chars * 20, F.lit(1)).otherwise(F.lit(0))  # ≤20% punct
+        + F.when((word_chars >= n_chars * 1 / 2), F.lit(1)).otherwise(F.lit(0))  # mostly letters
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len_e2": mean_word_len_e2,
+            "stop_ratio_e4": stop_ratio_e4,
+            "punct_ratio_e4": punct_ratio_e4,
+            "quality_score": quality,
+        }
+    )
+
+
+# marker stopwords per language — deterministic argmax with fixed precedence
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/marker-word language ID: count per-language marker words,
+    take the argmax (precedence en>de>fr>es on ties, 'und' = undetermined
+    when no marker hits); any CJK character short-circuits to 'zh'."""
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(ws) + r")\b"), 0)
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties (>=)
+        best = F.when(scores[lang] >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, scores[lang])
+    has_cjk = F.size(F.regexp_extract_all(t, F.lit(r"[一-鿿]"), 0)) > 0
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 128-bit content fingerprint of the *normalized* text
+    (lowercase, collapsed whitespace) — the exact-dedup key. md5 is
+    engine-portable; xxhash64 is the cheaper Spark-only alternative."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

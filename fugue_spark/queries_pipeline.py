@@ -1,6 +1,267 @@
-"""Beyond-reference pipeline queries (dedup, similarity, text analysis).
+"""Pipeline headline queries: dedup / similarity / text analysis /
+multimodal over the documents + embeddings tables.
 
-Populated as the pipeline operators land; see fugue_spark/pipeline/.
+Oracle discipline: counts and integer-scaled ratios only (see
+queries_relational._money_sum rationale); cosine is a double left-fold in
+BOTH engines (DuckDB's native list_cosine_similarity is float32 and cannot
+match Spark).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fugue_spark.benchmarks import load_table, register
+from fugue_spark.pipeline import (
+    as_media,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    extract_features,
+    minhash_lsh_pairs,
+    near_duplicates_by_embedding,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+# DuckDB fragments mirroring the Spark ops exactly
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+    " x -> x[1] * x[2]), (p, q) -> p + q)"
+)
+_NORMV = (
+    "sqrt(list_reduce(list_transform({a}::DOUBLE[], x -> x * x), (p, q) -> p + q))"
+)
+
+
+def _cos_e6(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR(({_DOT.format(a=a, b=b)}) / "
+        f"(({_NORMV.format(a=a)}) * ({_NORMV.format(a=b)})) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "p1_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+    bench=True,
+)
+def p1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — pure JVM expressions,
+    runs at scan speed on any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register(
+    "p2_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS word_chars,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text),
+               '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|as|with|was|at|by|be|this)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0 THEN (word_chars * 100) / n_words ELSE 0.0 END AS mean_word_len_e2,
+           CASE WHEN n_words > 0 THEN (n_stop * 10000) / n_words ELSE 0.0 END AS stop_ratio_e4,
+           CASE WHEN n_chars > 0 THEN (n_punct * 10000) / n_chars ELSE 0.0 END AS punct_ratio_e4,
+           (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+            + CASE WHEN n_stop * 100 >= n_words * 2 THEN 1 ELSE 0 END
+            + CASE WHEN n_punct * 100 <= n_chars * 20 THEN 1 ELSE 0 END
+            + CASE WHEN word_chars * 2 >= n_chars THEN 1 ELSE 0 END) AS quality_score
+    FROM f
+    """,
+    tags=("text", "quality"),
+    bench=True,
+)
+def p2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "n_words", "mean_word_len_e2", "stop_ratio_e4", "punct_ratio_e4", "quality_score"
+    )
+
+
+@register(
+    "p3_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(el|los|las|una|es)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_cjk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_cjk > 0 THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def p3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID next to the table's labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "p4_dedup_exact",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(substr({_NORM}, 1, 40))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def p4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy keep-first) keyed on the normalized
+    40-char prefix — the corpus has prefix-duplicates but no full dups, so
+    this exercises survivor selection for real."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "prefix40",
+        F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40),
+    )
+    out = dedup_exact(docs, text_col="prefix40", id_col="doc_id")
+    return out.select("doc_id", "n_chars")
+
+
+@register(
+    "p5_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, n_sh, g FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(w) - 2, 0)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+               )) AS grams
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+      ), LATERAL (SELECT len(grams) AS n_sh), UNNEST(grams) AS t(g)
+      WHERE len(grams) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) AS jaccard_e4
+    FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) >= 5000
+    """,
+    tags=("dedup", "jaccard"),
+    bench=True,
+)
+def p5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard duplicate pairs (inverted-index self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+
+@register("p6_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"), bench=True)
+def p6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact verify — non-SQL-expressible
+    (xxhash64 signatures); tests assert output ⊆ exact-Jaccard pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16, n=3)
+
+
+@register("p7_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def p7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits) — non-SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=12)
+
+
+@register(
+    "p8_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_e6('a.embedding', 'b.embedding')} AS cosine_e6
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_e6('a.embedding', 'b.embedding')} >= 400000
+    """,
+    tags=("dedup", "embedding"),
+)
+def p8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.40 — the corpus has no
+    true dups; this captures its closest-pair tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_duplicates_by_embedding(emb, threshold=0.4)
+
+
+@register(
+    "p9_cosine_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_e6, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_e6('q.embedding', 'c.embedding')} AS cosine_e6,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_e6('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def p9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (the exact ANN
+    baseline; the LSH variant is tested for recall against this)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+@register(
+    "p10_media_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def p10_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: pack text as a binary blob + typed metadata
+    (JVM-side; the same path an image/audio column takes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "text", mime="text/plain")
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+@register("p11_media_features", oracle=None, tags=("multimodal",))
+def p11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via mapInPandas over binary blobs (decoder
+    stubbed deterministically — no media libs in this environment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "text", mime="application/octet-stream")
+    return extract_features(media, id_col="doc_id", blob_col="blob")

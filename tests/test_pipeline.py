@@ -1,0 +1,149 @@
+"""Pipeline-operator tests: dedup family cross-checks (LSH ⊆ exact,
+recall), ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_spark.pipeline import (
+    as_media,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    dedup_exact,
+    extract_features,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_fingerprint,
+    with_lang_id,
+    with_token_stats,
+)
+from fugue_spark.schema import parse_schema
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from fugue_spark.benchmarks import load_table
+
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from fugue_spark.benchmarks import load_table
+
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [[1, "Hello  World"], [2, "hello world"], [3, "other"]],
+        parse_schema("doc_id:long,text:str"),
+    )
+    out = dedup_exact(df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3]  # normalization folds case+whitespace; keep-first
+
+
+def test_token_stats_small(spark):
+    df = spark.createDataFrame(
+        [[1, "Hello, world! 42"], [2, ""]], parse_schema("doc_id:long,text:str")
+    )
+    r = {x.doc_id: x for x in with_token_stats(df).collect()}
+    assert r[1].n_ws_tokens == 3
+    # Hello , world ! 42 → 5 BPE-ish tokens
+    assert r[1].n_bpe_tokens == 5
+    assert r[2].n_ws_tokens == 0 and r[2].n_bpe_tokens == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            [1, "the cat and the dog of the house"],
+            [2, "der hund und die katze ist das"],
+            [3, "xyzzy qwerty"],
+            [4, "这是 中文 文本"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    r = {x.doc_id: x.lang_pred for x in with_lang_id(df).collect()}
+    assert r == {1: "en", 2: "de", 3: "und", 4: "zh"}
+
+
+def test_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [[1, "A  b"], [2, "a b"]], parse_schema("doc_id:long,text:str")
+    )
+    fps = [r.fingerprint for r in with_fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1]  # normalization-equal texts collide on purpose
+
+
+def test_minhash_subset_of_exact_with_recall(spark, docs):
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).collect()
+    }
+    assert lsh <= exact  # verify step removes all false positives
+    assert len(exact) > 0
+    assert len(lsh) >= 0.8 * len(exact)  # banding recall at j≥0.5
+
+
+def test_simhash_finds_neardups(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=12).collect()
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # strong near-dups (j≥0.8) share most vocabulary → low hamming
+    assert len(exact) == 0 or len(exact & got) >= 0.5 * len(exact)
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    """LSH must recall TRUE near neighbors (cos≈0.99 planted copies);
+    mid-similarity recall is low by design — that's the hash trade-off."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 64))
+    rows = []
+    vid = 0
+    for i in range(20):
+        rows.append([vid, [float(x) for x in base[i]]])
+        vid += 1
+    base_n = len(rows)
+    for i in range(20):
+        for _ in range(3):
+            noisy = base[i] + 0.05 * rng.standard_normal(64)
+            rows.append([vid, [float(x) for x in noisy]])
+            vid += 1
+    df = spark.createDataFrame(rows, parse_schema("vec_id:long,embedding:[float]"))
+    queries = df.filter(F.col("vec_id") < base_n)
+    brute = cosine_topk_bruteforce(df, queries, k=3)
+    approx = cosine_topk_lsh(df, queries, k=3, n_planes=8, n_tables=8)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(b) == 60  # 3 planted copies per query dominate
+    assert len(a & b) >= 0.9 * len(b)
+
+
+def test_media_features_deterministic(spark, docs):
+    media = as_media(docs.limit(20), "text", mime="text/plain")
+    assert media.schema["meta"].dataType.fieldNames() == ["mime", "n_bytes", "sha1"]
+    f1 = sorted(map(tuple, extract_features(media).collect()))
+    f2 = sorted(map(tuple, extract_features(media).collect()))
+    assert f1 == f2
+    assert all(t[1] > 0 and t[2] >= 1 for t in f1)  # n_bytes, width
+
+
+def test_media_binary_passthrough(spark):
+    df = spark.createDataFrame(
+        [[1, bytearray(b"\x89PNG1234")]], parse_schema("doc_id:long,raw:bytes")
+    )
+    media = as_media(df, "raw", mime="image/png")
+    row = media.collect()[0]
+    assert bytes(row.blob) == b"\x89PNG1234"
+    assert row.meta.n_bytes == 8 and row.meta.mime == "image/png"
