@@ -420,3 +420,44 @@ def q12_cotransform_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cotransform(
         [orders, li], gap, schema="orderkey:long,n_lines:long,price_gap_e4:long", how="inner"
     )
+
+
+def _q13_per_order(pdf):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "l_orderkey": [pdf.l_orderkey.iloc[0]],
+            "n": [len(pdf)],
+            "qty": [int(pdf.l_quantity.sum())],
+        }
+    )
+
+
+@register(
+    "q13_fuguesql_script",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS qty
+    FROM lineitem WHERE l_quantity < 30
+    GROUP BY l_orderkey
+    """,
+    tags=("sql", "fuguesql"),
+    bench=True,
+)
+def q13_fuguesql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: multi-statement FugueSQL script end-to-end — LOAD → SELECT
+    (raw SQL via Catalyst) → TRANSFORM (map engine) → YIELD."""
+    from fugue_spark.sql import fsql
+
+    res = fsql(
+        """
+        li = LOAD PARQUET "{{path}}"
+        proj = SELECT l_orderkey, l_quantity FROM li WHERE l_quantity < 30
+        TRANSFORM proj PREPARTITION BY l_orderkey USING per_order SCHEMA l_orderkey:long,n:long,qty:long
+        YIELD DATAFRAME AS result
+        """,
+        spark=spark,
+        functions={"per_order": _q13_per_order},
+        path=f"{sf_dir}/lineitem.parquet",
+    )
+    return res["result"]

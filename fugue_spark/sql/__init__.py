@@ -1,0 +1,652 @@
+"""FugueSQL-compatible script language on Spark.
+
+Two-level design, same as the reference (SURVEY §3.2): an outer parser for
+the Fugue statement set (fugue/sql/_visitors.py statement list) that emits
+direct engine calls, while raw ``SELECT``/``WITH`` bodies ship verbatim to
+``spark.sql`` — Catalyst does 100% of SQL planning. No DAG layer: Spark is
+already lazy; PRINT/SAVE/OUTPUT force actions in place.
+
+Entry point::
+
+    res = fsql('''
+        orders = LOAD PARQUET "/path/orders.parquet"
+        big = SELECT * FROM orders WHERE o_totalprice > 100
+        TRANSFORM big PREPARTITION BY o_custkey USING mymod.summarize SCHEMA *
+        PRINT 5 ROWS
+        YIELD DATAFRAME AS result
+    ''', spark=spark, functions={"summarize": fn}, **jinja_vars)
+    res["result"]            # yielded dataframe
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import os
+import re
+import tempfile
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+import fugue_spark.api as fa
+from fugue_spark.cotransform import cotransform
+from fugue_spark.partition import PartitionSpec
+from fugue_spark.sql.tokenizer import STATEMENT_KEYWORDS, Token, split_statements
+from fugue_spark.transform import out_transform, transform
+
+__all__ = ["fsql", "FugueSQLError", "FugueSQLResult"]
+
+
+class FugueSQLError(ValueError):
+    pass
+
+
+class ZippedFrames:
+    def __init__(self, dfs: list[DataFrame], how: str, spec: PartitionSpec):
+        self.dfs = dfs
+        self.how = how
+        self.spec = spec
+
+
+class FugueSQLResult(dict):
+    """yields by name; ``.last`` is the final statement's dataframe."""
+
+    def __init__(self):
+        super().__init__()
+        self.last: "DataFrame | None" = None
+
+
+class _Cursor:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, off: int = 0) -> "Token | None":
+        j = self.i + off
+        return self.toks[j] if j < len(self.toks) else None
+
+    def pop(self) -> Token:
+        if self.i >= len(self.toks):
+            raise FugueSQLError("unexpected end of statement")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def match(self, *uppers: str) -> bool:
+        t = self.peek()
+        if t is not None and t.upper in uppers:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, *uppers: str) -> Token:
+        t = self.pop()
+        if t.upper not in uppers:
+            raise FugueSQLError(f"expected {'/'.join(uppers)}, got {t.value!r}")
+        return t
+
+    @property
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def rest(self) -> list[Token]:
+        r = self.toks[self.i :]
+        self.i = len(self.toks)
+        return r
+
+
+def _unquote(s: str) -> str:
+    if len(s) >= 2 and s[0] in "\"'" and s[-1] == s[0]:
+        return ast.literal_eval(s)
+    if len(s) >= 2 and s[0] == "`" and s[-1] == "`":
+        return s[1:-1]
+    return s
+
+
+def _sql_text(tokens: list[Token]) -> str:
+    """Reconstruct SQL text from tokens (whitespace-insensitive)."""
+    parts: list[str] = []
+    for t in tokens:
+        parts.append(t.value)
+    out = ""
+    for i, p in enumerate(parts):
+        if i == 0:
+            out = p
+            continue
+        if p in (",", ")", "]", ".", ";") or parts[i - 1] in ("(", "[", "."):
+            out += p
+        else:
+            out += " " + p
+    return out
+
+
+class _Executor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        functions: "dict[str, Callable] | None",
+        yield_dir: "str | None",
+    ):
+        self.spark = spark
+        self.functions = dict(functions or {})
+        self.vars: dict[str, Any] = {}
+        self.last: Any = None
+        self.result = FugueSQLResult()
+        self.yield_dir = yield_dir
+
+    # ---------------- helpers ----------------
+
+    def _resolve_fn(self, name: str) -> Callable:
+        if name in self.functions:
+            return self.functions[name]
+        if "." in name:
+            mod, _, attr = name.rpartition(".")
+            try:
+                return getattr(importlib.import_module(mod), attr)
+            except (ImportError, AttributeError) as ex:
+                raise FugueSQLError(f"cannot import {name!r}: {ex}") from ex
+        raise FugueSQLError(
+            f"unknown function {name!r} (pass it via functions= or use a dotted path)"
+        )
+
+    def _get_df(self, name: "str | None") -> Any:
+        if name is None:
+            if self.last is None:
+                raise FugueSQLError("no previous result to consume")
+            return self.last
+        if name not in self.vars:
+            raise FugueSQLError(f"unknown dataframe {name!r}")
+        return self.vars[name]
+
+    def _dotted_name(self, c: _Cursor) -> str:
+        parts = [c.pop().value]
+        while c.peek() is not None and c.peek().value == ".":
+            c.pop()
+            parts.append(c.pop().value)
+        return ".".join(parts)
+
+    def _maybe_df_ref(self, c: _Cursor) -> "str | None":
+        t = c.peek()
+        if t is not None and t.kind == "word" and t.value in self.vars:
+            c.pop()
+            return t.value
+        return None
+
+    def _df_ref_list(self, c: _Cursor) -> list[str]:
+        names = []
+        n = self._maybe_df_ref(c)
+        while n is not None:
+            names.append(n)
+            if not c.match(","):
+                break
+            n = self._maybe_df_ref(c)
+            if n is None:
+                raise FugueSQLError("expected dataframe name after ','")
+        return names
+
+    def _params(self, c: _Cursor) -> dict[str, Any]:
+        """(a=1, b="x", c:2) → dict"""
+        out: dict[str, Any] = {}
+        if not c.match("("):
+            return out
+        while not c.match(")"):
+            key = c.pop().value
+            if not (c.match("=") or c.match(":")):
+                raise FugueSQLError(f"expected = or : after param {key!r}")
+            out[key] = self._literal(c)
+            c.match(",")
+        return out
+
+    def _literal(self, c: _Cursor) -> Any:
+        t = c.pop()
+        if t.kind == "string":
+            return ast.literal_eval(t.value)
+        if t.kind == "number":
+            return float(t.value) if "." in t.value else int(t.value)
+        if t.upper in ("TRUE", "FALSE"):
+            return t.upper == "TRUE"
+        if t.upper == "NULL":
+            return None
+        if t.value == "-" and c.peek() is not None and c.peek().kind == "number":
+            n = c.pop()
+            return -(float(n.value) if "." in n.value else int(n.value))
+        return t.value
+
+    def _columns_list(self, c: _Cursor) -> list[str]:
+        cols = [_unquote(c.pop().value)]
+        while c.match(","):
+            cols.append(_unquote(c.pop().value))
+        return cols
+
+    def _schema_tokens(self, c: _Cursor, stop: set[str]) -> str:
+        parts: list[str] = []
+        while not c.done:
+            t = c.peek()
+            if t.kind == "word" and t.upper in stop:
+                break
+            parts.append(c.pop().value)
+        return "".join(parts)
+
+    def _prepartition(self, c: _Cursor) -> "PartitionSpec | None":
+        if not c.match("PREPARTITION"):
+            return None
+        num = 0
+        if c.peek() is not None and c.peek().kind == "number":
+            num = int(c.pop().value)
+        by: list[str] = []
+        if c.match("BY"):
+            by = self._columns_list(c)
+        presort = None
+        if c.match("PRESORT"):
+            items = []
+            while True:
+                col = c.pop().value
+                direction = "ASC"
+                if c.peek() is not None and c.peek().upper in ("ASC", "DESC"):
+                    direction = c.pop().upper
+                items.append(f"{col} {direction}")
+                if not c.match(","):
+                    break
+            presort = ", ".join(items)
+        return PartitionSpec(by=by, presort=presort, num=num)
+
+    # ---------------- statements ----------------
+
+    def run_statement(self, tokens: list[Token]) -> None:
+        c = _Cursor(tokens)
+        target: "str | None" = None
+        if (
+            len(tokens) >= 2
+            and tokens[0].kind == "word"
+            and tokens[0].upper not in STATEMENT_KEYWORDS
+            and tokens[1].value == "="
+        ):
+            target = c.pop().value
+            c.pop()  # '='
+        first = c.peek()
+        if first is None:
+            return
+        kw = first.upper
+        if kw in ("SELECT", "WITH"):
+            res = self._sql_select(c.rest())
+        else:
+            c.pop()
+            handler = getattr(self, f"_st_{kw.lower()}", None)
+            if handler is None:
+                raise FugueSQLError(f"unsupported statement {first.value!r}")
+            res = handler(c)
+        if res is not None:
+            self.last = res
+            if target is not None:
+                self.vars[target] = res
+
+    # -- raw SQL --
+
+    def _sql_select(self, tokens: list[Token]) -> DataFrame:
+        # register in-scope frames as temp views named as their variables
+        for name, df in self.vars.items():
+            if isinstance(df, DataFrame):
+                df.createOrReplaceTempView(name)
+        has_from = any(t.upper == "FROM" for t in tokens)
+        sql = _sql_text(tokens)
+        if not has_from:
+            if not isinstance(self.last, DataFrame):
+                raise FugueSQLError("FROM-less SELECT needs a previous result")
+            self.last.createOrReplaceTempView("__fugue_prev__")
+            m = re.search(
+                r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b", sql, re.IGNORECASE
+            )
+            at = m.start() if m else len(sql)
+            sql = sql[:at] + " FROM __fugue_prev__ " + sql[at:]
+        return self.spark.sql(sql)
+
+    # -- create / load / save --
+
+    def _st_create(self, c: _Cursor) -> DataFrame:
+        if c.match("USING"):
+            fn = self._resolve_fn(self._dotted_name(c))
+            params = self._params(c)
+            return fn(self.spark, **params)
+        rows_tokens: list[str] = []
+        depth = 0
+        while not c.done:
+            t = c.peek()
+            if t.upper == "SCHEMA" and depth == 0:
+                break
+            t2 = c.pop()
+            tok = t2.value
+            if t2.kind == "word":
+                tok = {"NULL": "None", "TRUE": "True", "FALSE": "False"}.get(
+                    t2.upper, tok
+                )
+            rows_tokens.append(tok)
+            if tok in "([{":
+                depth += 1
+            elif tok in ")]}":
+                depth -= 1
+        c.expect("SCHEMA")
+        schema = self._schema_tokens(c, STATEMENT_KEYWORDS)
+        data = ast.literal_eval("".join(rows_tokens)) if rows_tokens else []
+        from fugue_spark.schema import parse_schema
+
+        return self.spark.createDataFrame(data, parse_schema(schema))
+
+    def _st_load(self, c: _Cursor) -> DataFrame:
+        fmt = None
+        if c.peek() is not None and c.peek().upper in ("PARQUET", "CSV", "JSON", "ORC", "AVRO"):
+            fmt = c.pop().upper.lower()
+        path = _unquote(c.pop().value)
+        params = self._params(c)
+        columns = None
+        if c.match("COLUMNS"):
+            text = self._schema_tokens(c, STATEMENT_KEYWORDS)
+            columns = text if ":" in text else text.split(",")
+        return fa.load(self.spark, path, format_hint=fmt, columns=columns, **params)
+
+    def _st_save(self, c: _Cursor) -> "DataFrame | None":
+        and_use = False
+        if c.match("AND"):
+            c.expect("USE")
+            and_use = True
+        df_name = self._maybe_df_ref(c)
+        spec = self._prepartition(c)
+        mode = "error"
+        if c.match("OVERWRITE"):
+            mode = "overwrite"
+        elif c.match("APPEND"):
+            mode = "append"
+        elif c.match("TO"):
+            mode = "error"
+        single = c.match("SINGLE")
+        fmt = None
+        if c.peek() is not None and c.peek().upper in ("PARQUET", "CSV", "JSON", "ORC", "AVRO"):
+            fmt = c.pop().upper.lower()
+        path = _unquote(c.pop().value)
+        params = self._params(c)
+        df = self._get_df(df_name)
+        partition_by = list(spec.by) if spec is not None else None
+        fa.save(
+            df, path, format_hint=fmt, mode=mode,
+            partition_by=partition_by or None, force_single=single, **params
+        )
+        return df if and_use else None
+
+    # -- transforms / extensions --
+
+    def _st_transform(self, c: _Cursor, discard: bool = False) -> "DataFrame | None":
+        names = self._df_ref_list(c)
+        spec = self._prepartition(c) or PartitionSpec()
+        c.expect("USING")
+        fn = self._resolve_fn(self._dotted_name(c))
+        params = self._params(c)
+        schema = None
+        if c.match("SCHEMA"):
+            schema = self._schema_tokens(c, STATEMENT_KEYWORDS - {"SELECT"})
+        inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
+        if len(inputs) == 1 and isinstance(inputs[0], ZippedFrames):
+            z = inputs[0]
+            if schema is None:
+                raise FugueSQLError("TRANSFORM on zipped input requires SCHEMA")
+            return cotransform(
+                z.dfs, fn, schema=schema, partition=z.spec, how=z.how, params=params
+            )
+        if len(inputs) > 1:
+            if schema is None:
+                raise FugueSQLError("multi-input TRANSFORM requires SCHEMA")
+            return cotransform(inputs, fn, schema=schema, partition=spec, params=params)
+        if discard:
+            out_transform(inputs[0], fn, partition=spec, params=params)
+            return None
+        return transform(inputs[0], fn, schema=schema, partition=spec, params=params)
+
+    def _st_outtransform(self, c: _Cursor) -> None:
+        return self._st_transform(c, discard=True)
+
+    def _st_process(self, c: _Cursor) -> DataFrame:
+        names = self._df_ref_list(c)
+        c.expect("USING")
+        fn = self._resolve_fn(self._dotted_name(c))
+        params = self._params(c)
+        inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
+        return fn(*inputs, **params)
+
+    def _st_output(self, c: _Cursor) -> None:
+        names = self._df_ref_list(c)
+        c.expect("USING")
+        fn = self._resolve_fn(self._dotted_name(c))
+        params = self._params(c)
+        inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
+        fn(*inputs, **params)
+        return None
+
+    def _st_zip(self, c: _Cursor) -> ZippedFrames:
+        names = self._df_ref_list(c)
+        if len(names) < 2:
+            raise FugueSQLError("ZIP needs at least two dataframes")
+        how = "inner"
+        for h in ("INNER", "LEFT", "RIGHT", "FULL", "CROSS"):
+            if c.match(h):
+                if h in ("LEFT", "RIGHT", "FULL"):
+                    c.match("OUTER")
+                    how = f"{h.lower()}_outer"
+                elif h == "CROSS":
+                    raise FugueSQLError("ZIP CROSS is not supported")
+                else:
+                    how = "inner"
+                break
+        by: list[str] = []
+        if c.match("BY"):
+            by = self._columns_list(c)
+        presort = None
+        if c.match("PRESORT"):
+            presort = self._schema_tokens(c, STATEMENT_KEYWORDS).replace(",", ", ")
+        spec = PartitionSpec(by=by, presort=presort)
+        return ZippedFrames([self._get_df(n) for n in names], how, spec)
+
+    # -- frame ops --
+
+    def _st_print(self, c: _Cursor) -> None:
+        n = 10
+        if c.peek() is not None and c.peek().kind == "number":
+            n = int(c.pop().value)
+            c.match("ROWS") or c.match("ROW")
+        names = []
+        if c.match("FROM"):
+            names = self._df_ref_list(c)
+        rowcount = c.match("ROWCOUNT")
+        title = None
+        if c.match("TITLE"):
+            title = _unquote(c.pop().value)
+        dfs = [self._get_df(x) for x in names] if names else [self._get_df(None)]
+        for df in dfs:
+            if title:
+                print(title)
+            df.show(n, truncate=False)
+            if rowcount:
+                print(f"rowcount: {df.count()}")
+        return None
+
+    def _st_rename(self, c: _Cursor) -> DataFrame:
+        c.expect("COLUMNS")
+        mapping: dict[str, str] = {}
+        while True:
+            a = c.pop().value
+            c.expect(":")
+            b = c.pop().value
+            mapping[a] = b
+            if not c.match(","):
+                break
+        name = self._maybe_from(c)
+        return fa.rename(self._get_df(name), mapping)
+
+    def _st_alter(self, c: _Cursor) -> DataFrame:
+        c.expect("COLUMNS")
+        schema = self._schema_tokens(c, {"FROM"})
+        name = self._maybe_from(c)
+        return fa.alter_columns(self._get_df(name), schema)
+
+    def _st_drop(self, c: _Cursor) -> DataFrame:
+        if c.match("COLUMNS"):
+            cols = self._columns_list(c)
+            if_exists = False
+            if c.match("IF"):
+                c.expect("EXISTS")
+                if_exists = True
+            name = self._maybe_from(c)
+            df = self._get_df(name)
+            if if_exists:
+                cols = [x for x in cols if x in df.columns]
+                if not cols:
+                    return df
+            return fa.drop_columns(df, cols)
+        c.expect("ROWS")
+        c.expect("IF")
+        how = c.expect("ANY", "ALL").upper.lower()
+        c.match("NULL") or c.match("NULLS")
+        subset = None
+        if c.match("ON"):
+            subset = self._columns_list(c)
+        name = self._maybe_from(c)
+        return fa.dropna(self._get_df(name), how=how, subset=subset)
+
+    def _st_fill(self, c: _Cursor) -> DataFrame:
+        c.expect("NULLS")
+        c.match("PARAMS")
+        mapping: dict[str, Any] = {}
+        if c.peek() is not None and c.peek().value == "(":
+            mapping = self._params(c)
+        else:
+            while not c.done and c.peek().upper != "FROM":
+                key = c.pop().value
+                if not (c.match(":") or c.match("=")):
+                    raise FugueSQLError(f"expected : after {key!r}")
+                mapping[key] = self._literal(c)
+                c.match(",")
+        name = self._maybe_from(c)
+        return fa.fillna(self._get_df(name), mapping)
+
+    def _st_sample(self, c: _Cursor) -> DataFrame:
+        replace = c.match("REPLACE")
+        num = self._literal(c)
+        seed = None
+        if c.match("PERCENT"):
+            frac, n = num / 100.0, None
+        else:
+            c.match("ROWS") or c.match("ROW")
+            frac, n = None, int(num)
+        if c.match("SEED"):
+            seed = int(self._literal(c))
+        name = self._maybe_from(c)
+        return fa.sample(self._get_df(name), n=n, frac=frac, replace=replace, seed=seed)
+
+    def _st_take(self, c: _Cursor) -> DataFrame:
+        n = int(self._literal(c))
+        c.match("ROWS") or c.match("ROW")
+        name = self._maybe_from(c)
+        spec = self._prepartition(c) or PartitionSpec()
+        presort = None
+        if c.match("PRESORT"):
+            items = []
+            while not c.done and c.peek().upper not in ("NULL", "NULLS"):
+                col = c.pop().value
+                d = "ASC"
+                if c.peek() is not None and c.peek().upper in ("ASC", "DESC"):
+                    d = c.pop().upper
+                items.append(f"{col} {d}")
+                if not c.match(","):
+                    break
+            presort = ", ".join(items)
+        na_position = "last"
+        if c.match("NULL", "NULLS"):
+            na_position = c.expect("FIRST", "LAST").upper.lower()
+        return fa.take(
+            self._get_df(name), n, presort=presort, na_position=na_position, partition=spec
+        )
+
+    def _maybe_from(self, c: _Cursor) -> "str | None":
+        if c.match("FROM"):
+            t = c.pop()
+            if t.value not in self.vars:
+                raise FugueSQLError(f"unknown dataframe {t.value!r}")
+            return t.value
+        return None
+
+    # -- persistence hints / yields --
+
+    def _st_broadcast(self, c: _Cursor) -> DataFrame:
+        name = self._maybe_from(c) or self._maybe_df_ref(c)
+        return fa.broadcast(self._get_df(name))
+
+    def _st_persist(self, c: _Cursor) -> DataFrame:
+        lazy = c.match("LAZY")
+        name = self._maybe_from(c) or self._maybe_df_ref(c)
+        return fa.persist(self._get_df(name), lazy=lazy)
+
+    def _st_checkpoint(self, c: _Cursor) -> DataFrame:
+        return fa.persist(self._get_df(None))
+
+    def _st_deterministic(self, c: _Cursor) -> DataFrame:
+        c.expect("CHECKPOINT")
+        from fugue_spark.workflow import deterministic_checkpoint
+
+        return deterministic_checkpoint(self._get_df(None))
+
+    def _st_yield_impl(self, c: _Cursor) -> None:
+        kind = c.expect("DATAFRAME", "FILE", "TABLE", "LOCAL").upper
+        if kind == "LOCAL":
+            kind = c.expect("DATAFRAME", "FILE").upper
+        c.expect("AS")
+        name = c.pop().value
+        df = self._get_df(None)
+        if kind == "DATAFRAME":
+            self.result[name] = df
+        elif kind == "FILE":
+            base = self.yield_dir or tempfile.mkdtemp(prefix="fugue_sql_yield_")
+            path = os.path.join(base, f"{name}.parquet")
+            fa.save(df, path, mode="overwrite")
+            self.result[name] = path
+        else:
+            df.write.mode("overwrite").saveAsTable(name)
+            self.result[name] = name
+        return None
+
+    _st_yield = _st_yield_impl
+
+    def _st_connect(self, c: _Cursor) -> None:
+        c.rest()  # single-engine: accept and ignore (SURVEY §2.6)
+        return None
+
+
+_JINJA_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+def fsql(
+    script: str,
+    spark: "SparkSession | None" = None,
+    functions: "dict[str, Callable] | None" = None,
+    yield_dir: "str | None" = None,
+    **variables: Any,
+) -> FugueSQLResult:
+    """Run a FugueSQL-superset script; returns yields (dict) with ``.last``."""
+    if spark is None:
+        from fugue_spark.session import get_spark
+
+        spark = get_spark()
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in variables:
+            raise FugueSQLError(f"undefined template variable {name!r}")
+        v = variables[name]
+        return str(v)
+
+    script = _JINJA_RE.sub(sub, script)
+    ex = _Executor(spark, functions, yield_dir)
+    for name, val in variables.items():
+        if isinstance(val, DataFrame):
+            ex.vars[name] = val
+    for stmt in split_statements(script):
+        ex.run_statement(stmt)
+    ex.result.last = ex.last if isinstance(ex.last, DataFrame) else None
+    return ex.result

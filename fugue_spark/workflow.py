@@ -1,0 +1,103 @@
+"""Workflow conveniences (reference: SURVEY §2.4 — the only three DAG
+features that need real code: deterministic checkpoints, yields, and the
+assert_eq test helper; everything else collapses into Spark's own lazy
+plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+import fugue_spark.api as fa
+
+__all__ = [
+    "set_checkpoint_dir",
+    "deterministic_checkpoint",
+    "save_and_use",
+    "assert_eq",
+    "assert_not_eq",
+]
+
+_CHECKPOINT_DIR: "str | None" = None
+
+
+def set_checkpoint_dir(path: str) -> None:
+    """Where deterministic checkpoints live (survives across runs —
+    reference conf FUGUE_CONF_WORKFLOW_CHECKPOINT_PATH)."""
+    global _CHECKPOINT_DIR
+    _CHECKPOINT_DIR = path
+    os.makedirs(path, exist_ok=True)
+
+
+def _checkpoint_dir() -> str:
+    global _CHECKPOINT_DIR
+    if _CHECKPOINT_DIR is None:
+        _CHECKPOINT_DIR = os.path.join(tempfile.gettempdir(), "fugue_spark_checkpoints")
+        os.makedirs(_CHECKPOINT_DIR, exist_ok=True)
+    return _CHECKPOINT_DIR
+
+
+def plan_signature(df: DataFrame, namespace: str = "") -> str:
+    """Determinism key for a dataframe: hash of the analyzed logical plan
+    (+ namespace), mirroring the reference's task uuid
+    (fugue/workflow/_tasks.py:85-98) but derived from Spark's plan."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.sha256((namespace + "\n" + plan).encode()).hexdigest()[:32]
+
+
+def deterministic_checkpoint(df: DataFrame, namespace: str = "") -> DataFrame:
+    """Materialize once per unique plan: the parquet file is keyed by the
+    plan hash; a re-run with the same plan reloads instead of recomputing
+    (cross-run caching — reference _checkpoint.py:65-96 semantics)."""
+    key = plan_signature(df, namespace)
+    path = os.path.join(_checkpoint_dir(), f"ckpt_{key}.parquet")
+    spark = df.sparkSession
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, path)
+    return spark.read.parquet(path)
+
+
+def save_and_use(df: DataFrame, path: str, format_hint: "str | None" = None, **kwargs) -> DataFrame:
+    """Save then continue from the saved copy (cuts lineage; downstream
+    reads scan the materialized file — reference workflow.py:1296)."""
+    fa.save(df, path, format_hint=format_hint, **kwargs)
+    return fa.load(df.sparkSession, path, format_hint=format_hint)
+
+
+def _as_sorted_pandas(df: DataFrame) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols]
+        .sort_values(cols, na_position="last", key=lambda s: s.astype(str))
+        .reset_index(drop=True)
+    )
+
+
+def assert_eq(actual: DataFrame, expected: DataFrame, check_schema: bool = True, digits: int = 8) -> None:
+    """Order-insensitive dataframe equality (reference _df_eq,
+    fugue/dataframe/utils.py:24-94: schema check + float tolerance)."""
+    if check_schema:
+        a = [(f.name, f.dataType.simpleString()) for f in actual.schema.fields]
+        b = [(f.name, f.dataType.simpleString()) for f in expected.schema.fields]
+        assert sorted(a) == sorted(b), f"schema mismatch: {a} vs {b}"
+    pa_, pb_ = _as_sorted_pandas(actual), _as_sorted_pandas(expected)
+    assert len(pa_) == len(pb_), f"row count {len(pa_)} vs {len(pb_)}"
+    pd.testing.assert_frame_equal(
+        pa_, pb_, check_dtype=False, check_exact=False, rtol=10**-digits
+    )
+
+
+def assert_not_eq(actual: DataFrame, expected: DataFrame, **kwargs) -> None:
+    try:
+        assert_eq(actual, expected, **kwargs)
+    except AssertionError:
+        return
+    raise AssertionError("dataframes are unexpectedly equal")

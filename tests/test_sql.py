@@ -1,0 +1,231 @@
+"""FugueSQL-layer tests — one per statement family, modeled on the
+reference's tests/fugue/sql/test_workflow_parse.py coverage list."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from fugue_spark.schema import parse_schema
+from fugue_spark.sql import FugueSQLError, fsql
+from fugue_spark.sql.tokenizer import split_statements
+
+
+def rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(map(str, t)))
+
+
+def test_split_statements_boundaries():
+    s = """
+    a = LOAD PARQUET "x.parquet"
+    b = SELECT col1, col2
+    FROM a
+    WHERE col1 > 2
+    PRINT 3 ROWS
+    """
+    stmts = split_statements(s)
+    assert len(stmts) == 3
+    assert stmts[1][0].value == "b"
+    assert [t.value for t in stmts[2][:2]] == ["PRINT", "3"]
+
+
+def test_union_not_split():
+    s = "SELECT a FROM t\nUNION\nSELECT a FROM u"
+    assert len(split_statements(s)) == 1
+
+
+def test_create_and_select(spark):
+    res = fsql(
+        """
+        src = CREATE [[1, "a"], [2, "b"], [3, "c"]] SCHEMA x:long,s:str
+        big = SELECT x, s FROM src WHERE x >= 2
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(2, "b"), (3, "c")]
+
+
+def test_fromless_select(spark):
+    res = fsql(
+        """
+        CREATE [[1], [2], [3]] SCHEMA x:long
+        SELECT x WHERE x > 1
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(2,), (3,)]
+
+
+def test_load_save_roundtrip(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t.parquet")
+    res = fsql(
+        f"""
+        CREATE [[1, "x"], [2, "y"]] SCHEMA a:long,b:str
+        SAVE OVERWRITE "{p}"
+        back = LOAD PARQUET "{p}" COLUMNS a
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(1,), (2,)]
+
+
+def test_transform_with_schema_and_prepartition(spark):
+    def head1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)
+
+    res = fsql(
+        """
+        CREATE [["a", 3], ["a", 1], ["b", 9], ["b", 7]] SCHEMA k:str,v:long
+        TRANSFORM PREPARTITION BY k PRESORT v DESC USING head1 SCHEMA *
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"head1": head1},
+    )
+    assert rows(res["out"]) == [("a", 3), ("b", 9)]
+
+
+def test_transform_zipped(spark):
+    def merge(cursor, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [cursor["k"]], "n": [len(a) + len(b)]})
+
+    res = fsql(
+        """
+        l = CREATE [[1, 10], [2, 20]] SCHEMA k:long,x:long
+        r = CREATE [[1, 30], [1, 40]] SCHEMA k:long,y:long
+        ZIP l, r BY k
+        TRANSFORM USING merge SCHEMA k:long,n:long
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"merge": merge},
+    )
+    assert rows(res["out"]) == [(1, 3)]
+
+
+def test_process_and_output(spark):
+    seen = []
+
+    def double(df):
+        return df.selectExpr("x * 2 AS x")
+
+    def capture(df):
+        seen.append(df.count())
+
+    res = fsql(
+        """
+        CREATE [[1], [2]] SCHEMA x:long
+        PROCESS USING double
+        OUTPUT USING capture
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"double": double, "capture": capture},
+    )
+    assert rows(res["out"]) == [(2,), (4,)]
+    assert seen == [2]
+
+
+def test_frame_statements(spark):
+    res = fsql(
+        """
+        src = CREATE [[1, 2.0, "x"], [2, NULL, "y"], [3, 4.0, NULL]] SCHEMA a:long,b:double,c:str
+        full = DROP ROWS IF ANY NULLS FROM src
+        filled = FILL NULLS PARAMS b:0.0, c:"?" FROM src
+        renamed = RENAME COLUMNS a:id FROM filled
+        altered = ALTER COLUMNS id:str FROM renamed
+        dropped = DROP COLUMNS b FROM altered
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    out = res["out"]
+    assert out.columns == ["id", "c"]
+    assert rows(out) == [("1", "x"), ("2", "y"), ("3", "?")]
+
+
+def test_sample_take(spark):
+    res = fsql(
+        """
+        src = CREATE [["a", 1], ["a", 2], ["b", 5], ["b", 3]] SCHEMA k:str,v:long
+        t = TAKE 1 ROW FROM src PREPARTITION BY k PRESORT v DESC
+        YIELD DATAFRAME AS top
+        s = SAMPLE 50 PERCENT SEED 0 FROM src
+        YIELD DATAFRAME AS sampled
+        """,
+        spark=spark,
+    )
+    assert rows(res["top"]) == [("a", 2), ("b", 5)]
+    assert len(res["sampled"].collect()) <= 4
+
+
+def test_broadcast_persist_checkpoint(spark):
+    res = fsql(
+        """
+        CREATE [[1]] SCHEMA x:long
+        PERSIST
+        CHECKPOINT
+        BROADCAST
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(1,)]
+
+
+def test_yield_file(spark, tmp_path):
+    res = fsql(
+        """
+        CREATE [[7]] SCHEMA x:long
+        YIELD FILE AS f
+        """,
+        spark=spark,
+        yield_dir=str(tmp_path),
+    )
+    assert os.path.exists(res["f"])
+    assert rows(spark.read.parquet(res["f"])) == [(7,)]
+
+
+def test_jinja_and_df_variables(spark):
+    src = spark.createDataFrame([[1], [5]], parse_schema("x:long"))
+    res = fsql(
+        """
+        SELECT x FROM mydf WHERE x > {{threshold}}
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        mydf=src,
+        threshold=2,
+    )
+    assert rows(res["out"]) == [(5,)]
+
+
+def test_errors(spark):
+    with pytest.raises(FugueSQLError):
+        fsql("TRANSFORM USING nope.nope", spark=spark)
+    with pytest.raises(FugueSQLError):
+        fsql("SELECT x WHERE x > 1", spark=spark)  # FROM-less without prev
+    with pytest.raises(FugueSQLError):
+        fsql("CREATE [[1]] SCHEMA x:long\nTRANSFORM USING missing_fn SCHEMA *", spark=spark)
+
+
+def test_deterministic_checkpoint_statement(spark, tmp_path):
+    from fugue_spark.workflow import set_checkpoint_dir
+
+    set_checkpoint_dir(str(tmp_path))
+    res = fsql(
+        """
+        CREATE [[1], [2]] SCHEMA x:long
+        DETERMINISTIC CHECKPOINT
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(1,), (2,)]
+    ckpts = [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")]
+    assert len(ckpts) == 1
