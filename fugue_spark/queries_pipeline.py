@@ -265,3 +265,42 @@ def p11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = as_media(docs, "text", mime="application/octet-stream")
     return extract_features(media, id_col="doc_id", blob_col="blob")
+
+
+@register(
+    "s1_streaming_windowed_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def s1_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: Structured Streaming windowed aggregation driven
+    to completion over the events table; the oracle is the equivalent
+    BATCH query — stream/batch agreement is the correctness contract."""
+    from fugue_spark import streaming as fs
+
+    stream = fs.load_stream(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+    agg = fs.windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        by=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "value_cents": F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+        },
+        watermark="1 minute",
+    )
+    out = fs.run_to_memory(agg, "s1_win")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "value_cents",
+    )

@@ -1,0 +1,210 @@
+"""Structured Streaming surface — the bounded/unbounded half of the data
+model the reference declares but never implements (SURVEY §2.7: fugue has
+``is_bounded``/LocalUnboundedDataFrame but no watermarks, windows, state,
+or sinks). Here the flag maps onto real Spark streaming:
+
+* ``load_stream``        — ``spark.readStream`` with the batch schema
+  (schema inference is done on a bounded read of the same path, so batch
+  and stream agree by construction).
+* ``with_event_time``    — watermarking.
+* ``windowed_agg`` / ``session_agg`` — tumbling/sliding and session
+  windows over event time.
+* ``transform_stream``   — the map engine for streams: mapInPandas works
+  unchanged on streaming frames (same annotation dispatch).
+* ``stateful_transform`` — ``applyInPandasWithState`` wrapper for custom
+  per-key state machines.
+* ``run_to_memory`` / ``write_stream`` — sinks; ``run_to_memory`` drives
+  all available input synchronously (the deterministic test/CI path).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "load_stream",
+    "with_event_time",
+    "windowed_agg",
+    "session_agg",
+    "transform_stream",
+    "stateful_transform",
+    "run_to_memory",
+    "write_stream",
+]
+
+
+def load_stream(
+    spark: SparkSession,
+    path: str,
+    format_hint: "str | None" = None,
+    schema: Any = None,
+    ts_nanos_col: "str | None" = None,
+    **options: str,
+) -> DataFrame:
+    """Open a file-based stream with the schema taken from a bounded read
+    of the same path (streams require explicit schemas)."""
+    from fugue_spark.sources import infer_format
+
+    fmt = format_hint or infer_format(path)
+    if schema is None:
+        schema = spark.read.format(fmt).options(**options).load(path).schema
+    if os.path.isfile(path):
+        # file streams need a directory or glob; turn a plain file path into
+        # an equivalent single-file glob so basePath resolves to the dir
+        d, base = os.path.split(path)
+        path = os.path.join(d, "[" + base[0] + "]" + base[1:])
+    else:
+        from fugue_spark.schema import parse_schema
+
+        schema = parse_schema(schema)
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if ts_nanos_col is not None:
+        df = df.withColumn(
+            ts_nanos_col,
+            F.timestamp_micros(F.expr(f"{ts_nanos_col} div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def with_event_time(df: DataFrame, ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Declare event time + lateness bound. Watermarks bound state size —
+    without one, windowed state grows forever at scale."""
+    ts = df[ts_col]
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, ts.cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict[str, Any],
+    by: "list[str] | None" = None,
+    slide: "str | None" = None,
+    watermark: "str | None" = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation; emits
+    window_start/window_end plus the grouping keys and aggregates."""
+    if watermark is not None:
+        df = with_event_time(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    keys = [win] + [F.col(c) for c in (by or [])]
+    agg_cols = [v.alias(k) if hasattr(v, "alias") else v for k, v in aggs.items()]
+    out = df.groupBy(*keys).agg(*agg_cols)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(by or []),
+        *aggs.keys(),
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, Any],
+    by: "list[str] | None" = None,
+    watermark: "str | None" = None,
+) -> DataFrame:
+    """Session windows (dynamic length, closed after ``gap`` of silence)."""
+    if watermark is not None:
+        df = with_event_time(df, ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    keys = [win] + [F.col(c) for c in (by or [])]
+    agg_cols = [v.alias(k) if hasattr(v, "alias") else v for k, v in aggs.items()]
+    out = df.groupBy(*keys).agg(*agg_cols)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *(by or []),
+        *aggs.keys(),
+    )
+
+
+def transform_stream(df: DataFrame, using: Callable, schema: Any, params: "dict | None" = None) -> DataFrame:
+    """Map engine over a stream: the ungrouped transform path (mapInPandas)
+    applies unchanged — the function sees Arrow batches as they arrive."""
+    from fugue_spark.transform import transform
+
+    return transform(df, using, schema=schema, params=params)
+
+
+def stateful_transform(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable,
+    output_schema: Any,
+    state_schema: Any,
+    output_mode: str = "append",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom per-key stateful operator (applyInPandasWithState).
+
+    ``fn(key, pdf_iter, state) -> Iterable[pd.DataFrame]`` with
+    ``state: GroupState`` — arbitrary running state per key, the Spark
+    equivalent of a custom streaming operator."""
+    from fugue_spark.schema import parse_schema
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=parse_schema(output_schema),
+        stateStructType=parse_schema(state_schema),
+        outputMode=output_mode,
+        timeoutConf=timeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive the stream over all currently-available input synchronously
+    and return the result as a bounded DataFrame (memory sink) — the
+    deterministic smoke path for CI; production uses write_stream."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    checkpoint: "str | None" = None,
+    output_mode: str = "append",
+    trigger_once: bool = True,
+    **options: str,
+):
+    """File sink with checkpointing (exactly-once for file formats)."""
+    checkpoint = checkpoint or os.path.join(
+        tempfile.gettempdir(), "fugue_spark_stream_ckpt", os.path.basename(path)
+    )
+    w = (
+        df.writeStream.format(format)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -251,6 +251,7 @@ def transform(
     ignore_errors: "tuple | list" = (),
     on_init: "Callable[[], None] | None" = None,
     discard_output: bool = False,
+    callback: "Callable | None" = None,
 ) -> DataFrame:
     """Apply ``using`` to every logical partition of ``df``.
 
@@ -267,10 +268,17 @@ def transform(
     out_cols = [f.name for f in out_schema.fields]
     kwargs = dict(params or {})
     err_types = tuple(ignore_errors)
+    if callback is not None:
+        # driver-side handler, picklable stub into the worker closure
+        from fugue_spark.rpc import start_callback_server
+
+        kwargs["callback"] = start_callback_server(callback)
 
     if is_class:
         inst = fn
         in_form = _IN_PANDAS
+        if "callback" in kwargs:
+            inst.callback = kwargs.pop("callback")
 
         def call(pdf: pd.DataFrame, cursor: PartitionCursor) -> pd.DataFrame:
             inst.cursor = cursor

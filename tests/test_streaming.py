@@ -1,0 +1,128 @@
+"""Streaming tests: batch/stream agreement on windowed aggregation,
+stateful transform, RPC callbacks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_spark import streaming as fs
+from fugue_spark.schema import parse_schema
+
+SF = "/root/testdata/sf0.001"
+EVENTS = f"{SF}/events.parquet"
+
+
+def test_stream_windowed_agg_matches_batch(spark):
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+    agg = fs.windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        by=["event_type"],
+        aggs={"n": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    got = fs.run_to_memory(agg, "win_test").toPandas()
+
+    from fugue_spark.benchmarks import load_table
+
+    batch = (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_session_agg_runs(spark):
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+    agg = fs.session_agg(
+        stream,
+        "ts",
+        "2 hours",
+        by=["user_id"],
+        aggs={"n": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    out = fs.run_to_memory(agg, "sess_test")
+    assert out.count() > 0
+    row = out.first()
+    assert row.session_end >= row.session_start
+
+
+def test_transform_stream(spark):
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+
+    def enrich(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(v2=pdf.value * 2)[["event_id", "v2"]]
+
+    out = fs.transform_stream(stream, enrich, schema="event_id:long,v2:double")
+    res = fs.run_to_memory(out, "tx_test", output_mode="append")
+    n = res.count()
+    from fugue_spark.benchmarks import load_table
+
+    assert n == load_table(spark, SF, "events").count()
+
+
+def test_stateful_transform_counts(spark):
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+
+    def count_per_key(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [total]})
+
+    out = fs.stateful_transform(
+        stream.select("event_type", "event_id"),
+        keys=["event_type"],
+        fn=count_per_key,
+        output_schema="event_type:str,n:long",
+        state_schema="n:long",
+        output_mode="update",
+    )
+    res = fs.run_to_memory(out, "state_test", output_mode="update").toPandas()
+    from fugue_spark.benchmarks import load_table
+
+    batch = (
+        load_table(spark, SF, "events").groupBy("event_type").count().toPandas()
+    )
+    got = res.groupby("event_type").n.max().sort_index()
+    want = batch.set_index("event_type")["count"].sort_index()
+    assert (got == want).all()
+
+
+def test_rpc_callback_from_workers(spark):
+    import fugue_spark.api as fa
+
+    seen = []
+
+    def handler(x):
+        seen.append(x)
+        return len(seen)
+
+    df = spark.createDataFrame([[i] for i in range(4)], parse_schema("a:int"))
+
+    def fn(pdf: pd.DataFrame, callback) -> pd.DataFrame:
+        callback(int(pdf.a.sum()))
+        return pdf
+
+    res = fa.transform(
+        df, fn, schema="*", partition={"by": ["a"]}, callback=handler
+    )
+    assert len(res.collect()) == 4
+    assert sorted(seen) == [0, 1, 2, 3]
