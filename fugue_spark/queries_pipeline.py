@@ -304,3 +304,30 @@ def s1_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_cents",
     )
+
+
+@register(
+    "p12_embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(({_NORMV.format(a='embedding')}) * 10000) AS BIGINT)) AS norm_e4_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("embedding", "array"),
+)
+def p12_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column math kept JVM-side (F.aggregate left fold over
+    array<float>) — per-label L2-norm statistics."""
+    from fugue_spark.pipeline.similarity import _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm_e4", F.floor(_norm(F.col("embedding")) * 10000).cast("long"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("norm_e4").alias("norm_e4_sum"),
+        )
+    )

@@ -461,3 +461,118 @@ def q13_fuguesql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         path=f"{sf_dir}/lineitem.parquet",
     )
     return res["result"]
+
+
+@register(
+    "q14_alter_columns_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INTEGER) AS l_quantity,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+           CAST(l_returnflag = 'R' AS BOOLEAN) AS returned
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("alter_columns", "cast"),
+)
+def q14_alter_columns_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alter_columns cast matrix over the engine op (float→int with the
+    NaN→NULL guard, timestamp→date, derived boolean)."""
+    li = fa.filter(load_table(spark, sf_dir, "lineitem"), ff.col("l_linenumber") == 1)
+    li = fa.assign(
+        li,
+        ship_day=ff.col("l_shipdate"),
+        returned=ff.col("l_returnflag") == "R",
+    )
+    li = fa.select_columns(li, ["l_orderkey", "l_quantity", "ship_day", "returned"])
+    out = fa.alter_columns(li, "l_quantity:int,ship_day:date")
+    # date→string for engine-neutral comparison (date objects round-trip
+    # differently through pandas in each engine)
+    return fa.alter_columns(out, "ship_day:str")
+
+
+@register(
+    "q15_cube_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube"),
+)
+def q15_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set aggregation (CUBE) — free via Catalyst, part of the
+    raw-SQL/aggregation surface beyond the reference's 9 agg functions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+
+
+@register(
+    "q16_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot", "aggregate"),
+)
+def q16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on linestatus — Spark-native groupBy().pivot()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+
+
+@register(
+    "q17_left_join_fillna",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_orders
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("join", "fillna", "aggregate"),
+)
+def q17_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_outer join producing NULLs → fillna → aggregate (the NA-op
+    pipeline over engine primitives)."""
+    orders = fa.rename(load_table(spark, sf_dir, "orders"), {"o_custkey": "c_custkey"})
+    rich = fa.select_columns(
+        fa.filter(load_table(spark, sf_dir, "customer"), ff.col("c_acctbal") > 5000.0),
+        ["c_custkey", "c_mktsegment"],
+    )
+    joined = fa.left_outer_join(orders, rich)
+    filled = fa.fillna(joined, {"c_mktsegment": "UNKNOWN"})
+    out = fa.aggregate(filled, "c_mktsegment", n_orders=ff.count(ff.all_cols()))
+    return fa.rename(out, {"c_mktsegment": "segment"})
+
+
+@register(
+    "q18_distinct",
+    oracle="SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+    tags=("distinct",),
+)
+def q18_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return fa.distinct(fa.select_columns(orders, ["o_orderpriority", "o_orderstatus"]))
+
+
+@register("q19_sample_seeded", oracle=None, tags=("sample",))
+def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded fraction sample — engine-specific RNG, rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return fa.sample(li, frac=0.1, seed=42)
