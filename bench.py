@@ -34,9 +34,11 @@ def main() -> None:
         spark__ui__enabled="false",
     )
 
-    # warmup: JVM/codegen/arrow paths
-    load_table(spark, sf_dir, "region").count()
-    load_table(spark, sf_dir, "lineitem").limit(1000).count()
+    # warmup: JVM/codegen/arrow paths + input cache (the test parquet files
+    # are single-row-group, which would serialize every scan onto one task)
+    from fugue_spark.benchmarks import warm_cache
+
+    warm_cache(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

@@ -350,6 +350,19 @@ def transform(
             if num <= 0:
                 num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
             df = df.repartition(num, *keys)
+            if presort:
+                # one partition-level sort replaces a pandas sort per group
+                # (rows stay contiguous and ordered inside each group);
+                # nulls-last on data columns = the pandas na_position="last"
+                # contract of the reference
+                from pyspark.sql import functions as F
+
+                sort_cols = [F.col(k).asc_nulls_first() for k in keys] + [
+                    (F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last())
+                    for n, asc in presort
+                ]
+                df = df.sortWithinPartitions(*sort_cols)
+                presort = []  # already applied
             use_apply = False
 
         if use_apply:  # pragma: no cover - kept for parity experiments
