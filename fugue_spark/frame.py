@@ -55,11 +55,16 @@ def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"cannot select missing columns {missing}")
-    return df.select(*columns)
+    return df.select(*[_qcol(c) for c in columns])
 
 
 def _is_float(dt: T.DataType) -> bool:
     return isinstance(dt, (T.FloatType, T.DoubleType))
+
+
+def _qcol(name: str):
+    """Exact-name column reference (backtick-quoted so '.' is literal)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def alter_columns(df: DataFrame, schema: "str | T.StructType") -> DataFrame:
@@ -76,10 +81,10 @@ def alter_columns(df: DataFrame, schema: "str | T.StructType") -> DataFrame:
     cols = []
     for name in df.columns:
         if name not in changes or changes[name] == cur[name]:
-            cols.append(F.col(name))
+            cols.append(_qcol(name))
             continue
         target = changes[name]
-        c = F.col(name)
+        c = _qcol(name)
         if _is_float(cur[name]) and not _is_float(target):
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
         cols.append(c.cast(target).alias(name))

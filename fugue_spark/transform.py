@@ -77,6 +77,7 @@ class Transformer:
 
 
 _SCHEMA_HINT_RE = re.compile(r"^\s*#\s*schema:\s*(.+)$", re.MULTILINE)
+_SAFE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _schema_from_comment(fn: Callable) -> "str | None":
@@ -309,6 +310,38 @@ def transform(
     presort = spec.presort
     keys = list(spec.by)
     input_schema = df.schema
+
+    # pyspark's pandas-UDF entry points cannot resolve exotic field names
+    # (e.g. a literal '.'); run the exchange under safe aliases and restore
+    # the user-visible names at both pandas boundaries.
+    orig_in = list(df.columns)
+    safe_in = [
+        c if _SAFE_NAME_RE.fullmatch(c) else f"__fugue_in_{i}__"
+        for i, c in enumerate(orig_in)
+    ]
+    rename_in = safe_in != orig_in
+    safe_out = [
+        c if _SAFE_NAME_RE.fullmatch(c) else f"__fugue_out_{i}__"
+        for i, c in enumerate(out_cols)
+    ]
+    rename_out = safe_out != out_cols
+    if rename_in:
+        df = df.toDF(*safe_in)
+    name_to_safe = dict(zip(orig_in, safe_in))
+    exec_schema = (
+        T.StructType(
+            [T.StructField(s, f.dataType, True) for s, f in zip(safe_out, out_schema.fields)]
+        )
+        if rename_out
+        else out_schema
+    )
+
+    def _restore_in(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.set_axis(orig_in, axis=1) if rename_in else pdf
+
+    def _to_safe_out(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.set_axis(safe_out, axis=1) if rename_out else pdf
+
     init_state: list[bool] = []  # once per python worker (≈ physical partition)
 
     def maybe_init() -> None:
@@ -333,9 +366,10 @@ def transform(
         ctx = TaskContext.get()
         return ctx.partitionId() if ctx is not None else 0
 
+    safe_keys = [name_to_safe[k] for k in keys]
     if keys:
         if spec.algo not in ("default", "hash"):
-            df = apply_partition_spec(df, PartitionSpec(by=keys, num=spec.num, algo=spec.algo))
+            df = apply_partition_spec(df, PartitionSpec(by=safe_keys, num=spec.num, algo=spec.algo))
             use_apply = False
         else:
             # co-locate each key group via one hash exchange; groups are then
@@ -349,7 +383,7 @@ def transform(
             num = spec.resolve_num(df)
             if num <= 0:
                 num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-            df = df.repartition(num, *keys)
+            df = df.repartition(num, *safe_keys)
             if presort:
                 # one partition-level sort replaces a pandas sort per group
                 # (rows stay contiguous and ordered inside each group);
@@ -357,8 +391,12 @@ def transform(
                 # contract of the reference
                 from pyspark.sql import functions as F
 
-                sort_cols = [F.col(k).asc_nulls_first() for k in keys] + [
-                    (F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last())
+                sort_cols = [F.col(k).asc_nulls_first() for k in safe_keys] + [
+                    (
+                        F.col(name_to_safe[n]).asc_nulls_last()
+                        if asc
+                        else F.col(name_to_safe[n]).desc_nulls_last()
+                    )
                     for n, asc in presort
                 ]
                 df = df.sortWithinPartitions(*sort_cols)
@@ -379,6 +417,7 @@ def transform(
             if first is None:
                 return
             pdf = pd.concat(list(itertools.chain([first], it)), ignore_index=True)
+            pdf = _restore_in(pdf)
             maybe_init()
             pno = _partition_no()
             outs = []
@@ -387,12 +426,13 @@ def transform(
                 kv = [None if isinstance(v, float) and pd.isna(v) else v for v in kv]
                 outs.append(run_one(g, PartitionCursor(keys, kv, pno)))
                 if len(outs) >= 64:
-                    yield pd.concat(outs, ignore_index=True)
+                    yield _to_safe_out(pd.concat(outs, ignore_index=True))
                     outs = []
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                yield _to_safe_out(pd.concat(outs, ignore_index=True))
 
-        return df.mapInPandas(grouped_map_udf, schema=out_schema)
+        res = df.mapInPandas(grouped_map_udf, schema=exec_schema)
+        return res.toDF(*out_cols) if rename_out else res
 
     # ungrouped: apply per physical partition (coarse) via mapInPandas
     df = apply_partition_spec(df, spec)
@@ -409,7 +449,7 @@ def transform(
         first = next(it, None)
         if first is None:
             return  # skip empty physical partitions (reference behavior)
-        chain = itertools.chain([first], it)
+        chain = (_restore_in(b) for b in itertools.chain([first], it))
         maybe_init()
         cursor = PartitionCursor([], [], _partition_no())
         if streaming:
@@ -419,12 +459,13 @@ def transform(
                 batches = (pa.Table.from_pandas(b, preserve_index=False) for b in chain)
             res = fn(cursor, batches, **kwargs) if wants_cursor else fn(batches, **kwargs)
             out = _result_to_pandas(res, out_cols)
-            yield _conform(out, out_cols, "transform")
+            yield _to_safe_out(_conform(out, out_cols, "transform"))
         else:
             pdf = pd.concat(list(chain), ignore_index=True)
-            yield run_one(pdf, cursor)
+            yield _to_safe_out(run_one(pdf, cursor))
 
-    return df.mapInPandas(map_udf, schema=out_schema)
+    res = df.mapInPandas(map_udf, schema=exec_schema)
+    return res.toDF(*out_cols) if rename_out else res
 
 
 def out_transform(
