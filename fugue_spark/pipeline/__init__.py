@@ -27,3 +27,4 @@ from fugue_spark.pipeline.text import (
     with_quality_score,
     with_token_stats,
 )
+from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401

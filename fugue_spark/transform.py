@@ -232,6 +232,48 @@ def _output_schema(
     return parse_schema(s)
 
 
+def _check_validations(rules: "dict | None", df: DataFrame, spec: PartitionSpec) -> None:
+    """Extension validation rules (reference: fugue/extensions/_utils.py,
+    exercised at builtin_suite.py:1403-1534): declare what partitioning /
+    input schema a transformer requires; violations fail fast on the
+    driver before any job is launched."""
+    if not rules:
+        return
+    presort_names = [n for n, _ in spec.presort]
+    presort_full = [f"{n} {'asc' if a else 'desc'}" for n, a in spec.presort]
+    for rule, want in rules.items():
+        want_list = [want] if isinstance(want, str) else list(want)
+        if rule == "partitionby_has":
+            missing = [w for w in want_list if w not in spec.by]
+            if missing:
+                raise ValueError(f"partition keys must include {missing}, got {spec.by}")
+        elif rule == "partitionby_is":
+            if sorted(spec.by) != sorted(want_list):
+                raise ValueError(f"partition keys must be {want_list}, got {spec.by}")
+        elif rule == "presort_has":
+            norm = [w.strip().lower() if " " in w else f"{w} asc" for w in want_list]
+            missing = [w for w in norm if w not in presort_full and w.split()[0] not in presort_names]
+            if missing:
+                raise ValueError(f"presort must include {missing}, got {presort_full}")
+        elif rule == "presort_is":
+            norm = [w.strip().lower() if " " in w.strip() else f"{w.strip()} asc" for w in want_list]
+            if norm != presort_full:
+                raise ValueError(f"presort must be {norm}, got {presort_full}")
+        elif rule == "input_has":
+            missing = [w for w in want_list if w.split(":")[0] not in df.columns]
+            if missing:
+                raise ValueError(f"input must contain columns {missing}")
+        elif rule == "input_is":
+            from fugue_spark.schema import parse_schema, schema_to_string
+
+            want_schema = schema_to_string(parse_schema(",".join(want_list)))
+            got = schema_to_string(df.schema)
+            if want_schema != got:
+                raise ValueError(f"input schema must be {want_schema}, got {got}")
+        else:
+            raise ValueError(f"unknown validation rule {rule!r}")
+
+
 def _sort_pandas(pdf: pd.DataFrame, presort: list[tuple[str, bool]]) -> pd.DataFrame:
     if not presort:
         return pdf
@@ -253,6 +295,7 @@ def transform(
     on_init: "Callable[[], None] | None" = None,
     discard_output: bool = False,
     callback: "Callable | None" = None,
+    validations: "dict | None" = None,
 ) -> DataFrame:
     """Apply ``using`` to every logical partition of ``df``.
 
@@ -265,6 +308,11 @@ def transform(
     """
     spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
     fn, comment_schema, is_class = _resolve_fn(using)
+    _check_validations(
+        validations if validations is not None else getattr(fn, "validations", None),
+        df,
+        spec,
+    )
     out_schema = _output_schema(fn, schema, comment_schema, df.schema)
     out_cols = [f.name for f in out_schema.fields]
     kwargs = dict(params or {})

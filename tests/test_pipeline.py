@@ -147,3 +147,26 @@ def test_media_binary_passthrough(spark):
     row = media.collect()[0]
     assert bytes(row.blob) == b"\x89PNG1234"
     assert row.meta.n_bytes == 8 and row.meta.mime == "image/png"
+
+
+def test_ann_ivf_recall_on_planted_neighbors(spark):
+    """IVF with generous probing recalls planted near-dup neighbors."""
+    import numpy as np
+    from fugue_spark.pipeline import cosine_topk_ivf
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 64))
+    rows_, vid = [], 0
+    for i in range(20):
+        rows_.append([vid, [float(x) for x in base[i]]]); vid += 1
+    for i in range(20):
+        for _ in range(3):
+            noisy = base[i] + 0.05 * rng.standard_normal(64)
+            rows_.append([vid, [float(x) for x in noisy]]); vid += 1
+    df = spark.createDataFrame(rows_, parse_schema("vec_id:long,embedding:[float]"))
+    queries = df.filter(F.col("vec_id") < 20)
+    brute = cosine_topk_bruteforce(df, queries, k=3)
+    ivf = cosine_topk_ivf(df, queries, k=3, n_clusters=8, n_probe=2, sample_size=100)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(a & b) >= 0.9 * len(b)  # planted copies land in the query's cell
