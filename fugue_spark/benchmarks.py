@@ -64,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get((sf_dir, name))
     if cached is not None:
         return cached
+    if name == "events":
+        # the driver may hand us a session without our defaults; nano
+        # timestamps are an analysis error unless read as longs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read as nano-long (see
