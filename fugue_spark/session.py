@@ -29,6 +29,8 @@ _DEFAULTS = {
     # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ns data) is otherwise an
     # analysis error; read it as a long of nanoseconds and convert at load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # managed tables (saveAsTable / bucketing) live outside the repo
+    "spark.sql.warehouse.dir": "/tmp/fugue_spark_warehouse",
 }
 
 

@@ -35,7 +35,24 @@ from fugue_spark.partition import PartitionSpec
 from fugue_spark.sql.tokenizer import STATEMENT_KEYWORDS, Token, split_statements
 from fugue_spark.transform import out_transform, transform
 
-__all__ = ["fsql", "FugueSQLError", "FugueSQLResult"]
+__all__ = ["fsql", "FugueSQLError", "FugueSQLResult", "register_extension"]
+
+# global extension registry (reference: named extensions resolvable from
+# FugueSQL USING clauses; builtin_suite.py:1536 extension registry)
+_EXTENSIONS: "dict[str, Callable]" = {}
+
+
+def register_extension(name: str, fn: "Callable | None" = None):
+    """Register a callable under a name for ``USING name`` in scripts.
+    Usable as a decorator: ``@register_extension("my_fn")``."""
+
+    def deco(f: Callable) -> Callable:
+        _EXTENSIONS[name] = f
+        return f
+
+    if fn is not None:
+        return deco(fn)
+    return deco
 
 
 class FugueSQLError(ValueError):
@@ -140,6 +157,8 @@ class _Executor:
     def _resolve_fn(self, name: str) -> Callable:
         if name in self.functions:
             return self.functions[name]
+        if name in _EXTENSIONS:
+            return _EXTENSIONS[name]
         if "." in name:
             mod, _, attr = name.rpartition(".")
             try:
