@@ -40,10 +40,16 @@ def main() -> None:
 
     warm_cache(spark, sf_dir)
 
+    bench_specs = [(n, s) for n, s in QUERIES.items() if s.bench]
+    # untimed warm pass: JIT/codegen/python-worker startup out of the timings
+    for name, spec in bench_specs:
+        try:
+            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001
+            print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        if not spec.bench:
-            continue
+    for name, spec in bench_specs:
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
