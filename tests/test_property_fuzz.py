@@ -1,0 +1,156 @@
+"""Property-based differential tests: random frames through engine
+primitives, checked against a pandas oracle. The reference has no
+randomized testing (SURVEY §5) — this is our addition; seeds are fixed so
+failures reproduce.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark import functions as ff
+from fugue_spark.schema import parse_schema
+
+N_CASES = 12
+
+
+def _random_frame(rng: random.Random, n_rows: int, with_nulls: bool = True):
+    data = []
+    for _ in range(n_rows):
+        k = rng.choice([None, 1, 2, 3, 4]) if with_nulls else rng.randint(1, 4)
+        v = rng.choice([None, rng.randint(-100, 100)]) if with_nulls else rng.randint(-100, 100)
+        s = rng.choice([None, "a", "b", "cc"]) if with_nulls else rng.choice(["a", "b"])
+        data.append([k, v, s])
+    return data
+
+
+def _pdf(data):
+    return pd.DataFrame(data, columns=["k", "v", "s"])
+
+
+def _norm_rows(items):
+    out = []
+    for row in items:
+        out.append(
+            tuple(
+                None
+                if x is None or (isinstance(x, float) and math.isnan(x))
+                else (int(x) if isinstance(x, float) and x.is_integer() else x)
+                for x in row
+            )
+        )
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def spark_rows(df):
+    return _norm_rows([tuple(r) for r in df.collect()])
+
+
+def pandas_rows(pdf):
+    return _norm_rows([tuple(r) for r in pdf.itertuples(index=False)])
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_join_inner_matches_pandas(spark, seed):
+    rng = random.Random(seed)
+    a_data = _random_frame(rng, rng.randint(0, 25))
+    b_data = [[r[0], r[1]] for r in _random_frame(rng, rng.randint(0, 25))]
+    a = spark.createDataFrame(a_data, parse_schema("k:int,v:int,s:str"))
+    b = spark.createDataFrame(b_data, parse_schema("k:int,x:int"))
+    got = spark_rows(fa.inner_join(a, b))
+    pa_, pb_ = _pdf(a_data), pd.DataFrame(b_data, columns=["k", "x"])
+    want = pandas_rows(pa_.dropna(subset=["k"]).merge(pb_.dropna(subset=["k"]), on="k"))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_setops_match_pandas(spark, seed):
+    rng = random.Random(100 + seed)
+    a_data = _random_frame(rng, rng.randint(0, 20), with_nulls=False)
+    b_data = _random_frame(rng, rng.randint(0, 20), with_nulls=False)
+    schema = parse_schema("k:int,v:int,s:str")
+    a, b = spark.createDataFrame(a_data, schema), spark.createDataFrame(b_data, schema)
+    pa_, pb_ = _pdf(a_data), _pdf(b_data)
+    # union distinct
+    got = spark_rows(fa.union(a, b))
+    want = pandas_rows(pd.concat([pa_, pb_]).drop_duplicates())
+    assert got == want
+    # intersect distinct
+    got = spark_rows(fa.intersect(a, b))
+    want = pandas_rows(pa_.drop_duplicates().merge(pb_.drop_duplicates()))
+    assert got == want
+    # subtract distinct
+    got = spark_rows(fa.subtract(a, b))
+    merged = pa_.drop_duplicates().merge(pb_.drop_duplicates(), how="left", indicator=True)
+    want = pandas_rows(merged[merged._merge == "left_only"].drop(columns="_merge"))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_take_per_group_matches_pandas(spark, seed):
+    rng = random.Random(200 + seed)
+    data = _random_frame(rng, rng.randint(1, 40))
+    df = spark.createDataFrame(data, parse_schema("k:int,v:int,s:str"))
+    n = rng.randint(1, 3)
+    got = spark_rows(fa.take(df, n, presort="v DESC", partition={"by": ["k"]}))
+    pdf = _pdf(data)
+    want = pandas_rows(
+        pdf.sort_values("v", ascending=False, na_position="last", kind="mergesort")
+        .groupby("k", dropna=False, sort=False)
+        .head(n)
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_dropna_fillna_match_pandas(spark, seed):
+    rng = random.Random(300 + seed)
+    data = _random_frame(rng, rng.randint(0, 30))
+    df = spark.createDataFrame(data, parse_schema("k:int,v:int,s:str"))
+    pdf = _pdf(data)
+    for how in ("any", "all"):
+        got = spark_rows(fa.dropna(df, how=how))
+        want = pandas_rows(pdf.dropna(how=how))
+        assert got == want
+    got = spark_rows(fa.fillna(df, {"v": 0, "s": "?"}))
+    want = pandas_rows(pdf.fillna({"v": 0, "s": "?"}))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_transform_identity_preserves_rows(spark, seed):
+    rng = random.Random(400 + seed)
+    data = _random_frame(rng, rng.randint(0, 30))
+    df = spark.createDataFrame(data, parse_schema("k:int,v:int,s:str"))
+    res = fa.transform(df, lambda pdf: pdf, schema="*", partition={"by": ["k"]})
+    assert spark_rows(res) == pandas_rows(_pdf(data))
+    res2 = fa.transform(df, lambda pdf: pdf, schema="*")
+    assert spark_rows(res2) == pandas_rows(_pdf(data))
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_aggregate_matches_pandas(spark, seed):
+    rng = random.Random(500 + seed)
+    data = _random_frame(rng, rng.randint(1, 40))
+    df = spark.createDataFrame(data, parse_schema("k:int,v:int,s:str"))
+    got = spark_rows(
+        fa.aggregate(
+            df,
+            "k",
+            n=ff.count(ff.all_cols()),
+            mx=ff.max(ff.col("v")),
+            mn=ff.min(ff.col("v")),
+        )
+    )
+    pdf = _pdf(data)
+    agg = (
+        pdf.groupby("k", dropna=False)
+        .agg(n=("v", "size"), mx=("v", "max"), mn=("v", "min"))
+        .reset_index()
+    )
+    assert got == pandas_rows(agg)
