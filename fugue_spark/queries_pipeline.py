@@ -331,3 +331,50 @@ def p12_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm_e4").alias("norm_e4_sum"),
         )
     )
+
+
+@register(
+    "p13_training_data_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+      FROM documents
+      WHERE n_chars >= 100
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_words FROM (
+        SELECT doc_id, lang, n_words,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(substr({_NORM}, 1, 40)) ORDER BY doc_id
+               ) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS total_words
+    FROM kept
+    GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "text"),
+    bench=True,
+)
+def p13_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: length filter →
+    prefix dedup (keep-first) → per-language token budget. One Catalyst
+    plan: pushdown filter → window dedup (one shuffle on the fingerprint)
+    → partial+final agg (one tiny shuffle on lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 100).withColumn(
+        "n_words", F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0))
+    )
+    with_prefix = quality.withColumn(
+        "prefix40",
+        F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40),
+    )
+    kept = dedup_exact(with_prefix, text_col="prefix40", id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
