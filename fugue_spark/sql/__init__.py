@@ -636,6 +636,22 @@ class _Executor:
         c.rest()  # single-engine: accept and ignore (SURVEY §2.6)
         return None
 
+    def _st_sub(self, c: _Cursor) -> "DataFrame | None":
+        return self._st_module(c)
+
+    def _st_module(self, c: _Cursor) -> "DataFrame | None":
+        """Reusable sub-workflow (reference: SUB/MODULE USING m,
+        fugue/workflow/module.py): a python function taking (spark, *dfs)
+        that composes engine calls and returns a dataframe (or None)."""
+        names = self._df_ref_list(c)
+        c.expect("USING")
+        fn = self._resolve_fn(self._dotted_name(c))
+        params = self._params(c)
+        inputs = [self._get_df(n) for n in names]
+        if not inputs and self.last is not None:
+            inputs = [self.last]
+        return fn(self.spark, *inputs, **params)
+
 
 _JINJA_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
 

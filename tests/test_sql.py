@@ -229,3 +229,44 @@ def test_deterministic_checkpoint_statement(spark, tmp_path):
     assert rows(res["out"]) == [(1,), (2,)]
     ckpts = [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")]
     assert len(ckpts) == 1
+
+
+def test_module_statement(spark):
+    def double_and_filter(spark_, df, min_x=0):
+        return df.selectExpr("x * 2 AS x").where(f"x >= {min_x}")
+
+    res = fsql(
+        """
+        CREATE [[1], [2], [3]] SCHEMA x:long
+        MODULE USING dbl (min_x=4)
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"dbl": double_and_filter},
+    )
+    assert rows(res["out"]) == [(4,), (6,)]
+
+
+def test_plan_utilities(spark):
+    from fugue_spark.plans import (
+        broadcast_join_count,
+        has_exchange,
+        pushed_filters,
+        read_schema_columns,
+        wholestage_codegen_spans,
+    )
+    from fugue_spark.benchmarks import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    q = li.filter("l_quantity < 10").select("l_orderkey", "l_quantity")
+    assert any("l_quantity" in f for f in pushed_filters(q))
+    assert set(read_schema_columns(q)) == {"l_orderkey", "l_quantity"}
+    assert not has_exchange(q)
+    assert wholestage_codegen_spans(q) >= 1
+    import fugue_spark.api as fa
+
+    small = load_table(spark, "/root/testdata/sf0.001", "nation")
+    j = li.withColumnRenamed("l_suppkey", "n_nationkey").join(
+        fa.broadcast(small), "n_nationkey"
+    )
+    assert broadcast_join_count(j) == 1
