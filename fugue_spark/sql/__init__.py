@@ -401,7 +401,10 @@ class _Executor:
         params = self._params(c)
         schema = None
         if c.match("SCHEMA"):
-            schema = self._schema_tokens(c, STATEMENT_KEYWORDS - {"SELECT"})
+            schema = self._schema_tokens(c, STATEMENT_KEYWORDS - {"SELECT"} | {"CALLBACK"})
+        callback = None
+        if c.match("CALLBACK"):
+            callback = self._resolve_fn(self._dotted_name(c))
         inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
         if len(inputs) == 1 and isinstance(inputs[0], ZippedFrames):
             z = inputs[0]
@@ -417,7 +420,9 @@ class _Executor:
         if discard:
             out_transform(inputs[0], fn, partition=spec, params=params)
             return None
-        return transform(inputs[0], fn, schema=schema, partition=spec, params=params)
+        return transform(
+            inputs[0], fn, schema=schema, partition=spec, params=params, callback=callback
+        )
 
     def _st_outtransform(self, c: _Cursor) -> None:
         return self._st_transform(c, discard=True)
