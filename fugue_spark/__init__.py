@@ -16,4 +16,33 @@ from fugue_spark.schema import (
 )
 from fugue_spark.session import get_spark
 
+
+def __getattr__(name):  # lazy heavy imports (keep `import fugue_spark` light)
+    if name in ("transform", "out_transform", "Transformer", "PartitionCursor"):
+        import fugue_spark.transform as _t
+
+        return getattr(_t, name)
+    if name == "cotransform":
+        from fugue_spark.cotransform import cotransform
+
+        return cotransform
+    if name in ("fsql", "register_extension"):
+        import fugue_spark.sql as _s
+
+        return getattr(_s, name)
+    if name == "to_df":
+        from fugue_spark.ingest import to_df
+
+        return to_df
+    if name in ("engine_context", "current_spark", "raw_sql"):
+        import fugue_spark.context as _c
+
+        return getattr(_c, name)
+    if name == "PartitionSpec":
+        from fugue_spark.partition import PartitionSpec
+
+        return PartitionSpec
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
