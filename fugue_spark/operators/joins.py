@@ -91,3 +91,31 @@ def broadcast(df: DataFrame) -> DataFrame:
     """Mark a (small) frame for broadcast join (engine primitive
     execution_engine.py:505)."""
     return F.broadcast(df)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "list[str] | str",
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot LEFT key over ``salt``
+    sub-partitions (random salt column) and replicate the RIGHT side
+    ``salt`` times, so one giant key no longer lands on one task.
+
+    Use when a handful of keys dominate (AQE skew-join handles moderate
+    skew automatically; this is the explicit heavy-hammer for extreme
+    skew). Cost: right side inflates ×salt — keep it the smaller input.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    spark_how = _normalize_how(how)
+    if spark_how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left_outer joins")
+    l2 = left.withColumn("__fugue_salt__", (F.rand(0) * salt).cast("int"))
+    r2 = right.withColumn(
+        "__fugue_salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    res = l2.join(r2, on=keys + ["__fugue_salt__"], how=spark_how).drop("__fugue_salt__")
+    right_extra = [c for c in right.columns if c not in set(keys)]
+    return res.select(*left.columns, *right_extra)

@@ -53,15 +53,15 @@ def load_stream(
     fmt = format_hint or infer_format(path)
     if schema is None:
         schema = spark.read.format(fmt).options(**options).load(path).schema
+    else:
+        from fugue_spark.schema import parse_schema
+
+        schema = parse_schema(schema)
     if os.path.isfile(path):
         # file streams need a directory or glob; turn a plain file path into
         # an equivalent single-file glob so basePath resolves to the dir
         d, base = os.path.split(path)
         path = os.path.join(d, "[" + base[0] + "]" + base[1:])
-    else:
-        from fugue_spark.schema import parse_schema
-
-        schema = parse_schema(schema)
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -208,3 +208,39 @@ def write_stream(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup_exact(
+    df: DataFrame,
+    keys: list[str],
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row seen per key across
+    the whole stream (per-key boolean state via applyInPandasWithState).
+    State is one flag per distinct key — bound it with a watermark +
+    key-expiry timeout in production."""
+    import pandas as pd
+
+    from fugue_spark.schema import schema_to_string
+
+    out_schema = df.schema
+
+    def first_only(key, pdfs, state):
+        if state.exists:
+            return
+        first_rows = None
+        for pdf in pdfs:
+            if len(pdf):
+                first_rows = pdf.iloc[:1]
+                break
+        state.update((True,))
+        if first_rows is not None:
+            yield first_rows
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        first_only,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode=output_mode,
+        timeoutConf="NoTimeout",
+    )

@@ -324,3 +324,18 @@ def test_save_modes(spark, tmp_path):
     assert len(rows(fa.load(spark, p))) == 2
     with pytest.raises(Exception):
         fa.save(df, p, mode="error")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from fugue_spark.operators.joins import salted_join
+
+    left = make_df(spark, [[i % 3, i] for i in range(60)], "k:int,v:int")
+    right = make_df(spark, [[0, "hot"], [1, "warm"], [5, "unused"]], "k:int,label:str")
+    plain = rows(fa.join(left, right, "inner"))
+    salted = rows(salted_join(left, right, "k", salt=4))
+    assert salted == plain
+    lo_plain = rows(fa.join(left, right, "left_outer"))
+    lo_salted = rows(salted_join(left, right, "k", how="left_outer", salt=4))
+    assert lo_salted == lo_plain
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full_outer")

@@ -126,3 +126,32 @@ def test_rpc_callback_from_workers(spark):
     )
     assert len(res.collect()) == 4
     assert sorted(seen) == [0, 1, 2, 3]
+
+
+def test_stream_dedup_exact(spark):
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+    deduped = fs.stream_dedup_exact(
+        stream.select("user_id", "event_type", "event_id"),
+        keys=["user_id", "event_type"],
+    )
+    out = fs.run_to_memory(deduped, "dedup_test", output_mode="append")
+    from fugue_spark.benchmarks import load_table
+
+    n_pairs = (
+        load_table(spark, SF, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert out.count() == n_pairs
+    assert out.select("user_id", "event_type").distinct().count() == n_pairs
+
+
+def test_load_stream_explicit_schema(spark):
+    stream = fs.load_stream(
+        spark,
+        EVENTS,
+        schema="event_id:long,ts:long,user_id:long,event_type:str,value:double,props:str",
+        ts_nanos_col="ts",
+    )
+    out = fs.run_to_memory(
+        stream.groupBy("event_type").count(), "schema_test"
+    )
+    assert out.count() == 5
