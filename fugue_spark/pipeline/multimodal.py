@@ -11,7 +11,6 @@ changes one function, not the plan.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 from collections.abc import Iterable
 from typing import Callable

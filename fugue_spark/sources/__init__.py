@@ -65,8 +65,6 @@ def load_df(
     for k, v in params.items():
         reader = reader.option(k, v)
     df = getattr(reader, fmt)(*paths) if fmt in ("parquet", "csv", "json", "orc") else reader.format(fmt).load(paths)
-    if fmt == "csv" and schema is None and not params.get("infer_schema", False):
-        pass  # all-string columns, Spark default
     if columns is not None:
         if isinstance(columns, str):  # schema string: project + cast
             target = parse_schema(columns)
@@ -119,7 +117,7 @@ def _save_single_file(df: DataFrame, path: str, fmt: str, mode: str, **params) -
         for k, v in params.items():
             writer = writer.option(k, v)
         getattr(writer, fmt)(out_dir)
-        parts = _glob.glob(os.path.join(out_dir, f"part-*"))
+        parts = _glob.glob(os.path.join(out_dir, "part-*"))
         if len(parts) != 1:
             raise RuntimeError(f"expected one part file, found {parts}")
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -219,10 +219,6 @@ def stream_dedup_exact(
     the whole stream (per-key boolean state via applyInPandasWithState).
     State is one flag per distinct key — bound it with a watermark +
     key-expiry timeout in production."""
-    import pandas as pd
-
-    from fugue_spark.schema import schema_to_string
-
     out_schema = df.schema
 
     def first_only(key, pdfs, state):
