@@ -1,7 +1,7 @@
 """Engine primitives (SURVEY.md §2.1) — each a thin, well-specified wrapper
 whose physical execution is Catalyst's problem."""
 
-from fugue_spark.operators.joins import broadcast, join
+from fugue_spark.operators.joins import broadcast, join, salted_join
 from fugue_spark.operators.na import dropna, fillna
 from fugue_spark.operators.sampling import sample, take
 from fugue_spark.operators.select import aggregate, assign, filter, select
@@ -10,6 +10,7 @@ from fugue_spark.operators.setops import distinct, intersect, subtract, union
 __all__ = [
     "join",
     "broadcast",
+    "salted_join",
     "union",
     "subtract",
     "intersect",

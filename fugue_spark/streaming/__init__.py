@@ -35,6 +35,7 @@ __all__ = [
     "stateful_transform",
     "run_to_memory",
     "write_stream",
+    "stream_dedup_exact",
 ]
 
 
