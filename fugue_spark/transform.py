@@ -492,6 +492,29 @@ def transform(
         and not discard_output
     )
 
+    if streaming and in_form == _IN_ITER_ARROW and not rename_in and not rename_out:
+        # true arrow path: no pandas materialization at either boundary
+        # (also sidesteps pandas timestamp munging — the reference needed
+        # special handling there, execution_engine.py:300-305)
+        def arrow_udf(it: "Iterable[pa.RecordBatch]") -> "Iterable[pa.RecordBatch]":
+            it = iter(it)
+            first = next(it, None)
+            if first is None:
+                return
+            maybe_init()
+            cursor = PartitionCursor([], [], _partition_no())
+            tables = (
+                pa.Table.from_batches([b]) for b in itertools.chain([first], it)
+            )
+            res = fn(cursor, tables, **kwargs) if wants_cursor else fn(tables, **kwargs)
+            if isinstance(res, pa.Table):
+                res = [res]
+            for t in res:
+                t = t.select(out_cols) if set(out_cols) <= set(t.column_names) else t
+                yield from t.to_batches()
+
+        return df.mapInArrow(arrow_udf, schema=out_schema)
+
     def map_udf(it: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         it = iter(it)
         first = next(it, None)

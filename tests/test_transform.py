@@ -234,3 +234,23 @@ def test_cotransform_validation(spark):
         fa.cotransform(
             [a.select("x"), b.select("y")], f, schema="x:int"
         )
+
+
+def test_transform_iterable_arrow_native_path(spark):
+    df = make_df(spark, [[i, float(i)] for i in range(50)], "a:int,b:double")
+
+    def arrow_stream(tables: Iterable[pa.Table]) -> Iterator[pa.Table]:
+        for t in tables:
+            yield t.filter(pa.compute.greater(t["a"], 25))
+
+    res = fa.transform(df, arrow_stream, schema="*")
+    got = rows(res)
+    assert len(got) == 24
+    assert all(r[0] > 25 for r in got)
+    # plan should be ArrowEvalPython/mapInArrow, not pandas
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("simple")
+    assert "Arrow" in buf.getvalue() or "MapInArrow" in buf.getvalue()
