@@ -20,6 +20,7 @@ from fugue_spark.pipeline.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     near_duplicates_by_embedding,
+    near_duplicates_lsh,
 )
 from fugue_spark.pipeline.text import (
     with_fingerprint,

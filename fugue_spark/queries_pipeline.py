@@ -19,7 +19,7 @@ from fugue_spark.pipeline import (
     dedup_exact,
     extract_features,
     minhash_lsh_pairs,
-    near_duplicates_by_embedding,
+    near_duplicates_lsh,
     ngram_jaccard_pairs,
     simhash_pairs,
     with_lang_id,
@@ -203,14 +203,23 @@ def p7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_cos_e6('a.embedding', 'b.embedding')} AS cosine_e6
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_cos_e6('a.embedding', 'b.embedding')} >= 400000
+    ORDER BY id_a, id_b
     """,
     tags=("dedup", "embedding"),
 )
 def p8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.40 — the corpus has no
-    true dups; this captures its closest-pair tail)."""
+    true dups; this captures its closest-pair tail).
+
+    Scale path: LSH candidate equi-join + exact cosine verify — no cross
+    join in the plan. (p=5, T=64) is empirically full-recall at this
+    threshold on sf0.001/0.01/0.1, so it matches the exact all-pairs
+    oracle value-for-value; the driver compares against DuckDB all-pairs.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_duplicates_by_embedding(emb, threshold=0.4)
+    return near_duplicates_lsh(
+        emb, threshold=0.4, n_planes=5, n_tables=64
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -270,12 +279,14 @@ def p11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s1_streaming_windowed_agg",
     oracle="""
-    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
+    ORDER BY window_start, event_type
     """,
     tags=("streaming", "window"),
 )
@@ -298,12 +309,16 @@ def s1_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 minute",
     )
     out = fs.run_to_memory(agg, "s1_win")
+    # window_start as a canonical string + total-order sort: the driver's
+    # value hash is row-order- and rendering-sensitive across engines
     return out.select(
-        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.date_format(
+            F.col("window_start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
         "event_type",
         "n",
         "value_cents",
-    )
+    ).orderBy("window_start", "event_type")
 
 
 @register(
@@ -311,9 +326,10 @@ def s1_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT label,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(({_NORMV.format(a='embedding')}) * 10000) AS BIGINT)) AS norm_e4_sum
+           CAST(SUM(CAST(FLOOR(({_NORMV.format(a='embedding')}) * 10000) AS BIGINT)) AS BIGINT) AS norm_e4_sum
     FROM embeddings
     GROUP BY label
+    ORDER BY label
     """,
     tags=("embedding", "array"),
 )
@@ -330,6 +346,7 @@ def p12_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("norm_e4").alias("norm_e4_sum"),
         )
+        .orderBy("label")
     )
 
 
@@ -353,9 +370,10 @@ def p12_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_words) AS total_words
+           CAST(SUM(n_words) AS BIGINT) AS total_words
     FROM kept
     GROUP BY lang
+    ORDER BY lang
     """,
     tags=("pipeline", "dedup", "text"),
     bench=True,
@@ -374,7 +392,11 @@ def p13_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40),
     )
     kept = dedup_exact(with_prefix, text_col="prefix40", id_col="doc_id")
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").alias("total_words"),
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("lang")
     )

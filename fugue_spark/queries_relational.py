@@ -275,8 +275,10 @@ def q8_assign_fillna_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_io_roundtrip",
     oracle="""
-    SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
     tags=("io",),
     bench=True,
@@ -290,12 +292,13 @@ def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "fugue_spark_q9.parquet")
     fa.save(li, out, mode="overwrite", partition_by=["l_returnflag"])
     back = fa.load(spark, out)
+    # total-order output: the driver's value hash is row-order-sensitive
     return fa.aggregate(
         back,
         "l_returnflag",
         n=ff.count(ff.all_cols()),
         qty=ff.sum(ff.col("l_quantity").cast("long")),
-    )
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -303,7 +306,7 @@ def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, n_sessions, n_events FROM (
       SELECT user_id,
-             1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS n_sessions,
+             CAST(1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              COUNT(*) AS n_events
       FROM (
         SELECT user_id,
@@ -312,6 +315,7 @@ def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY user_id
     )
+    ORDER BY user_id
     """,
     tags=("sql", "window"),
     bench=True,
@@ -334,6 +338,7 @@ def q10_sql_passthrough_window(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
           GROUP BY user_id
         )
+        ORDER BY user_id
         """
     )
 
@@ -387,10 +392,11 @@ def q11_transform_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey AS orderkey,
            COUNT(l.l_linenumber) AS n_lines,
-           CAST(ROUND(MAX(o.o_totalprice) * 10000, 0) AS BIGINT)
-             - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS price_gap_e4
+           CAST(CAST(ROUND(MAX(o.o_totalprice) * 10000, 0) AS BIGINT)
+             - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS price_gap_e4
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey
+    ORDER BY orderkey
     """,
     tags=("zip", "comap", "cogroup"),
     bench=True,
@@ -419,7 +425,7 @@ def q12_cotransform_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cotransform(
         [orders, li], gap, schema="orderkey:long,n_lines:long,price_gap_e4:long", how="inner"
-    )
+    ).orderBy("orderkey")
 
 
 def _q13_per_order(pdf):
@@ -495,9 +501,10 @@ def q14_alter_columns_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     tags=("aggregate", "cube"),
 )
@@ -511,6 +518,9 @@ def q15_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("long")).alias("qty"),
         )
+        # explicit NULLS FIRST on both engines: Spark ASC defaults to nulls
+        # first, DuckDB to nulls last — a silent row-order mismatch otherwise
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     )
 
 
@@ -518,10 +528,11 @@ def q15_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_pivot",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F
     FROM lineitem
     GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
     tags=("pivot", "aggregate"),
 )
@@ -532,6 +543,7 @@ def q16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast("long")))
+        .orderBy("l_returnflag")
     )
 
 

@@ -66,11 +66,56 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def assert_dataframes_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+def assert_dataframes_match(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    name: str = "",
+    strict_types: bool = True,
+) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
+    if strict_types:
+        # A value-hash over rendered cells distinguishes 3 from 3.0: DuckDB
+        # SUM(BIGINT) silently widens to HUGEINT and lands in pandas as
+        # float64, so dtype families must agree or the driver's hash won't.
+        fams = []
+        for c in sorted(spark_pdf.columns):
+            fa_, fb = _dtype_family(spark_pdf[c]), _dtype_family(oracle_pdf[c])
+            if fa_ != fb:
+                fams.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
+        assert not fams, f"{name}: dtype family mismatch (col, spark, oracle): {fams}"
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     mismatches = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+
+
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family: int-like / float-like / bool / datetime / other.
+
+    int32 vs int64 is byte-identical after ``.item()`` rendering, but
+    int vs float is not (``3`` vs ``3.0``) — that is the distinction a
+    value-hash gate sees."""
+    import numpy as np
+
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if dt == object and len(s):
+        v = s.dropna()
+        if len(v):
+            x = v.iloc[0]
+            if isinstance(x, bool) or isinstance(x, np.bool_):
+                return "bool"
+            if isinstance(x, (int, np.integer)):
+                return "int"
+            if isinstance(x, (float, np.floating)):
+                return "float"
+    return "other"

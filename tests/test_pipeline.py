@@ -170,3 +170,38 @@ def test_ann_ivf_recall_on_planted_neighbors(spark):
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     assert len(a & b) >= 0.9 * len(b)  # planted copies land in the query's cell
+
+
+def test_neardup_lsh_matches_exact_no_cartesian(spark, emb):
+    """The p8 scale path: LSH candidates + exact verify must (a) equal the
+    all-pairs baseline exactly at full recall and (b) plan with no
+    cartesian/nested-loop join anywhere."""
+    from fugue_spark.pipeline import near_duplicates_by_embedding, near_duplicates_lsh
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine_e6)
+        for r in near_duplicates_by_embedding(emb, threshold=0.4).collect()
+    }
+    lsh_df = near_duplicates_lsh(emb, threshold=0.4, n_planes=5, n_tables=64)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b, r.cosine_e6) for r in lsh_df.collect()}
+    assert got == exact and len(exact) > 0
+
+
+def test_neardup_quadratic_guard(spark, emb):
+    """The all-pairs baseline refuses silently quadratic runs at scale."""
+    from fugue_spark.pipeline import near_duplicates_by_embedding
+    from fugue_spark.pipeline import similarity as sim
+
+    big = emb
+    orig = sim._QUADRATIC_GUARD_ROWS
+    sim._QUADRATIC_GUARD_ROWS = 10  # corpus is 500 rows > 10
+    try:
+        with pytest.raises(ValueError, match="quadratic"):
+            near_duplicates_by_embedding(big, threshold=0.4)
+        # explicit opt-in still works
+        near_duplicates_by_embedding(big.limit(20), threshold=0.4, allow_quadratic=True)
+    finally:
+        sim._QUADRATIC_GUARD_ROWS = orig
