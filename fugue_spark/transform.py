@@ -285,6 +285,75 @@ def _sort_pandas(pdf: pd.DataFrame, presort: list[tuple[str, bool]]) -> pd.DataF
     )
 
 
+def _group_bounds(pdf: pd.DataFrame, keys: list[str], contiguous: bool):
+    """Run-length group boundaries over key columns.
+
+    Groups are contiguous after the engine's repartition+sortWithinPartitions,
+    so one vectorized factorize per key + a diff finds every group in O(n) —
+    no pandas groupby object, no per-group index construction, no copies
+    (each group is an ``iloc`` block slice of the partition frame).
+    Returns (pdf, bounds) — pdf is re-ordered first iff not contiguous.
+    """
+    import numpy as np
+
+    codes = [pd.factorize(pdf[k], use_na_sentinel=False)[0] for k in keys]
+    if not contiguous:
+        order = np.lexsort(codes[::-1])  # stable; groups become contiguous
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        codes = [c[order] for c in codes]
+    diff = None
+    for c in codes:
+        d = c[1:] != c[:-1]
+        diff = d if diff is None else (diff | d)
+    bounds = np.flatnonzero(np.r_[True, diff, True]) if len(pdf) else np.array([0])
+    return pdf, bounds
+
+
+class _ResultBatcher:
+    """Accumulate per-group transformer results and flush as few, large
+    pandas frames. dict results (the cheap output form) are collected as
+    plain dicts and materialized into ONE DataFrame per flush — building a
+    1-row DataFrame per group costs ~0.5 ms and dominates small-group
+    workloads otherwise."""
+
+    def __init__(self, out_cols: list[str], name: str, chunk: int = 1024):
+        self.out_cols = out_cols
+        self.name = name
+        self.chunk = chunk
+        self.dicts: list[dict] = []
+        self.frames: list[pd.DataFrame] = []
+        self.n = 0
+
+    def add(self, res: Any) -> "pd.DataFrame | None":
+        if res is None:
+            return None
+        if isinstance(res, dict):
+            self.dicts.append(res)
+        else:
+            pdf = _conform(_result_to_pandas(res, self.out_cols), self.out_cols, self.name)
+            if len(pdf) == 0:
+                return None
+            self.frames.append(pdf)
+        self.n += 1
+        if self.n >= self.chunk:
+            return self.flush()
+        return None
+
+    def flush(self) -> "pd.DataFrame | None":
+        if self.n == 0:
+            return None
+        parts = []
+        if self.dicts:
+            parts.append(_conform(pd.DataFrame(self.dicts), self.out_cols, self.name))
+            self.dicts = []
+        parts.extend(self.frames)
+        self.frames = []
+        self.n = 0
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+
 def transform(
     df: DataFrame,
     using: Any,
@@ -416,6 +485,7 @@ def transform(
 
     safe_keys = [name_to_safe[k] for k in keys]
     if keys:
+        contiguous = False
         if spec.algo not in ("default", "hash"):
             df = apply_partition_spec(df, PartitionSpec(by=safe_keys, num=spec.num, algo=spec.algo))
             use_apply = False
@@ -432,23 +502,24 @@ def transform(
             if num <= 0:
                 num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
             df = df.repartition(num, *safe_keys)
-            if presort:
-                # one partition-level sort replaces a pandas sort per group
-                # (rows stay contiguous and ordered inside each group);
-                # nulls-last on data columns = the pandas na_position="last"
-                # contract of the reference
-                from pyspark.sql import functions as F
+            # one partition-level sort makes every group a contiguous run
+            # (the python side then finds groups by run-length, no pandas
+            # groupby) and applies presort inside each run for free;
+            # nulls-last on data columns = the pandas na_position="last"
+            # contract of the reference
+            from pyspark.sql import functions as F
 
-                sort_cols = [F.col(k).asc_nulls_first() for k in safe_keys] + [
-                    (
-                        F.col(name_to_safe[n]).asc_nulls_last()
-                        if asc
-                        else F.col(name_to_safe[n]).desc_nulls_last()
-                    )
-                    for n, asc in presort
-                ]
-                df = df.sortWithinPartitions(*sort_cols)
-                presort = []  # already applied
+            sort_cols = [F.col(k).asc_nulls_first() for k in safe_keys] + [
+                (
+                    F.col(name_to_safe[n]).asc_nulls_last()
+                    if asc
+                    else F.col(name_to_safe[n]).desc_nulls_last()
+                )
+                for n, asc in presort
+            ]
+            df = df.sortWithinPartitions(*sort_cols)
+            presort = []  # already applied
+            contiguous = True
             use_apply = False
 
         if use_apply:  # pragma: no cover - kept for parity experiments
@@ -459,6 +530,16 @@ def transform(
 
             return df.groupBy(*keys).applyInPandas(grouped_udf, schema=out_schema)
 
+        def run_raw(pdf: pd.DataFrame, cursor: PartitionCursor) -> Any:
+            pdf = _sort_pandas(pdf, presort)
+            try:
+                res = call(pdf, cursor)
+                if discard_output:
+                    return None
+                return res
+            except err_types:
+                return None
+
         def grouped_map_udf(it: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             it = iter(it)
             first = next(it, None)
@@ -466,18 +547,24 @@ def transform(
                 return
             pdf = pd.concat(list(itertools.chain([first], it)), ignore_index=True)
             pdf = _restore_in(pdf)
+            if len(pdf) == 0:
+                return
             maybe_init()
             pno = _partition_no()
-            outs = []
-            for kv, g in pdf.groupby(keys, sort=False, dropna=False):
-                kv = list(kv) if isinstance(kv, tuple) else [kv]
-                kv = [None if isinstance(v, float) and pd.isna(v) else v for v in kv]
-                outs.append(run_one(g, PartitionCursor(keys, kv, pno)))
-                if len(outs) >= 64:
-                    yield _to_safe_out(pd.concat(outs, ignore_index=True))
-                    outs = []
-            if outs:
-                yield _to_safe_out(pd.concat(outs, ignore_index=True))
+            pdf, bounds = _group_bounds(pdf, keys, contiguous)
+            key_arrays = [pdf[k].values for k in keys]
+            batcher = _ResultBatcher(out_cols, "transform")
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                kv = [
+                    None if isinstance(v, float) and pd.isna(v) else v
+                    for v in (arr[a] for arr in key_arrays)
+                ]
+                out = batcher.add(run_raw(pdf.iloc[a:b], PartitionCursor(keys, kv, pno)))
+                if out is not None:
+                    yield _to_safe_out(out)
+            out = batcher.flush()
+            if out is not None:
+                yield _to_safe_out(out)
 
         res = df.mapInPandas(grouped_map_udf, schema=exec_schema)
         return res.toDF(*out_cols) if rename_out else res
