@@ -11,8 +11,9 @@ inside mapInPandas. Versus cogroup().applyInPandas this saves a JVM↔Python
 round trip per group — an order of magnitude on small groups — and it
 generalizes to N inputs with the same single shuffle.
 
-``how`` ∈ inner|left_outer|right_outer|full_outer controls which key
-groups are emitted (reference zip semantics, execution_engine.py:1007-1014).
+``how`` ∈ inner|left_outer|right_outer|full_outer|cross controls which key
+groups are emitted (reference zip semantics, execution_engine.py:1007-1029);
+``cross`` takes no keys and calls the function once with every input whole.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ from fugue_spark.transform import (
 
 __all__ = ["cotransform"]
 
-_HOWS = ("inner", "left_outer", "right_outer", "full_outer")
+_HOWS = ("inner", "left_outer", "right_outer", "full_outer", "cross")
 
 _PD_NUMERIC = {
     "tinyint": "int8",
@@ -55,14 +56,24 @@ def _union_cotransform(dfs, keys, run, out_schema):
     splits by tag back into per-input frames. One shuffle, one Arrow stream
     per partition — beats cogroup().applyInPandas by an order of magnitude
     when groups are small (no JVM↔Python round trip per group)."""
+    cross = len(keys) == 0
     payloads = [[c for c in d.columns if c not in keys] for d in dfs]
     spark_types = [
         {c: d.schema[c].dataType.simpleString() for c in cols}
         for d, cols in zip(dfs, payloads)
     ]
+    if cross:
+        # whole-frame zip: a constant surrogate key makes every row one
+        # group; the reference's cross zip likewise serializes each input
+        # to a single-partition blob (execution_engine.py:1026-1029)
+        keys = ["__xkey__"]
     parts = []
     for i, (d, cols) in enumerate(zip(dfs, payloads)):
-        proj = [F.col(k) for k in keys] + [F.lit(i).alias("__tag__")]
+        proj = (
+            [F.lit(0).alias("__xkey__")]
+            if cross
+            else [F.col(k) for k in keys]
+        ) + [F.lit(i).alias("__tag__")]
         for j, (dj, colsj) in enumerate(zip(dfs, payloads)):
             for c in colsj:
                 if i == j:
@@ -77,7 +88,7 @@ def _union_cotransform(dfs, keys, run, out_schema):
         combined = combined.unionByName(p)
     # explicit count: keep AQE from byte-size-coalescing a python-heavy stage
     num = int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    combined = combined.repartition(num, *keys)
+    combined = combined.repartition(1) if cross else combined.repartition(num, *keys)
     # JVM-side sort: every (key, tag) run arrives contiguous in the Arrow
     # stream, so the python side slices groups by run-length with no sort
     combined = combined.sortWithinPartitions(
@@ -120,16 +131,22 @@ def _union_cotransform(dfs, keys, run, out_schema):
                     except (TypeError, ValueError):
                         pass
             f = f[in_columns[i]].reset_index(drop=True)
-            f, bounds = _group_bounds(f, keys, contiguous=True)
-            karrs = [f[k].values for k in keys]
             gm: dict[tuple, tuple[int, int]] = {}
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                k = tuple(
-                    None if isinstance(v, float) and pd.isna(v) else v
-                    for v in (arr[a] for arr in karrs)
-                )
-                gm[k] = (int(a), int(b))
-                key_order.setdefault(k, None)
+            if cross:
+                # whole frame = the one group; missing sides get empties
+                if len(f):
+                    gm[()] = (0, len(f))
+                key_order.setdefault((), None)
+            else:
+                f, bounds = _group_bounds(f, keys, contiguous=True)
+                karrs = [f[k].values for k in keys]
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    k = tuple(
+                        None if isinstance(v, float) and pd.isna(v) else v
+                        for v in (arr[a] for arr in karrs)
+                    )
+                    gm[k] = (int(a), int(b))
+                    key_order.setdefault(k, None)
             sides.append((f, gm))
             empties.append(f.iloc[0:0])
         batcher = _ResultBatcher(out_cols, "cotransform")
@@ -175,7 +192,14 @@ def cotransform(
     if len(dfs) < 2:
         raise ValueError("cotransform needs at least two dataframes")
     spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
-    keys = _infer_keys(dfs, spec)
+    if how == "cross":
+        # reference zip: cross takes no partition keys; the function is
+        # called once with every input in full (execution_engine.py:1020-1029)
+        if spec.by:
+            raise ValueError("can't specify partition keys for cross zip")
+        keys: list = []
+    else:
+        keys = _infer_keys(dfs, spec)
     out_schema = parse_schema(schema)
     out_cols = [f.name for f in out_schema.fields]
     kwargs = dict(params or {})

@@ -455,7 +455,7 @@ class _Executor:
                     c.match("OUTER")
                     how = f"{h.lower()}_outer"
                 elif h == "CROSS":
-                    raise FugueSQLError("ZIP CROSS is not supported")
+                    how = "cross"
                 else:
                     how = "inner"
                 break

@@ -108,6 +108,24 @@ def test_transform_zipped(spark):
     assert rows(res["out"]) == [(1, 3)]
 
 
+def test_transform_zipped_cross(spark):
+    def combine(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"na": [len(a)], "nb": [len(b)]})
+
+    res = fsql(
+        """
+        l = CREATE [[1, 10], [2, 20], [3, 30]] SCHEMA k:long,x:long
+        r = CREATE [[1.5], [2.5]] SCHEMA z:double
+        ZIP l, r CROSS
+        TRANSFORM USING combine SCHEMA na:long,nb:long
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"combine": combine},
+    )
+    assert rows(res["out"]) == [(3, 2)]
+
+
 def test_process_and_output(spark):
     seen = []
 

@@ -219,6 +219,39 @@ def test_cotransform_three_way(spark):
     assert rows(res) == [(1, 4), (2, 2)]
 
 
+def test_cotransform_cross(spark):
+    """Mirrors reference execution_suite test_comap z4: cross zip calls the
+    function ONCE with each input whole and no keys; disjoint schemas are
+    fine (no common-column requirement)."""
+    a = make_df(spark, [[1, 2], [3, 4], [1, 5]], "a:int,b:int")
+    b = make_df(spark, [[6, 1], [2, 7]], "c:int,a:int")
+
+    def combine(cursor, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        assert cursor.keys == []
+        return pd.DataFrame({"v": [f"_0{len(left)},_1{len(right)}"]})
+
+    res = fa.cotransform([a, b], combine, schema="v:str", how="cross")
+    assert rows(res) == [("_03,_12",)]
+
+    # disjoint-schema inputs only work with cross
+    c = make_df(spark, [[1.0]], "z:double")
+    res2 = fa.cotransform(
+        [a, c], lambda l, r: pd.DataFrame({"n": [len(l) + len(r)]}),
+        schema="n:long", how="cross",
+    )
+    assert rows(res2) == [(4,)]
+
+
+def test_cotransform_cross_rejects_keys(spark):
+    a = make_df(spark, [[1, 10]], "k:int,x:int")
+    b = make_df(spark, [[1, "p"]], "k:int,y:str")
+    with pytest.raises(ValueError, match="cross"):
+        fa.cotransform(
+            [a, b], lambda l, r: None, schema="n:long", how="cross",
+            partition={"by": ["k"]},
+        )
+
+
 def test_cotransform_validation(spark):
     a = make_df(spark, [[1, 10]], "k:int,x:int")
     b = make_df(spark, [[1, "p"]], "k:int,y:str")
