@@ -112,6 +112,14 @@ def salted_join(
     spark_how = _normalize_how(how)
     if spark_how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left_outer joins")
+    # same collision rule as join(): any shared non-key column would make
+    # the post-join select ambiguous
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"salted_join: non-key columns {sorted(overlap)} exist on both "
+            "sides; rename or drop them before joining"
+        )
     l2 = left.withColumn("__fugue_salt__", (F.rand(0) * salt).cast("int"))
     r2 = right.withColumn(
         "__fugue_salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

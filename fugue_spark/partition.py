@@ -160,9 +160,22 @@ def _even_repartition(df: DataFrame, num: int, by: list[str]) -> DataFrame:
     from pyspark.sql import types as T
 
     idx_schema = T.StructType(list(key_schema.fields) + [T.StructField("__fugue_gid__", T.LongType(), False)])
-    key_df = spark.createDataFrame(indexed, idx_schema)
+    key_df = spark.createDataFrame(
+        indexed, T.StructType(
+            [T.StructField(f"__fugue_k{i}__", f.dataType, f.nullable) for i, f in enumerate(key_schema.fields)]
+            + [idx_schema.fields[-1]]
+        )
+    )
     n = num if num > 0 else keys.count()
-    joined = df.join(key_df, on=by, how="inner")
+    # null-safe equality: rows whose key contains NULL still get a gid
+    # (a plain `on=by` inner join silently drops them)
+    cond = None
+    for i, k in enumerate(by):
+        c = df[k].eqNullSafe(key_df[f"__fugue_k{i}__"])
+        cond = c if cond is None else (cond & c)
+    joined = df.join(key_df, on=cond, how="inner").drop(
+        *[f"__fugue_k{i}__" for i in range(len(by))]
+    )
     rdd = (
         joined.rdd.map(lambda row: (row["__fugue_gid__"], row))
         .partitionBy(n, lambda k: k % n)

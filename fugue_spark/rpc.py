@@ -4,14 +4,28 @@ pickled client stubs are invoked from executors).
 
 Spark has no built-in executor→driver RPC for Python UDFs, so this is a
 tiny length-prefixed-pickle TCP server on the driver; the client stub
-(host, port) is cloudpickled into the UDF closure. One connection per
+(host, port, key) is cloudpickled into the UDF closure. One connection per
 call — callbacks are control-plane (progress, sampling, early metrics),
 not data-plane, so throughput is irrelevant and robustness wins.
+
+Cluster-safety:
+
+* Every message is authenticated with a per-server random HMAC-SHA256 key
+  before it is unpickled — an unauthenticated peer cannot reach
+  ``pickle.loads`` (which would otherwise be remote code execution). The
+  key travels only inside the Spark task closure, which is the same trust
+  channel as the user's UDF code itself.
+* The stub advertises a routable driver address: ``spark.driver.host``
+  when a SparkSession is active (executors on other nodes must not dial
+  127.0.0.1), else the bind address.
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import pickle
+import secrets
 import socket
 import socketserver
 import struct
@@ -20,16 +34,26 @@ from typing import Any, Callable
 
 __all__ = ["RPCServer", "RPCClient", "start_callback_server"]
 
+_MAC_LEN = hashlib.sha256().digest_size
 
-def _send_msg(sock: socket.socket, obj: Any) -> None:
+
+def _send_msg(sock: socket.socket, obj: Any, key: bytes) -> None:
     data = pickle.dumps(obj)
-    sock.sendall(struct.pack(">I", len(data)) + data)
+    mac = hmac.new(key, data, hashlib.sha256).digest()
+    sock.sendall(struct.pack(">I", len(data) + _MAC_LEN) + mac + data)
 
 
-def _recv_msg(sock: socket.socket) -> Any:
+def _recv_msg(sock: socket.socket, key: bytes) -> Any:
     header = _recv_exact(sock, 4)
     (n,) = struct.unpack(">I", header)
-    return pickle.loads(_recv_exact(sock, n))
+    if n < _MAC_LEN:
+        raise ConnectionError("rpc message too short")
+    payload = _recv_exact(sock, n)
+    mac, data = payload[:_MAC_LEN], payload[_MAC_LEN:]
+    if not hmac.compare_digest(mac, hmac.new(key, data, hashlib.sha256).digest()):
+        # authenticate BEFORE unpickling: a forged frame never reaches loads
+        raise ConnectionError("rpc message failed authentication")
+    return pickle.loads(data)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -44,17 +68,18 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
+        key = self.server.auth_key  # type: ignore[attr-defined]
         try:
-            name, args, kwargs = _recv_msg(self.request)
+            name, args, kwargs = _recv_msg(self.request, key)
             fn = self.server.handlers.get(name)  # type: ignore[attr-defined]
             if fn is None:
-                _send_msg(self.request, ("error", f"no handler {name!r}"))
+                _send_msg(self.request, ("error", f"no handler {name!r}"), key)
                 return
             try:
                 res = fn(*args, **kwargs)
-                _send_msg(self.request, ("ok", res))
+                _send_msg(self.request, ("ok", res), key)
             except Exception as ex:  # noqa: BLE001 - ship the error to the worker
-                _send_msg(self.request, ("error", repr(ex)))
+                _send_msg(self.request, ("error", repr(ex)), key)
         except (ConnectionError, EOFError):
             pass
 
@@ -64,13 +89,32 @@ class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
+def _driver_host(bind_host: str) -> str:
+    """The address executors should dial: spark.driver.host when a session
+    is active (multi-node clusters), else the bind address."""
+    try:
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is not None:
+            host = session.conf.get("spark.driver.host", None)
+            if host:
+                return host
+    except Exception:  # pragma: no cover - no active JVM
+        pass
+    return "127.0.0.1" if bind_host == "0.0.0.0" else bind_host
+
+
 class RPCServer:
     """Driver-side callback server; register handlers, then hand
-    ``client()`` stubs to worker closures."""
+    ``client()`` stubs to worker closures. Binds all interfaces by default
+    so executors on other nodes can connect; every frame is HMAC-gated."""
 
-    def __init__(self, host: str = "127.0.0.1"):
+    def __init__(self, host: str = "0.0.0.0"):
+        self._bind_host = host
         self._srv = _Server((host, 0), _Handler)
         self._srv.handlers = {}  # type: ignore[attr-defined]
+        self._srv.auth_key = secrets.token_bytes(32)  # type: ignore[attr-defined]
         self._thread: "threading.Thread | None" = None
 
     def register(self, name: str, fn: Callable) -> "RPCServer":
@@ -87,8 +131,9 @@ class RPCServer:
         return self._srv.server_address  # type: ignore[return-value]
 
     def client(self, name: str) -> "RPCClient":
-        host, port = self.address
-        return RPCClient(host, port, name)
+        _, port = self.address
+        host = _driver_host(self._bind_host)
+        return RPCClient(host, port, name, self._srv.auth_key)  # type: ignore[attr-defined]
 
     def stop(self) -> None:
         self._srv.shutdown()
@@ -97,15 +142,16 @@ class RPCServer:
 
 class RPCClient:
     """Picklable stub: calling it connects to the driver and runs the
-    registered handler there."""
+    registered handler there. Carries the per-server HMAC key (shipped
+    only inside the Spark task closure)."""
 
-    def __init__(self, host: str, port: int, name: str):
-        self.host, self.port, self.name = host, port, name
+    def __init__(self, host: str, port: int, name: str, key: bytes):
+        self.host, self.port, self.name, self.key = host, port, name, key
 
     def __call__(self, *args: Any, **kwargs: Any) -> Any:
         with socket.create_connection((self.host, self.port), timeout=30) as s:
-            _send_msg(s, (self.name, args, kwargs))
-            status, payload = _recv_msg(s)
+            _send_msg(s, (self.name, args, kwargs), self.key)
+            status, payload = _recv_msg(s, self.key)
         if status == "error":
             raise RuntimeError(f"rpc handler failed: {payload}")
         return payload

@@ -339,3 +339,18 @@ def test_salted_join_matches_plain_join(spark):
     assert lo_salted == lo_plain
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full_outer")
+    # shared non-key column would be ambiguous after the join — reject
+    right2 = make_df(spark, [[0, 99]], "k:int,v:int")
+    with pytest.raises(ValueError, match="non-key"):
+        salted_join(left, right2, "k")
+
+
+def test_even_repartition_keeps_null_keys(spark):
+    df = make_df(
+        spark, [[None, 1], [None, 2], [1, 3], [2, 4]], "k:int,v:int"
+    )
+    out = fa.repartition(df, PartitionSpec({"by": ["k"], "algo": "even"}))
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(None, 1), (None, 2), (1, 3), (2, 4)}  # NULL group survives
+    sizes = [s for s in out.rdd.glom().map(len).collect() if s > 0]
+    assert sorted(sizes) == [1, 1, 2]  # NULL keys form their own group

@@ -128,6 +128,46 @@ def test_rpc_callback_from_workers(spark):
     assert sorted(seen) == [0, 1, 2, 3]
 
 
+def test_rpc_rejects_unauthenticated_frames():
+    """A frame without a valid HMAC must never reach pickle.loads or a
+    handler; a stub with the right key round-trips."""
+    import pickle
+    import socket
+    import struct
+
+    from fugue_spark.rpc import RPCServer
+
+    calls = []
+    srv = RPCServer().register("cb", lambda x: calls.append(x) or x + 1).start()
+    try:
+        host, port = "127.0.0.1", srv.address[1]
+        ok = srv.client("cb")
+        assert ok(41) == 42 and calls == [41]
+
+        forged = pickle.dumps(("cb", (99,), {}))
+        with socket.create_connection((host, port), timeout=5) as s:
+            s.sendall(struct.pack(">I", len(forged)) + forged)
+            assert s.recv(4096) == b""  # server drops the connection
+        # short/garbage frame likewise
+        with socket.create_connection((host, port), timeout=5) as s:
+            s.sendall(struct.pack(">I", 4) + b"\x00" * 4)
+            assert s.recv(4096) == b""
+        assert calls == [41]  # forged frames never executed
+
+        # wrong-key client fails cleanly
+        from fugue_spark.rpc import RPCClient
+
+        bad = RPCClient(host, port, "cb", b"\x00" * 32)
+        try:
+            bad(1)
+            raise AssertionError("expected auth failure")
+        except (ConnectionError, RuntimeError):
+            pass
+        assert calls == [41]
+    finally:
+        srv.stop()
+
+
 def test_stream_dedup_exact(spark):
     stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
     deduped = fs.stream_dedup_exact(
