@@ -30,7 +30,16 @@ def sample(
     if frac is not None:
         return df.sample(withReplacement=replace, fraction=frac, seed=seed)
     if replace:
-        raise NotImplementedError("sample(n, replace=True) is not supported")
+        # with-replacement n-row sample: Poisson oversample map-side (each
+        # row drawn independently — no shuffle, no driver materialization),
+        # then trim to exactly n. The slack term keeps P(short) negligible;
+        # the reference's suite accepts approximate n for sampling
+        # (fugue_test/execution_suite.py:866-878).
+        total = df.count()
+        if total == 0 or n <= 0:
+            return df.limit(0)
+        over = (n / total) * 1.2 + 12.0 / total
+        return df.sample(withReplacement=True, fraction=over, seed=seed).limit(n)
     if seed is None:
         # arbitrary n rows — cheapest plan (LIMIT, no shuffle of the rest)
         return df.limit(n)

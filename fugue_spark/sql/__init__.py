@@ -174,9 +174,40 @@ class _Executor:
             if self.last is None:
                 raise FugueSQLError("no previous result to consume")
             return self.last
+        member: "str | None" = None
+        m = re.fullmatch(r"([^\[\]]+)\[(.+)\]", name)
+        if m is not None:
+            name, member = m.group(1), m.group(2)
         if name not in self.vars:
             raise FugueSQLError(f"unknown dataframe {name!r}")
-        return self.vars[name]
+        v = self.vars[name]
+        # df[idx] / df[key] member access on collection variables
+        # (reference: fugue/sql/_visitors.py:363-389)
+        if member is not None:
+            if isinstance(v, ZippedFrames):
+                items: Any = v.dfs
+            elif isinstance(v, (dict, list, tuple)):
+                items = v
+            else:
+                raise FugueSQLError(
+                    f"can't specify index or key for dataframe {name!r}"
+                )
+            key: Any = member.strip()
+            if isinstance(key, str) and (key.startswith("'") or key.startswith('"')):
+                key = key[1:-1]
+            try:
+                if isinstance(items, dict):
+                    # named or positional (reference WorkflowDataFrames
+                    # supports both)
+                    if key in items:
+                        return items[key]
+                    return list(items.values())[int(key)]
+                return items[int(key)]
+            except (KeyError, ValueError, IndexError) as ex:
+                raise FugueSQLError(f"no dataframe {name}[{member}]: {ex}") from ex
+        if isinstance(v, (dict, list, tuple)):
+            raise FugueSQLError(f"must specify index or key for dataframes {name!r}")
+        return v
 
     def _dotted_name(self, c: _Cursor) -> str:
         parts = [c.pop().value]
@@ -189,7 +220,16 @@ class _Executor:
         t = c.peek()
         if t is not None and t.kind == "word" and t.value in self.vars:
             c.pop()
-            return t.value
+            name = t.value
+            nxt = c.peek()
+            if nxt is not None and nxt.value == "[":
+                c.pop()
+                parts = []
+                while c.peek() is not None and c.peek().value != "]":
+                    parts.append(c.pop().value)
+                c.expect("]")
+                name = f"{name}[{''.join(parts)}]"
+            return name
         return None
 
     def _df_ref_list(self, c: _Cursor) -> list[str]:
@@ -296,7 +336,8 @@ class _Executor:
                 raise FugueSQLError(f"unsupported statement {first.value!r}")
             res = handler(c)
         if res is not None:
-            self.last = res
+            if not isinstance(res, (dict, list, tuple)):
+                self.last = res
             if target is not None:
                 self.vars[target] = res
 
@@ -309,6 +350,16 @@ class _Executor:
                 df.createOrReplaceTempView(name)
         has_from = any(t.upper == "FROM" for t in tokens)
         sql = _sql_text(tokens)
+        # member access on collection vars inside raw SQL: substitute each
+        # name[idx] with a temp view over the resolved element
+        for name, v in self.vars.items():
+            if isinstance(v, (dict, list, tuple)):
+                for i, m in enumerate(
+                    re.finditer(rf"\b{re.escape(name)}\s*\[([^\]]+)\]", sql)
+                ):
+                    view = f"__fugue_member_{name}_{i}__"
+                    self._get_df(f"{name}[{m.group(1)}]").createOrReplaceTempView(view)
+                    sql = sql.replace(m.group(0), view)
         if not has_from:
             if not isinstance(self.last, DataFrame):
                 raise FugueSQLError("FROM-less SELECT needs a previous result")
@@ -685,6 +736,12 @@ def fsql(
     ex = _Executor(spark, functions, yield_dir)
     for name, val in variables.items():
         if isinstance(val, DataFrame):
+            ex.vars[name] = val
+        elif isinstance(val, (dict, list, tuple)) and val and all(
+            isinstance(x, DataFrame)
+            for x in (val.values() if isinstance(val, dict) else val)
+        ):
+            # collection variable: access elements with name[idx] / name[key]
             ex.vars[name] = val
     for stmt in split_statements(script):
         ex.run_statement(stmt)

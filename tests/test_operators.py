@@ -138,6 +138,18 @@ def test_sample(spark):
         fa.sample(df, n=5, frac=0.5)
 
 
+def test_sample_n_with_replacement(spark):
+    df = make_df(spark, [[i] for i in range(100)], "a:int")
+    r = rows(fa.sample(df, n=90, replace=True, seed=3))
+    assert len(r) == 90
+    assert len(set(r)) < 90  # replacement ⇒ duplicates at this density
+    assert r == rows(fa.sample(df, n=90, replace=True, seed=3))  # deterministic
+    # n larger than the corpus is legal with replacement
+    big = rows(fa.sample(df, n=250, replace=True, seed=3))
+    assert len(big) == 250
+    assert len(rows(fa.sample(df.limit(0), n=5, replace=True))) == 0
+
+
 def test_take_global(spark):
     df = make_df(
         spark,

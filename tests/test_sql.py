@@ -108,6 +108,55 @@ def test_transform_zipped(spark):
     assert rows(res["out"]) == [(1, 3)]
 
 
+def test_df_member_access(spark):
+    """df[idx] / df[key] on collection variables (reference
+    fugue/sql/_visitors.py:363-389): module outputs and passed-in dicts."""
+    import fugue_spark.api as fa
+
+    def splitter(spark_, df):
+        return {"low": df.filter("x < 15"), "high": df.filter("x >= 15")}
+
+    res = fsql(
+        """
+        src = CREATE [[10], [20], [30]] SCHEMA x:long
+        parts = MODULE src USING splitter
+        low2 = SELECT x + 1 AS x FROM parts['low']
+        YIELD DATAFRAME AS lo
+        TRANSFORM parts[1] USING shift SCHEMA x:long
+        YIELD DATAFRAME AS hi
+        """,
+        spark=spark,
+        functions={
+            "splitter": splitter,
+            "shift": lambda pdf: pdf.assign(x=pdf.x * 10),
+        },
+    )
+    assert sorted(rows(res["lo"])) == [(11,)]
+    assert sorted(rows(res["hi"])) == [(200,), (300,)]
+
+
+def test_df_member_access_from_python(spark):
+    d1 = spark.createDataFrame([[1]], "a long")
+    d2 = spark.createDataFrame([[2]], "a long")
+    res = fsql(
+        """
+        out = SELECT * FROM pair[0] UNION ALL SELECT * FROM pair[1]
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        pair=[d1, d2],
+    )
+    assert sorted(rows(res["out"])) == [(1,), (2,)]
+
+
+def test_df_member_access_errors(spark):
+    d1 = spark.createDataFrame([[1]], "a long")
+    with pytest.raises(FugueSQLError, match="index or key"):
+        fsql("PRINT FROM pair", spark=spark, pair=[d1, d1])
+    with pytest.raises(FugueSQLError, match="index or key"):
+        fsql("x = CREATE [[1]] SCHEMA a:long\nPRINT FROM x[0]", spark=spark)
+
+
 def test_transform_zipped_cross(spark):
     def combine(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"na": [len(a)], "nb": [len(b)]})
