@@ -1,0 +1,257 @@
+"""Ports of the reference's hardest conformance corpora (VERDICT r1 item 7):
+
+* alter_columns cast matrix — /root/reference/fugue_test/dataframe_suite.py:303-450
+* grouped take + na_position corpus — /root/reference/fugue_test/execution_suite.py:763-865
+* exotic column names end-to-end — /root/reference/fugue_test/builtin_suite.py:1743-1800
+
+The data, expected values, and case order mirror the reference suites; the
+assertions run against this repo's Spark-native operators.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pandas as pd
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark.schema import parse_schema
+
+
+def make_df(spark, data, schema):
+    return spark.createDataFrame(data, parse_schema(schema))
+
+
+def arr(df):
+    """type-safe as_array: python values via collect, column order kept."""
+    return [list(r) for r in df.collect()]
+
+
+def schema_str(df):
+    return ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+# ---------------- alter_columns cast matrix ----------------
+
+
+def test_alter_columns_empty_and_noop(spark):
+    df = make_df(spark, [], "a:str,b:int")
+    ndf = fa.alter_columns(df, "a:str,b:str")
+    assert arr(ndf) == []
+    assert schema_str(ndf) == "a:string,b:string"
+
+    df = make_df(spark, [["a", 1], ["c", None]], "a:str,b:int")
+    ndf = fa.alter_columns(df, "b:int,a:str")
+    assert arr(ndf) == [["a", 1], ["c", None]]
+    assert schema_str(ndf) == "a:string,b:int"
+
+
+def test_alter_columns_bool_to_str(spark):
+    df = make_df(spark, [["a", True], ["b", False], ["c", None]], "a:str,b:bool")
+    ndf = fa.alter_columns(df, "b:str")
+    actual = arr(ndf)
+    assert actual in (
+        [["a", "True"], ["b", "False"], ["c", None]],
+        [["a", "true"], ["b", "false"], ["c", None]],
+    )
+    assert schema_str(ndf) == "a:string,b:string"
+
+
+def test_alter_columns_int_to_str_and_double(spark):
+    df = make_df(spark, [["a", 1], ["c", None]], "a:str,b:int")
+    ndf = fa.alter_columns(df, "b:str")
+    assert arr(ndf) in ([["a", "1"], ["c", None]], [["a", "1.0"], ["c", None]])
+    assert schema_str(ndf) == "a:string,b:string"
+
+    ndf = fa.alter_columns(df, "b:double")
+    assert arr(ndf) == [["a", 1.0], ["c", None]]
+    assert schema_str(ndf) == "a:string,b:double"
+
+
+def test_alter_columns_double_to_str_and_int(spark):
+    df = make_df(spark, [["a", 1.1], ["b", None]], "a:str,b:double")
+    assert arr(fa.alter_columns(df, "b:str")) == [["a", "1.1"], ["b", None]]
+
+    df = make_df(spark, [["a", 1.0], ["b", None]], "a:str,b:double")
+    assert arr(fa.alter_columns(df, "b:int")) == [["a", 1], ["b", None]]
+
+
+def test_alter_columns_date_datetime_to_str(spark):
+    df = make_df(
+        spark,
+        [["a", date(2020, 1, 1)], ["b", date(2020, 1, 2)], ["c", None]],
+        "a:str,b:date",
+    )
+    assert arr(fa.alter_columns(df, "b:str")) == [
+        ["a", "2020-01-01"],
+        ["b", "2020-01-02"],
+        ["c", None],
+    ]
+
+    df = make_df(
+        spark,
+        [
+            ["a", datetime(2020, 1, 1, 3, 4, 5)],
+            ["b", datetime(2020, 1, 2, 16, 7, 8)],
+            ["c", None],
+        ],
+        "a:str,b:datetime",
+    )
+    assert arr(fa.alter_columns(df, "b:str")) == [
+        ["a", "2020-01-01 03:04:05"],
+        ["b", "2020-01-02 16:07:08"],
+        ["c", None],
+    ]
+
+
+def test_alter_columns_str_to_bool_int_double(spark):
+    df = make_df(spark, [["a", "trUe"], ["b", "False"], ["c", None]], "a:str,b:str")
+    ndf = fa.alter_columns(df, "b:bool,a:str")
+    assert arr(ndf) == [["a", True], ["b", False], ["c", None]]
+    assert schema_str(ndf) == "a:string,b:boolean"
+
+    df = make_df(spark, [["a", "1"]], "a:str,b:str")
+    ndf = fa.alter_columns(df, "b:int,a:str")
+    assert arr(ndf) == [["a", 1]]
+    assert schema_str(ndf) == "a:string,b:int"
+
+    df = make_df(spark, [["a", "1.1"], ["b", "2"], ["c", None]], "a:str,b:str")
+    ndf = fa.alter_columns(df, "b:double")
+    assert arr(ndf) == [["a", 1.1], ["b", 2.0], ["c", None]]
+    assert schema_str(ndf) == "a:string,b:double"
+
+
+def test_alter_columns_str_to_date_datetime(spark):
+    df = make_df(
+        spark,
+        [["1", "2020-01-01"], ["2", "2020-01-02"], ["3", None]],
+        "a:str,b:str",
+    )
+    ndf = fa.alter_columns(df, "b:date,a:int")
+    assert arr(ndf) == [
+        [1, date(2020, 1, 1)],
+        [2, date(2020, 1, 2)],
+        [3, None],
+    ]
+    assert schema_str(ndf) == "a:int,b:date"
+
+    df = make_df(
+        spark,
+        [["1", "2020-01-01 01:02:03"], ["2", "2020-01-02 01:02:03"], ["3", None]],
+        "a:str,b:str",
+    )
+    ndf = fa.alter_columns(df, "b:datetime,a:int")
+    assert arr(ndf) == [
+        [1, datetime(2020, 1, 1, 1, 2, 3)],
+        [2, datetime(2020, 1, 2, 1, 2, 3)],
+        [3, None],
+    ]
+
+
+def test_alter_columns_invalid_conversion(spark):
+    df = make_df(spark, [["1", "x"], ["2", "y"], ["3", None]], "a:str,b:str")
+    with pytest.raises(Exception):
+        ndf = fa.alter_columns(df, "b:int")
+        ndf.collect()  # lazy: force materialization
+
+
+# ---------------- grouped take + na_position corpus ----------------
+
+_TAKE_DATA = [
+    ["a", 2, 3],
+    ["a", 3, 4],
+    ["b", 1, 2],
+    ["b", 2, 2],
+    [None, 4, 2],
+    [None, 2, 1],
+]
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_take_reference_corpus(spark):
+    a = make_df(spark, _TAKE_DATA, "a:str,b:int,c:long")
+
+    b = fa.take(a, n=1, presort="b desc")
+    assert _rows_set(b) == {(None, 4, 2)}
+
+    c = fa.take(a, n=2, presort="a desc", na_position="first")
+    assert _rows_set(c) == {(None, 4, 2), (None, 2, 1)}
+
+    d = fa.take(
+        a, n=1, presort="a asc, b desc",
+        partition={"by": ["a"], "presort": "b DESC,c DESC"},
+    )
+    assert _rows_set(d) == {("a", 3, 4), ("b", 2, 2), (None, 4, 2)}
+
+    f = fa.take(a, n=1, presort=None, partition={"by": ["c"], "presort": "b ASC"})
+    assert _rows_set(f) == {("a", 2, 3), ("a", 3, 4), ("b", 1, 2), (None, 2, 1)}
+
+    g = fa.take(a, n=2, presort="a desc", na_position="last")
+    assert _rows_set(g) == {("b", 1, 2), ("b", 2, 2)}
+
+    h = fa.take(a, n=2, presort="a", na_position="first")
+    assert _rows_set(h) == {(None, 4, 2), (None, 2, 1)}
+
+
+def test_take_grouped_no_presort(spark):
+    a = make_df(
+        spark,
+        [["a", 2, 3], [None, 4, 2], [None, 2, 1]],
+        "a:str,b:int,c:long",
+    )
+    i = _rows_set(fa.take(a, n=1, presort=None, partition={"by": ["a"]}))
+    assert i in (
+        {("a", 2, 3), (None, 4, 2)},
+        {("a", 2, 3), (None, 2, 1)},
+    )
+    j = _rows_set(fa.take(a, n=2, presort=None, partition={"by": ["a"]}))
+    assert j == {("a", 2, 3), (None, 4, 2), (None, 2, 1)}
+
+    with pytest.raises(ValueError):
+        fa.take(a, n=0.5, presort=None)
+
+
+# ---------------- exotic column names end-to-end ----------------
+
+
+def test_any_column_name_end_to_end(spark, tmp_path):
+    """Joins, transform with `# schema` computed col, alter_columns, select
+    with aliases, rename, parquet save/load with column pruning — all over
+    names with spaces and '*' (reference builtin_suite test_any_column_name)."""
+    f_parquet = str(tmp_path / "a.parquet")
+
+    df1 = make_df(spark, [[0, 1], [2, 3]], "`a b`:long,` `:long")
+    df2 = make_df(spark, [[0, 10], [20, 3]], "`a b`:long,d:long")
+    r = fa.inner_join(df1, df2)
+    assert arr(r) == [[0, 1, 10]]
+
+    def tr(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{"c *": 2})
+
+    r = fa.transform(r, tr, schema="*,`c *`:long")
+    assert arr(r) == [[0, 1, 10, 2]]
+
+    r = fa.alter_columns(r, "`c *`:str")
+    assert schema_str(r).endswith("c *:string")
+
+    from fugue_spark.functions import col
+
+    r = fa.select(
+        r,
+        col("a b").alias("a b "),
+        col(" ").alias("x y"),
+        col("d"),
+        col("c *").cast(int),
+    )
+    assert arr(r) == [[0, 1, 10, 2]]
+    assert [f.name for f in r.schema.fields] == ["a b ", "x y", "d", "c *"]
+
+    r = fa.rename(r, {"a b ": "a b"})
+    fa.save(r, f_parquet)
+    back = fa.load(spark, f_parquet, columns=["x y", "d", "c *"])
+    assert arr(back) == [[1, 10, 2]]
+    assert [f.name for f in back.schema.fields] == ["x y", "d", "c *"]
