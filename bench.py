@@ -1,12 +1,20 @@
 """Benchmark harness: runs the bench-tagged headline queries and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "scaling": {"sf1": {...}}}.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32 → master local[N] + shuffle partitions).
+     SPARK_GRAFT_CPUS   (default 32 → master local[N] + shuffle partitions),
+     SPARK_GRAFT_NO_SF1 (set to skip the 10x scaling point).
 
 Each query is forced with the noop sink (full computation, no result
 materialization on the driver) — the honest wall-clock of the plan.
+
+The scaling point: sf1 (10x sf0.1, synthesized deterministically by
+scripts/make_sf1.py on first use) separates Spark's fixed per-job
+overhead from real per-row scaling — at sf0.1 overhead dominates the
+DuckDB ratio; the sf1/sf0.1 ratio per query shows the plans' actual
+growth (linear operators should be well under 10x thanks to amortized
+overhead).
 """
 
 from __future__ import annotations
@@ -18,29 +26,12 @@ import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    from fugue_spark.benchmarks import QUERIES, load_table
-    from fugue_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="fugue_spark_bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-        spark__ui__enabled="false",
-    )
+def run_queries(spark, bench_specs, sf_dir: str) -> dict[str, float]:
+    from fugue_spark.benchmarks import warm_cache
 
     # warmup: JVM/codegen/arrow paths + input cache (the test parquet files
     # are single-row-group, which would serialize every scan onto one task)
-    from fugue_spark.benchmarks import warm_cache
-
     warm_cache(spark, sf_dir)
-
-    bench_specs = [(n, s) for n, s in QUERIES.items() if s.bench]
     # untimed warm pass: JIT/codegen/python-worker startup out of the timings
     for name, spec in bench_specs:
         try:
@@ -54,7 +45,31 @@ def main() -> None:
         df = spec.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# {sf_dir}: {name}: {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from fugue_spark.benchmarks import QUERIES
+    from fugue_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fugue_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        spark__ui__enabled="false",
+        # local JVM defaults to a 1g heap — far too small for cached sf1
+        # inputs and 32 concurrent tasks (OOM / GCLocker stalls)
+        spark__driver__memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+
+    bench_specs = [(n, s) for n, s in QUERIES.items() if s.bench]
+    timings = run_queries(spark, bench_specs, sf_dir)
 
     out = {
         "metric": "fugue_spark bench: wall-clock of headline queries (noop sink)",
@@ -64,6 +79,22 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
     }
+
+    # 10x scaling point (only when benching the standard sf0.1 input)
+    if abs(sf - 0.1) < 1e-9 and not os.environ.get("SPARK_GRAFT_NO_SF1"):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from make_sf1 import DST, make_sf1
+
+            sf1_dir = DST if os.path.isdir(DST) else make_sf1()
+            t1 = run_queries(spark, bench_specs, sf1_dir)
+            out["scaling"] = {
+                "sf1": {"value": round(sum(t1.values()), 3), "queries": t1},
+                "sf1_over_sf01": round(sum(t1.values()) / max(sum(timings.values()), 1e-9), 2),
+            }
+        except Exception as ex:  # noqa: BLE001 - scaling point is best-effort
+            print(f"# sf1 scaling run failed: {ex}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

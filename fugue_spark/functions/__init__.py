@@ -184,7 +184,10 @@ def count(c: ColumnExpr) -> ColumnExpr:
 
 def count_distinct(c: ColumnExpr) -> ColumnExpr:
     if isinstance(c, ColumnExpr) and c.is_star:
-        raise ValueError("count_distinct(*) is not supported; name the columns")
+        # COUNT(DISTINCT *) — whole-row distinct count (reference
+        # fugue/column/functions.py:146-175 allows the star form);
+        # struct("*") expands at analysis time
+        return ColumnExpr(F.countDistinct(F.struct("*")), True, _name_of(c))
     return ColumnExpr(F.countDistinct(ensure_column(c)), True, _name_of(c))
 
 

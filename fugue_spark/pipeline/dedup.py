@@ -91,10 +91,13 @@ def _cap_hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_ca
         cap = max(int(max_shingle_df * ndocs), min_cap)
     else:
         cap = int(max_shingle_df)
-    keep = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__")).filter(
-        F.col("__df__") <= cap
+    # the HOT set is small by construction (few shingles exceed the cap), so
+    # anti-join against it — AQE turns this into a broadcast, adding no
+    # shuffle of the index itself
+    hot = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__")).filter(
+        F.col("__df__") > cap
     )
-    return ex.join(keep.select("g"), on="g")
+    return ex.join(hot.select("g"), on="g", how="left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -219,6 +219,10 @@ def test_aggregate(spark):
     assert rows(res) == [(2, 3.0, 2.0), (4, 3.0, 3.0)]
     res = fa.aggregate(df, None, n=ff.count_distinct(ff.col("b")))
     assert rows(res) == [(2,)]
+    # COUNT(DISTINCT *): whole-row distinct (reference functions.py:146)
+    dup = make_df(spark, [[1.0, 2], [1.0, 2], [3.0, 4]], "a:double,b:int")
+    res = fa.aggregate(dup, None, n=ff.count_distinct(ff.all_cols()))
+    assert rows(res) == [(2,)]
     with pytest.raises(ValueError):
         fa.aggregate(df, "b", s=ff.col("a"))
 
