@@ -31,6 +31,7 @@ from fugue_spark.schema import parse_schema
 from fugue_spark.transform import (
     PartitionCursor,
     _group_bounds,
+    _nan_safe_key_exprs,
     _ResultBatcher,
 )
 
@@ -88,11 +89,16 @@ def _union_cotransform(dfs, keys, run, out_schema):
         combined = combined.unionByName(p)
     # explicit count: keep AQE from byte-size-coalescing a python-heavy stage
     num = int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    combined = combined.repartition(1) if cross else combined.repartition(num, *keys)
+    # NaN-safe key exprs: float NULL and NaN must co-partition and sort
+    # adjacent — pandas treats them as one key (see _nan_safe_key_exprs)
+    key_exprs = _nan_safe_key_exprs(combined, keys)
+    combined = (
+        combined.repartition(1) if cross else combined.repartition(num, *key_exprs)
+    )
     # JVM-side sort: every (key, tag) run arrives contiguous in the Arrow
     # stream, so the python side slices groups by run-length with no sort
     combined = combined.sortWithinPartitions(
-        *[F.col(k).asc_nulls_first() for k in keys], F.col("__tag__")
+        *[e.asc_nulls_first() for e in key_exprs], F.col("__tag__")
     )
     n_inputs = len(dfs)
     out_cols = [f.name for f in out_schema.fields]
@@ -102,65 +108,78 @@ def _union_cotransform(dfs, keys, run, out_schema):
     def udf(it):
         import itertools as _it
 
+        import numpy as np
+
         it = iter(it)
         first = next(it, None)
         if first is None:
             return
         pdf = pd.concat(list(_it.chain([first], it)), ignore_index=True)
-        if len(pdf) == 0:
+        npart = len(pdf)
+        if npart == 0:
             return
-        # split by tag ONCE per partition (vectorized), restore dtypes per
-        # side, then find each side's key groups by run-length over
-        # factorized key codes (no pandas groupby, no per-group frame until
-        # the user function actually needs it — an iloc block slice then).
-        tags = pdf["__tag__"].values
+        # Split by tag ONCE per partition (vectorized). Because the JVM sort
+        # is (keys, tag), each side's rows inside a key group form one
+        # contiguous sub-run of that side's frame, located by an exclusive
+        # prefix-sum of the tag mask — O(1) per group per side, no per-side
+        # groupby, no key-tuple dicts, and each group frame is a zero-copy
+        # iloc block slice (no reset_index copy).
+        tags = pdf["__tag__"].to_numpy()
+        keyset = set(keys)
+        sides: list[pd.DataFrame] = []
         empties: list[pd.DataFrame] = []
-        sides: list[tuple[pd.DataFrame, dict[tuple, tuple[int, int]]]] = []
-        key_order: dict[tuple, None] = {}
+        prefix: list[Any] = []  # side-local exclusive prefix count at pdf pos
         for i in range(n_inputs):
-            cols = payloads[i]
-            f = pdf.loc[tags == i, keys + [f"__in{i}__{c}" for c in cols]].copy()
-            f.columns = keys + cols
+            mask = tags == i
+            src = [
+                (c if c in keyset else f"__in{i}__{c}") for c in in_columns[i]
+            ]
+            f = pdf.loc[mask, src]
+            f.columns = in_columns[i]
+            f = f.reset_index(drop=True)  # once per SIDE, not per group
             # arrow widened ints/bools to float/object for NULL padding in
             # the union; restore the input dtype where no nulls remain
-            for c in cols:
+            conv = {}
+            for c in payloads[i]:
                 want = _PD_NUMERIC.get(spark_types[i][c])
                 if want and str(f[c].dtype) != want and not f[c].isna().any():
-                    try:
-                        f[c] = f[c].astype(want)
-                    except (TypeError, ValueError):
-                        pass
-            f = f[in_columns[i]].reset_index(drop=True)
-            gm: dict[tuple, tuple[int, int]] = {}
-            if cross:
-                # whole frame = the one group; missing sides get empties
-                if len(f):
-                    gm[()] = (0, len(f))
-                key_order.setdefault((), None)
-            else:
-                f, bounds = _group_bounds(f, keys, contiguous=True)
-                karrs = [f[k].values for k in keys]
-                for a, b in zip(bounds[:-1], bounds[1:]):
-                    k = tuple(
-                        None if isinstance(v, float) and pd.isna(v) else v
-                        for v in (arr[a] for arr in karrs)
-                    )
-                    gm[k] = (int(a), int(b))
-                    key_order.setdefault(k, None)
-            sides.append((f, gm))
+                    conv[c] = want
+            if conv:
+                try:
+                    f = f.astype(conv)
+                except (TypeError, ValueError):
+                    for c, want in conv.items():  # rare: per-column fallback
+                        try:
+                            f[c] = f[c].astype(want)
+                        except (TypeError, ValueError):
+                            pass
+            ex = np.zeros(npart + 1, dtype=np.int64)
+            np.cumsum(mask, out=ex[1:])
+            sides.append(f)
+            prefix.append(ex)
             empties.append(f.iloc[0:0])
         batcher = _ResultBatcher(out_cols, "cotransform")
-        for k in key_order:
-            frames = []
-            for i in range(n_inputs):
-                f, gm = sides[i]
-                r = gm.get(k)
-                frames.append(
-                    f.iloc[r[0] : r[1]].reset_index(drop=True) if r else empties[i]
-                )
-            out = batcher.add(run(frames, list(k)))
+        if cross:
+            frames = [s if len(s) else e for s, e in zip(sides, empties)]
+            out = batcher.add(run(frames, []))
             if out is not None:
                 yield out
+        else:
+            _, bounds = _group_bounds(pdf, keys, contiguous=True)
+            karrs = [pdf[k].to_numpy() for k in keys]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                frames = []
+                for i in range(n_inputs):
+                    ex = prefix[i]
+                    sa, sb = ex[a], ex[b]
+                    frames.append(sides[i].iloc[sa:sb] if sb > sa else empties[i])
+                kv = [
+                    None if isinstance(v, float) and pd.isna(v) else v
+                    for v in (arr[a] for arr in karrs)
+                ]
+                out = batcher.add(run(frames, kv))
+                if out is not None:
+                    yield out
         out = batcher.flush()
         if out is not None:
             yield out

@@ -442,15 +442,13 @@ def q12_cotransform_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q13_per_order(pdf):
-    import pandas as pd
-
-    return pd.DataFrame(
-        {
-            "l_orderkey": [pdf.l_orderkey.iloc[0]],
-            "n": [len(pdf)],
-            "qty": [int(pdf.l_quantity.sum())],
-        }
-    )
+    # dict output → the engine's _ResultBatcher cheap path (one DataFrame
+    # per 1024 groups instead of one per group — ~0.5 ms/frame saved)
+    return {
+        "l_orderkey": int(pdf.l_orderkey.iloc[0]),
+        "n": len(pdf),
+        "qty": int(pdf.l_quantity.sum()),
+    }
 
 
 @register(

@@ -285,6 +285,28 @@ def _sort_pandas(pdf: pd.DataFrame, presort: list[tuple[str, bool]]) -> pd.DataF
     )
 
 
+def _nan_safe_key_exprs(df: DataFrame, keys: list[str]) -> list:
+    """Partition/sort expressions that treat float NaN and NULL as ONE key.
+
+    pandas cannot distinguish them (both are NaN in a float64 column) so the
+    map engines group them together — but the JVM sorts NULL first and NaN
+    last, which would leave two non-adjacent runs that normalize to the SAME
+    key tuple: the user function would run twice for that key and one run's
+    rows could be dropped. Normalizing NaN→NULL in the exchange/sort keys
+    (never in the data columns) makes the runs adjacent and co-partitioned.
+    """
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for k in keys:
+        dt = df.schema[k].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            exprs.append(F.nanvl(F.col(k), F.lit(None).cast(dt)))
+        else:
+            exprs.append(F.col(k))
+    return exprs
+
+
 def _group_bounds(pdf: pd.DataFrame, keys: list[str], contiguous: bool):
     """Run-length group boundaries over key columns.
 
@@ -314,28 +336,40 @@ class _ResultBatcher:
     pandas frames. dict results (the cheap output form) are collected as
     plain dicts and materialized into ONE DataFrame per flush — building a
     1-row DataFrame per group costs ~0.5 ms and dominates small-group
-    workloads otherwise."""
+    workloads otherwise.
 
-    def __init__(self, out_cols: list[str], name: str, chunk: int = 1024):
+    Flushing is bounded by BUFFERED ROWS as well as result count, so user
+    functions returning large per-group frames don't multiply peak executor
+    memory by the chunk factor. Output row order within a flush groups
+    dict-rows before frame-rows; the engine's output order is unspecified
+    (Spark partition concatenation order already is)."""
+
+    def __init__(
+        self, out_cols: list[str], name: str, chunk: int = 1024, row_chunk: int = 65536
+    ):
         self.out_cols = out_cols
         self.name = name
         self.chunk = chunk
+        self.row_chunk = row_chunk
         self.dicts: list[dict] = []
         self.frames: list[pd.DataFrame] = []
         self.n = 0
+        self.rows = 0
 
     def add(self, res: Any) -> "pd.DataFrame | None":
         if res is None:
             return None
         if isinstance(res, dict):
             self.dicts.append(res)
+            self.rows += 1
         else:
             pdf = _conform(_result_to_pandas(res, self.out_cols), self.out_cols, self.name)
             if len(pdf) == 0:
                 return None
             self.frames.append(pdf)
+            self.rows += len(pdf)
         self.n += 1
-        if self.n >= self.chunk:
+        if self.n >= self.chunk or self.rows >= self.row_chunk:
             return self.flush()
         return None
 
@@ -349,6 +383,7 @@ class _ResultBatcher:
         parts.extend(self.frames)
         self.frames = []
         self.n = 0
+        self.rows = 0
         if not parts:
             return None
         return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
@@ -501,7 +536,8 @@ def transform(
             num = spec.resolve_num(df)
             if num <= 0:
                 num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-            df = df.repartition(num, *safe_keys)
+            key_exprs = _nan_safe_key_exprs(df, safe_keys)
+            df = df.repartition(num, *key_exprs)
             # one partition-level sort makes every group a contiguous run
             # (the python side then finds groups by run-length, no pandas
             # groupby) and applies presort inside each run for free;
@@ -509,7 +545,7 @@ def transform(
             # contract of the reference
             from pyspark.sql import functions as F
 
-            sort_cols = [F.col(k).asc_nulls_first() for k in safe_keys] + [
+            sort_cols = [e.asc_nulls_first() for e in key_exprs] + [
                 (
                     F.col(name_to_safe[n]).asc_nulls_last()
                     if asc
