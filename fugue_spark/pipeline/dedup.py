@@ -61,43 +61,57 @@ def dedup_exact(
 
 
 def _shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct 64-bit word n-gram shingle fingerprints of the normalized
+    text, as array<long>.
+
+    The gram strings are never materialized: each word is xxhash64'd once,
+    then each n-gram fingerprint is an xxhash64 over the n word hashes —
+    pure long arithmetic instead of per-gram string building (the dominant
+    cost of the naive concat_ws form). Collision odds per doc are
+    ~grams²/2⁶⁴ — vanishing."""
     words = F.split(_normalized(text_col), " ")
+    hw = F.transform(words, lambda w: F.xxhash64(w))
     k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.array_distinct(grams)
+    grams = F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.xxhash64(*[F.get(hw, i + j) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return grams
 
 
 def _shingle_index(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, g) inverted index over 64-bit shingle hashes — ~8 bytes/row
-    through the exchange instead of full n-grams (collision odds ~n²/2⁶⁴)."""
+    """(id, g) inverted index over 64-bit shingle fingerprints — 16 bytes/row
+    through the exchange instead of full n-grams. Callers repartition this on
+    the reuse key ONCE so every downstream branch (hot-set agg, join sides,
+    per-doc counts) reads a single materialized exchange instead of
+    recomputing the shingling scan per branch (ReuseExchange matches the
+    identical subtree)."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g0")
-    ).select("id", F.xxhash64("g0").alias("g"))
-
-
-def _cap_hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_cap: int) -> DataFrame:
-    """Drop shingles whose document frequency exceeds the cap — the standard
-    corpus-scale guard: one stop-gram shared by 10% of docs otherwise turns
-    the inverted-index self-join quadratic. The df computation groups on the
-    same key as the join, so it reuses the exchange partitioning."""
-    if max_shingle_df is None:
-        return ex
-    if isinstance(max_shingle_df, float):
-        ndocs = ndocs_df.count()  # one count job; metadata-scale at any SF
-        cap = max(int(max_shingle_df * ndocs), min_cap)
-    else:
-        cap = int(max_shingle_df)
-    # the HOT set is small by construction (few shingles exceed the cap), so
-    # anti-join against it — AQE turns this into a broadcast, adding no
-    # shuffle of the index itself
-    hot = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__")).filter(
-        F.col("__df__") > cap
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
     )
-    return ex.join(hot.select("g"), on="g", how="left_anti")
+
+
+def _hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_cap: int) -> "DataFrame | None":
+    """The (small) set of shingles whose document frequency exceeds the cap —
+    the standard corpus-scale guard: one stop-gram shared by 10% of docs
+    otherwise turns the inverted-index self-join quadratic. A fractional cap
+    is resolved INSIDE the plan (1-row count subquery cross-joined in), so no
+    eager job runs ahead of the real query."""
+    if max_shingle_df is None:
+        return None
+    counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__"))
+    if isinstance(max_shingle_df, float):
+        nd = ndocs_df.select(F.count(F.lit(1)).alias("__nd__"))
+        cap_expr = F.greatest(
+            F.floor(F.lit(max_shingle_df) * F.col("__nd__")), F.lit(min_cap)
+        )
+        return counts.crossJoin(F.broadcast(nd)).filter(F.col("__df__") > cap_expr).select("g")
+    return counts.filter(F.col("__df__") > int(max_shingle_df)).select("g")
 
 
 def ngram_jaccard_pairs(
@@ -120,39 +134,121 @@ def ngram_jaccard_pairs(
     hot — near-dups share mostly doc-specific shingles, so recall loss is
     nil in practice (and ``max_shingle_df=None`` disables the cap).
     Output: id_a, id_b (a<b), jaccard_e4 (int, ×10⁴ — exact cross-engine).
+
+    Verify plan (the scale-critical part): the intersection size is a
+    COUNT(*) AGGREGATION on the inverted-index self-join itself — the
+    exchange never carries a shingle array, only (id_a, id_b) plus longs.
+    With the hot-shingle cap on, the capped count undercounts the true
+    intersection by at most min(hot_a, hot_b) (a doc's shingles removed as
+    hot); pairs where neither side lost a shingle are exact as-is, and ONLY
+    pairs inside the resulting uncertainty band around the threshold fetch
+    their full shingle sets for an exact array intersection — a vanishing
+    fraction of candidates, so the array shuffle is metadata-sized.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
+    thr = int(threshold * 10000)
+    # ONE shingling pass: the index is repartitioned on the join key and
+    # materialized (lazy local checkpoint) so the hot-set agg, both join
+    # sides, the per-doc counts, and the near-branch arrays all read the
+    # stored partitions instead of re-running the shingling scan — Catalyst
+    # can't share the subtree itself because per-branch column pruning makes
+    # the copies non-identical. (At cluster scale, swap for
+    # persist(MEMORY_AND_DISK) or a reliable checkpoint if executor loss
+    # must be survivable; the structure — index materialized once — is the
+    # scale-critical part.)
+    exr = (
+        _shingle_index(df, n, text_col, id_col)
+        .repartition("g")
+        .localCheckpoint(eager=False)
     )
-    ex = _cap_hot_shingles(
-        _shingle_index(df, n, text_col, id_col), df, max_shingle_df, min_shingle_df_cap
+    hot = _hot_shingles(exr, df, max_shingle_df, min_shingle_df_cap)
+
+    if hot is None:
+        pairs = _pair_counts(exr)
+        sizes = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return _jaccard_from_counts(pairs, sizes, thr)
+
+    # mark-and-filter against the broadcast hot set: the SAME left join
+    # feeds the capped index, the per-doc totals, and the per-doc hot
+    # counts — all readers of the one materialized exchange
+    j = exr.join(F.broadcast(hot.withColumn("__hot__", F.lit(True))), on="g", how="left")
+    ex = j.filter(F.col("__hot__").isNull()).select("id", "g")
+    info = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"), F.count("__hot__").alias("n_hot")
     )
+    pairs = _pair_counts(ex)
+    p = (
+        pairs.join(
+            info.select(
+                F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("n_hot").alias("ha")
+            ),
+            on="id_a",
+        )
+        .join(
+            info.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("n_hot").alias("hb")
+            ),
+            on="id_b",
+        )
+        .withColumn("min_hot", F.least("ha", "hb"))
+    )
+    # min_hot = 0 ⇒ no shared shingle could have been dropped ⇒ count exact
+    exact = (
+        p.filter(F.col("min_hot") == 0)
+        .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
+        .filter(F.col("jaccard_e4") >= thr)
+        .select("id_a", "id_b", "jaccard_e4")
+    )
+    # true shared ∈ [shared_c, shared_c + min_hot]; only pairs whose UPPER
+    # bound reaches the threshold need the exact set intersection
+    ub = F.col("shared_c") + F.col("min_hot")
+    near = (
+        p.filter(F.col("min_hot") > 0)
+        .filter(F.floor((ub * 10000) / (F.col("na") + F.col("nb") - ub)).cast("long") >= thr)
+        .select("id_a", "id_b", "na", "nb")
+    )
+    # FULL (uncapped) per-doc shingle sets, rebuilt from the same exchange —
+    # only the near-threshold pairs ever join against these arrays
+    arr = exr.groupBy("id").agg(F.collect_list("g").alias("sh"))
+    resolved = (
+        near.join(arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard_e4", _jaccard_e4("shared", "na", "nb"))
+        .filter(F.col("jaccard_e4") >= thr)
+        .select("id_a", "id_b", "jaccard_e4")
+    )
+    return exact.unionByName(resolved)
+
+
+def _pair_counts(ex: DataFrame) -> DataFrame:
+    """Candidate generation and intersection count in ONE aggregation over
+    the inverted-index self-join: pairs sharing >=1 indexed shingle, with
+    shared_c = the number they share. The exchanges carry only ids + longs."""
     a = ex.select(F.col("id").alias("id_a"), "g")
     b = ex.select(F.col("id").alias("id_b"), "g")
-    cands = (
+    return (
         a.join(b, on="g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
     )
-    return _verify_jaccard(cands, sh, threshold)
 
 
-def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-set Jaccard over candidate pairs only (no all-pairs)."""
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+def _jaccard_e4(shared: str, na: str, nb: str) -> F.Column:
+    return F.floor(
+        (F.col(shared) * 10000) / (F.col(na) + F.col(nb) - F.col(shared))
+    ).cast("long")
+
+
+def _jaccard_from_counts(pairs: DataFrame, sizes: DataFrame, thr: int) -> DataFrame:
+    """Attach per-doc set sizes (id, n_sh) to (id_a, id_b, shared_c) pair
+    counts and emit exact Jaccard — the exchanges carry three longs per row,
+    never the shingle arrays."""
     return (
-        cands.join(a, on="id_a")
-        .join(b, on="id_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard_e4",
-            F.floor((F.col("shared") * 10000) / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long"),
-        )
-        .filter(F.col("jaccard_e4") >= int(threshold * 10000))
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), on="id_b")
+        .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
+        .filter(F.col("jaccard_e4") >= thr)
         .select("id_a", "id_b", "jaccard_e4")
     )
 
@@ -168,11 +264,13 @@ def minhash_signatures(
 
     One explode + one groupBy(id) with m min() aggregates: a single
     shuffle keyed on id, carrying only (id, m×8 bytes)."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g0")
-    ).select("id", F.xxhash64("g0").alias("g"))
-    # hash family: one string hash per shingle, then m cheap (seed, h) long
-    # hashes — never m string hashes per shingle
+    ex = _shingle_index(df, n, text_col, id_col)
+    return _minhash_from_index(ex, num_hashes)
+
+
+def _minhash_from_index(ex: DataFrame, num_hashes: int) -> DataFrame:
+    # hash family: one 64-bit fingerprint per shingle (already in the
+    # index), then m cheap (seed, h) long hashes — never m string hashes
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -206,7 +304,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # ONE shingling pass, partitioned on id and materialized: the signature
+    # agg (exchange-free on id), the verify joins, and the size agg all read
+    # the stored index. The signature frame is materialized too — the band
+    # bucketing consumes it from three plan branches.
+    ex = (
+        _shingle_index(df, n, text_col, id_col)
+        .repartition("id")
+        .localCheckpoint(eager=False)
+    )
+    sig = _minhash_from_index(ex, num_hashes).localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.explode(
@@ -238,11 +345,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    return _verify_jaccard(cands, sh, threshold)
+    # exact verify on the candidate set only: restrict the inverted index to
+    # candidate pairs and COUNT(*) the co-occurring shingles — the exchanges
+    # carry (id_a, id_b, g) longs, never the shingle arrays (the minhash
+    # index has no hot-cap, so the count IS the exact intersection size)
+    pairs = (
+        cands.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_counts(pairs, sizes, int(threshold * 10000))
 
 
 _SIMHASH_BITS = 64
