@@ -26,7 +26,9 @@ import sys
 import time
 
 
-def run_queries(spark, bench_specs, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, float]:
+    from statistics import median
+
     from fugue_spark.benchmarks import warm_cache
 
     # warmup: JVM/codegen/arrow paths + input cache (the test parquet files
@@ -39,13 +41,22 @@ def run_queries(spark, bench_specs, sf_dir: str) -> dict[str, float]:
         except Exception as ex:  # noqa: BLE001
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
+    # median of N timed passes per query: a single pass poisoned by machine
+    # contention (another tenant, GC stall) cannot corrupt the artifact
     timings: dict[str, float] = {}
     for name, spec in bench_specs:
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {sf_dir}: {name}: {timings[name]}s", file=sys.stderr)
+        samples = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(median(samples), 3)
+        print(
+            f"# {sf_dir}: {name}: median {timings[name]}s of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
     return timings
 
 
