@@ -179,6 +179,19 @@ class _Executor:
         if m is not None:
             name, member = m.group(1), m.group(2)
         if name not in self.vars:
+            # source-not-found fallthrough to catalog tables (reference:
+            # FugueSQLHooks.on_select_source_not_found, fugue/sql/
+            # _visitors.py:46-50 — unresolved names resolve against the
+            # backend catalog, e.g. a table written by save_table)
+            if member is None:
+                from fugue_spark.catalog import table_exists
+
+                try:
+                    found = table_exists(self.spark, name)
+                except Exception:
+                    found = False
+                if found:
+                    return self.spark.table(name)
             raise FugueSQLError(f"unknown dataframe {name!r}")
         v = self.vars[name]
         # df[idx] / df[key] member access on collection variables
@@ -216,9 +229,34 @@ class _Executor:
             parts.append(c.pop().value)
         return ".".join(parts)
 
+    # clause keywords that may appear where an OPTIONAL df ref is parsed —
+    # never candidates for catalog-table fallthrough
+    _CLAUSE_KEYWORDS = STATEMENT_KEYWORDS | {
+        "AND", "APPEND", "AS", "ASC", "AVRO", "BY", "CALLBACK", "COLUMNS",
+        "CSV", "DESC", "EXISTS", "FALSE", "FROM", "IF", "JSON", "LAZY",
+        "NULL", "NULLS", "ON", "ORC", "OUTER", "OVERWRITE", "PARAMS",
+        "PARQUET", "PERCENT", "PREPARTITION", "PRESORT", "REPLACE", "ROW",
+        "ROWCOUNT", "ROWS", "SCHEMA", "SEED", "SINGLE", "TITLE", "TO",
+        "TRUE", "USE", "USING",
+    }
+
+    def _is_df_word(self, t: Token) -> bool:
+        if t.value in self.vars:
+            return True
+        # source-not-found fallthrough to catalog tables (reference:
+        # FugueSQLHooks.on_select_source_not_found, _visitors.py:46-50)
+        if t.upper in self._CLAUSE_KEYWORDS:
+            return False
+        try:
+            from fugue_spark.catalog import table_exists
+
+            return table_exists(self.spark, t.value)
+        except Exception:
+            return False
+
     def _maybe_df_ref(self, c: _Cursor) -> "str | None":
         t = c.peek()
-        if t is not None and t.kind == "word" and t.value in self.vars:
+        if t is not None and t.kind == "word" and self._is_df_word(t):
             c.pop()
             name = t.value
             nxt = c.peek()

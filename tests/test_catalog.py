@@ -43,6 +43,34 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_fsql_catalog_fallthrough(spark):
+    # an unresolved FugueSQL name falls through to the backend catalog
+    # (reference: FugueSQLHooks.on_select_source_not_found,
+    # fugue/sql/_visitors.py:46-50)
+    df = spark.createDataFrame([[1, "x"], [2, "y"]], parse_schema("a:long,b:str"))
+    save_table(df, "t_cat_fall")
+
+    @register_extension("cat_tag_ext")
+    def cat_tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(tagged=True)
+
+    # TRANSFORM resolves its source through _get_df — the statement path
+    # that used to raise 'unknown dataframe' for catalog tables
+    res = fsql(
+        """
+        TRANSFORM t_cat_fall USING cat_tag_ext SCHEMA *,tagged:bool
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(1, "x", True), (2, "y", True)]
+    # a truly unknown name still raises
+    from fugue_spark.sql import FugueSQLError
+
+    with pytest.raises(FugueSQLError):
+        fsql("TRANSFORM t_nope_really_missing USING cat_tag_ext SCHEMA *", spark=spark)
+
+
 def test_register_extension_and_outtransform(spark, tmp_path):
     out_dir = str(tmp_path)
 
