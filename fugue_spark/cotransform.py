@@ -30,39 +30,30 @@ from fugue_spark.partition import PartitionSpec
 from fugue_spark.schema import parse_schema
 from fugue_spark.transform import (
     PartitionCursor,
+    _ArrowResultBatcher,
     _group_bounds,
+    _group_frame_maker,
     _nan_safe_key_exprs,
-    _ResultBatcher,
+    _table_to_pandas,
 )
 
 __all__ = ["cotransform"]
 
 _HOWS = ("inner", "left_outer", "right_outer", "full_outer", "cross")
 
-_PD_NUMERIC = {
-    "tinyint": "int8",
-    "smallint": "int16",
-    "int": "int32",
-    "bigint": "int64",
-    "float": "float32",
-    "double": "float64",
-    "boolean": "bool",
-}
+
+_NO_KV: "list | None" = None  # sentinel: function takes no cursor, skip kv work
 
 
-def _union_cotransform(dfs, keys, run, out_schema):
+def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True):
     """Zip N dataframes as a tagged union: every input is projected onto the
     superset schema (its payload columns prefixed, others NULL), unioned,
-    and hash-exchanged ONCE on the keys; inside mapInPandas each key group
+    and hash-exchanged ONCE on the keys; inside mapInArrow each key group
     splits by tag back into per-input frames. One shuffle, one Arrow stream
     per partition — beats cogroup().applyInPandas by an order of magnitude
     when groups are small (no JVM↔Python round trip per group)."""
     cross = len(keys) == 0
     payloads = [[c for c in d.columns if c not in keys] for d in dfs]
-    spark_types = [
-        {c: d.schema[c].dataType.simpleString() for c in cols}
-        for d, cols in zip(dfs, payloads)
-    ]
     if cross:
         # whole-frame zip: a constant surrogate key makes every row one
         # group; the reference's cross zip likewise serializes each input
@@ -104,87 +95,89 @@ def _union_cotransform(dfs, keys, run, out_schema):
     out_cols = [f.name for f in out_schema.fields]
 
     in_columns = [list(d.columns) for d in dfs]
+    keyset = set(keys)
+    side_src = [
+        [(c if c in keyset else f"__in{i}__{c}") for c in in_columns[i]]
+        for i in range(n_inputs)
+    ]
+    side_fields = [
+        [d.schema[c] for c in in_columns[i]] for i, d in enumerate(dfs)
+    ]
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_out_schema = to_arrow_schema(out_schema)
+    tz = combined.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    key_fields = [combined.schema[k] for k in keys]
 
     def udf(it):
         import itertools as _it
 
         import numpy as np
+        import pyarrow as pa
 
         it = iter(it)
         first = next(it, None)
         if first is None:
             return
-        pdf = pd.concat(list(_it.chain([first], it)), ignore_index=True)
-        npart = len(pdf)
+        tbl = pa.Table.from_batches(list(_it.chain([first], it)))
+        npart = tbl.num_rows
         if npart == 0:
             return
-        # Split by tag ONCE per partition (vectorized). Because the JVM sort
-        # is (keys, tag), each side's rows inside a key group form one
-        # contiguous sub-run of that side's frame, located by an exclusive
-        # prefix-sum of the tag mask — O(1) per group per side, no per-side
-        # groupby, no key-tuple dicts, and each group frame is a zero-copy
-        # iloc block slice (no reset_index copy).
-        tags = pdf["__tag__"].to_numpy()
-        keyset = set(keys)
+        # Split by tag ONCE per partition, Arrow-side (C++ filter, then one
+        # to_pandas per SIDE — the union frame itself is never converted).
+        # Because the JVM sort is (keys, tag), each side's rows inside a key
+        # group form one contiguous sub-run of that side's frame, located by
+        # an exclusive prefix-sum of the tag mask — O(1) per group per side.
+        # The Arrow filter also makes the dtype story exact: a side's column
+        # leaves the union with its original Arrow type, so to_pandas
+        # restores the input dtype with no astype pass (NULL padding from
+        # other sides is gone before conversion).
+        tags = tbl.column("__tag__").to_numpy()
         sides: list[pd.DataFrame] = []
+        makers: list[Any] = []
         empties: list[pd.DataFrame] = []
-        prefix: list[Any] = []  # side-local exclusive prefix count at pdf pos
+        prefix: list[Any] = []  # side-local exclusive prefix count at tbl pos
         for i in range(n_inputs):
             mask = tags == i
-            src = [
-                (c if c in keyset else f"__in{i}__{c}") for c in in_columns[i]
-            ]
-            f = pdf.loc[mask, src]
-            f.columns = in_columns[i]
-            f = f.reset_index(drop=True)  # once per SIDE, not per group
-            # arrow widened ints/bools to float/object for NULL padding in
-            # the union; restore the input dtype where no nulls remain
-            conv = {}
-            for c in payloads[i]:
-                want = _PD_NUMERIC.get(spark_types[i][c])
-                if want and str(f[c].dtype) != want and not f[c].isna().any():
-                    conv[c] = want
-            if conv:
-                try:
-                    f = f.astype(conv)
-                except (TypeError, ValueError):
-                    for c, want in conv.items():  # rare: per-column fallback
-                        try:
-                            f[c] = f[c].astype(want)
-                        except (TypeError, ValueError):
-                            pass
+            stbl = tbl.filter(pa.array(mask)).select(side_src[i])
+            stbl = stbl.rename_columns(in_columns[i])
+            f = _table_to_pandas(stbl, side_fields[i], tz)
             ex = np.zeros(npart + 1, dtype=np.int64)
             np.cumsum(mask, out=ex[1:])
             sides.append(f)
+            makers.append(_group_frame_maker(f))
             prefix.append(ex)
             empties.append(f.iloc[0:0])
-        batcher = _ResultBatcher(out_cols, "cotransform")
+        batcher = _ArrowResultBatcher(out_cols, arrow_out_schema, "cotransform")
         if cross:
-            frames = [s if len(s) else e for s, e in zip(sides, empties)]
-            out = batcher.add(run(frames, []))
+            out = batcher.add(run(list(sides), []))
             if out is not None:
-                yield out
+                yield from out
         else:
-            _, bounds = _group_bounds(pdf, keys, contiguous=True)
-            karrs = [pdf[k].to_numpy() for k in keys]
+            kpdf = _table_to_pandas(tbl.select(keys), key_fields, tz)
+            _, bounds = _group_bounds(kpdf, keys, contiguous=True)
+            karrs = [kpdf[k].to_numpy() for k in keys] if wants_kv else []
             for a, b in zip(bounds[:-1], bounds[1:]):
                 frames = []
                 for i in range(n_inputs):
                     ex = prefix[i]
                     sa, sb = ex[a], ex[b]
-                    frames.append(sides[i].iloc[sa:sb] if sb > sa else empties[i])
-                kv = [
-                    None if isinstance(v, float) and pd.isna(v) else v
-                    for v in (arr[a] for arr in karrs)
-                ]
+                    frames.append(makers[i](sa, sb) if sb > sa else empties[i])
+                if wants_kv:
+                    kv = [
+                        None if isinstance(v, float) and pd.isna(v) else v
+                        for v in (arr[a] for arr in karrs)
+                    ]
+                else:
+                    kv = _NO_KV
                 out = batcher.add(run(frames, kv))
                 if out is not None:
-                    yield out
+                    yield from out
         out = batcher.flush()
         if out is not None:
-            yield out
+            yield from out
 
-    return combined.mapInPandas(udf, schema=out_schema)
+    return combined.mapInArrow(udf, schema=out_schema)
 
 
 def _infer_keys(dfs: list[DataFrame], spec: PartitionSpec) -> list[str]:
@@ -232,8 +225,9 @@ def cotransform(
         )
 
     presort = spec.presort
+    dummy_cursor = PartitionCursor(keys, [None] * len(keys), 0)
 
-    def run(frames: list[pd.DataFrame], kv: list[Any]) -> Any:
+    def run(frames: "list[pd.DataFrame]", kv: "list[Any] | None") -> Any:
         # returns the RAW user result (dict / DataFrame / iterable) — the
         # _ResultBatcher conforms and batches it; None skips the group
         if how == "inner" and any(len(f) == 0 for f in frames):
@@ -252,8 +246,9 @@ def cotransform(
                 if any(n in f.columns for n in names) else f
                 for f in frames
             ]
-        cursor = PartitionCursor(keys, kv, 0)
-        args = [cursor, *frames] if wants_cursor else frames
-        return using(*args, **kwargs)
+        if wants_cursor:
+            cursor = dummy_cursor if kv is None else PartitionCursor(keys, kv, 0)
+            return using(cursor, *frames, **kwargs)
+        return using(*frames, **kwargs)
 
-    return _union_cotransform(dfs, keys, run, out_schema)
+    return _union_cotransform(dfs, keys, run, out_schema, wants_kv=wants_cursor)

@@ -362,7 +362,14 @@ def q11_transform_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the key, Arrow exchange, no driver involvement)."""
     from fugue_spark.transform import transform
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # project BEFORE the transform: the map engine must shuffle every column
+    # the user function might touch, so carrying 5 columns instead of 16 is
+    # the difference between a 5-col and a 16-col exchange — at 100 TB this
+    # is the whole game (same practice as q12's pre-zip projection)
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_linenumber", "l_quantity"],
+    )
 
     def per_order(pdf):
         import numpy as np
@@ -592,6 +599,54 @@ def q17_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return fa.distinct(fa.select_columns(orders, ["o_orderpriority", "o_orderstatus"]))
+
+
+@register(
+    "q20_transform_arrow_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("transform", "map", "arrow"),
+    bench=True,
+)
+def q20_transform_arrow_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's workload on the Arrow fast path: a ``pa.Table``-annotated
+    function gets a ZERO-COPY slice of the partition's Arrow stream per
+    group — no pandas block construction, no Series boxing. This is the
+    engine's high-throughput transformer form (reference format_hint
+    contract: fugue_spark/execution_engine.py:326-333); benchmarked beside
+    q11 it isolates what the pandas handoff itself costs."""
+    import pyarrow as pa
+
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def per_order(t: pa.Table):
+        import numpy as np
+
+        ep = t.column("l_extendedprice").to_numpy()
+        di = t.column("l_discount").to_numpy()
+        rev_e4 = int(np.round(ep * (1 - di) * 10000).astype("int64").sum())
+        return {
+            "l_orderkey": t.column("l_orderkey")[0].as_py(),
+            "revenue": rev_e4 / 10000.0,
+            "n_lines": t.num_rows,
+        }
+
+    return transform(
+        li,
+        per_order,
+        schema="l_orderkey:long,revenue:double,n_lines:long",
+        partition={"by": ["l_orderkey"]},
+    )
 
 
 @register("q19_sample_seeded", oracle=None, tags=("sample",))

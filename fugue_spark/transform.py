@@ -116,9 +116,44 @@ _IN_PANDAS, _IN_ITER_PANDAS, _IN_ARROW, _IN_ITER_ARROW = "pd", "ipd", "pa", "ipa
 _IN_LISTS, _IN_ITER_LISTS, _IN_DICTS, _IN_ITER_DICTS = "ll", "ill", "ld", "ild"
 
 
+_STR_ANN = {
+    "pd.DataFrame": _IN_PANDAS,
+    "pandas.DataFrame": _IN_PANDAS,
+    "DataFrame": _IN_PANDAS,
+    "pa.Table": _IN_ARROW,
+    "pyarrow.Table": _IN_ARROW,
+    "Table": _IN_ARROW,
+    "List[List[Any]]": _IN_LISTS,
+    "List[Dict[str,Any]]": _IN_DICTS,
+    "List[Dict[str, Any]]": _IN_DICTS,
+}
+
+
 def _classify(ann: Any, default: str) -> str:
     if ann is inspect.Parameter.empty or ann is None or ann is Any:
         return default
+    if isinstance(ann, str):
+        # unresolvable string annotations (PEP 563 with function-local
+        # imports): dispatch on the literal text, as the reference's
+        # annotation registry does for its common forms
+        ann = ann.strip()
+        if ann in _STR_ANN:
+            return _STR_ANN[ann]
+        m = re.fullmatch(r"(?:typing\.)?(Iterable|Iterator|Generator)\[(.+)\]", ann)
+        if m is not None:
+            inner = m.group(2).strip()
+            if inner in ("pd.DataFrame", "pandas.DataFrame", "DataFrame"):
+                return _IN_ITER_PANDAS
+            if inner in ("pa.Table", "pyarrow.Table", "Table"):
+                return _IN_ITER_ARROW
+            if inner.startswith(("Dict", "dict")):
+                return _IN_ITER_DICTS
+            return _IN_ITER_LISTS
+        m = re.fullmatch(r"(?:typing\.)?(?:List|list)\[(.+)\]", ann)
+        if m is not None:
+            inner = m.group(1).strip()
+            return _IN_DICTS if inner.startswith(("Dict", "dict")) else _IN_LISTS
+        raise ValueError(f"unsupported transform annotation {ann!r}")
     origin = typing.get_origin(ann)
     args = typing.get_args(ann)
     if ann is pd.DataFrame:
@@ -307,6 +342,63 @@ def _nan_safe_key_exprs(df: DataFrame, keys: list[str]) -> list:
     return exprs
 
 
+def _needs_pandas_conv(dt: T.DataType) -> bool:
+    """Fields whose ``pyarrow.Table.to_pandas`` output differs from pyspark's
+    mapInPandas conversion semantics (tz localization, map→dict, struct
+    field handling) and need the pyspark converter applied."""
+    return isinstance(dt, (T.TimestampType, T.StructType, T.MapType)) or (
+        isinstance(dt, T.ArrayType) and _needs_pandas_conv(dt.elementType)
+    )
+
+
+def _table_to_pandas(tbl: pa.Table, fields: list, tz: str) -> pd.DataFrame:
+    """One whole-partition Arrow→pandas conversion with pyspark's
+    mapInPandas semantics (serializers.py arrow_to_pandas): date_as_object,
+    nanosecond coercion, and — only for the fields that need it — the
+    pyspark per-column converter (maps become dicts, tz-aware timestamps
+    localize). Converting once per partition instead of once per Arrow
+    batch removes the per-batch conversion + pd.concat the pandas
+    serializer pays, and yields a consolidated frame (fast block slicing).
+    """
+    pdf = tbl.to_pandas(date_as_object=True, coerce_temporal_nanoseconds=True)
+    for i, f in enumerate(fields):
+        if _needs_pandas_conv(f.dataType):
+            from pyspark.sql.pandas.types import _create_converter_to_pandas
+
+            conv = _create_converter_to_pandas(
+                f.dataType,
+                nullable=True,
+                timezone=tz,
+                struct_in_pandas="dict",
+                error_on_duplicated_field_names=True,
+                ndarray_as_list=False,
+            )
+            pdf.isetitem(i, conv(pdf.iloc[:, i]))
+    return pdf
+
+
+def _group_frame_maker(pdf: pd.DataFrame):
+    """Per-group frame factory: a direct BlockManager row-slice — the same
+    zero-copy view ``iloc`` produces, minus the indexing machinery (~40%
+    of per-group cost on small groups). Falls back to ``iloc`` if pandas
+    internals move."""
+    try:
+        mgr = pdf._mgr
+        cols = pdf.columns
+        ridx = pdf.index
+        from_mgr = pd.DataFrame._from_mgr
+        sl = slice(0, 1)
+        from_mgr(mgr.get_slice(sl, axis=1), axes=[cols, ridx[sl]])
+
+        def make(a: int, b: int) -> pd.DataFrame:
+            s = slice(a, b)
+            return from_mgr(mgr.get_slice(s, axis=1), axes=[cols, ridx[s]])
+
+        return make
+    except Exception:  # pragma: no cover - pandas-internals fallback
+        return lambda a, b: pdf.iloc[a:b]
+
+
 def _group_bounds(pdf: pd.DataFrame, keys: list[str], contiguous: bool):
     """Run-length group boundaries over key columns.
 
@@ -387,6 +479,106 @@ class _ResultBatcher:
         if not parts:
             return None
         return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+
+class _ArrowResultBatcher:
+    """Accumulate per-group transformer results and flush as few, large
+    Arrow RecordBatches — no pandas on the output boundary for the common
+    result forms. dict results (the cheap output form) go straight to
+    ``pa.Table.from_pylist`` against the output schema (~4× cheaper than
+    building a pandas frame and letting the serializer re-convert it);
+    pa.Table results are conformed and cast Arrow-side; pandas/iterable
+    results take one ``from_pandas`` per flush.
+
+    Flushing is bounded by buffered rows as well as result count (user
+    functions returning large per-group frames don't multiply peak
+    executor memory). Output row order within a flush groups dict-rows
+    before other results; the engine's output order is unspecified.
+    """
+
+    def __init__(
+        self,
+        out_cols: list[str],
+        arrow_schema: "pa.Schema",
+        name: str,
+        safe_names: "list[str] | None" = None,
+        chunk: int = 1024,
+        row_chunk: int = 65536,
+    ):
+        self.out_cols = out_cols
+        self.schema = arrow_schema  # fields carry the USER-visible names
+        self.safe_names = safe_names  # exec-plan names, if they differ
+        self.name = name
+        self.chunk = chunk
+        self.row_chunk = row_chunk
+        self.dicts: list[dict] = []
+        self.tables: list[pa.Table] = []
+        self.n = 0
+        self.rows = 0
+
+    def _conform_arrow(self, t: pa.Table) -> pa.Table:
+        if t.column_names != self.out_cols:
+            if set(self.out_cols) <= set(t.column_names):
+                t = t.select(self.out_cols)
+            elif len(t.column_names) == len(self.out_cols):
+                t = t.rename_columns(self.out_cols)
+            else:
+                raise ValueError(
+                    f"{self.name}: output columns {t.column_names} do not "
+                    f"match schema {self.out_cols}"
+                )
+        if t.schema != self.schema:
+            t = t.cast(self.schema)
+        return t
+
+    def add(self, res: Any) -> "list[pa.RecordBatch] | None":
+        if res is None:
+            return None
+        if isinstance(res, dict):
+            self.dicts.append(res)
+            self.rows += 1
+        elif isinstance(res, pa.Table):
+            if res.num_rows == 0:
+                return None
+            self.tables.append(self._conform_arrow(res))
+            self.rows += res.num_rows
+        elif isinstance(res, pa.RecordBatch):
+            if res.num_rows == 0:
+                return None
+            self.tables.append(self._conform_arrow(pa.Table.from_batches([res])))
+            self.rows += res.num_rows
+        else:
+            pdf = _conform(_result_to_pandas(res, self.out_cols), self.out_cols, self.name)
+            if len(pdf) == 0:
+                return None
+            self.tables.append(
+                pa.Table.from_pandas(pdf, schema=self.schema, preserve_index=False)
+            )
+            self.rows += len(pdf)
+        self.n += 1
+        if self.n >= self.chunk or self.rows >= self.row_chunk:
+            return self.flush()
+        return None
+
+    def flush(self) -> "list[pa.RecordBatch] | None":
+        if self.n == 0:
+            return None
+        parts = []
+        if self.dicts:
+            parts.append(pa.Table.from_pylist(self.dicts, schema=self.schema))
+            self.dicts = []
+        parts.extend(self.tables)
+        self.tables = []
+        self.n = 0
+        self.rows = 0
+        if not parts:
+            return None
+        out = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        if out.num_rows == 0:
+            return None
+        if self.safe_names is not None:
+            out = out.rename_columns(self.safe_names)
+        return out.to_batches()
 
 
 def transform(
@@ -576,33 +768,83 @@ def transform(
             except err_types:
                 return None
 
-        def grouped_map_udf(it: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_out_schema = to_arrow_schema(out_schema)  # user-visible names
+        batcher_safe = safe_out if rename_out else None
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        in_fields = list(df.schema.fields)  # safe names, orig order/types
+        # arrow-annotated functions on the contiguous path skip pandas
+        # entirely: each group is a zero-copy Table.slice
+        arrow_fast = (
+            not is_class
+            and in_form in (_IN_ARROW, _IN_ITER_ARROW)
+            and contiguous
+            and not presort
+        )
+
+        # class transformers read inst.cursor; bare functions only need the
+        # per-group kv extraction if they declared a cursor parameter —
+        # skipping it (and the PartitionCursor allocation) saves ~5µs/group
+        needs_cursor = is_class or (not is_class and wants_cursor)
+
+        def grouped_arrow_udf(it: "Iterable[pa.RecordBatch]") -> "Iterable[pa.RecordBatch]":
             it = iter(it)
             first = next(it, None)
             if first is None:
                 return
-            pdf = pd.concat(list(itertools.chain([first], it)), ignore_index=True)
-            pdf = _restore_in(pdf)
-            if len(pdf) == 0:
+            tbl = pa.Table.from_batches(list(itertools.chain([first], it)))
+            if tbl.num_rows == 0:
                 return
             maybe_init()
             pno = _partition_no()
-            pdf, bounds = _group_bounds(pdf, keys, contiguous)
-            key_arrays = [pdf[k].values for k in keys]
-            batcher = _ResultBatcher(out_cols, "transform")
-            for a, b in zip(bounds[:-1], bounds[1:]):
+            batcher = _ArrowResultBatcher(
+                out_cols, arrow_out_schema, "transform", safe_names=batcher_safe
+            )
+            shared_cursor = PartitionCursor(keys, [None] * len(keys), pno)
+
+            def cursor_at(a: int, key_arrays: list) -> PartitionCursor:
+                if not needs_cursor:
+                    return shared_cursor
                 kv = [
                     None if isinstance(v, float) and pd.isna(v) else v
                     for v in (arr[a] for arr in key_arrays)
                 ]
-                out = batcher.add(run_raw(pdf.iloc[a:b], PartitionCursor(keys, kv, pno)))
-                if out is not None:
-                    yield _to_safe_out(out)
+                return PartitionCursor(keys, kv, pno)
+
+            if arrow_fast:
+                if rename_in:
+                    tbl = tbl.rename_columns(orig_in)
+                kpdf = tbl.select(keys).to_pandas()
+                _, bounds = _group_bounds(kpdf, keys, contiguous=True)
+                key_arrays = [kpdf[k].values for k in keys]
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    cursor = cursor_at(a, key_arrays)
+                    sub = tbl.slice(a, b - a)
+                    data = sub if in_form == _IN_ARROW else iter([sub])
+                    try:
+                        res = fn(cursor, data, **kwargs) if wants_cursor else fn(data, **kwargs)
+                        out = batcher.add(None if discard_output else res)
+                    except err_types:
+                        out = None
+                    if out is not None:
+                        yield from out
+            else:
+                pdf = _restore_in(_table_to_pandas(tbl, in_fields, tz))
+                pdf, bounds = _group_bounds(pdf, keys, contiguous)
+                make_group = _group_frame_maker(pdf)
+                key_arrays = [pdf[k].values for k in keys] if needs_cursor else []
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    out = batcher.add(
+                        run_raw(make_group(a, b), cursor_at(a, key_arrays))
+                    )
+                    if out is not None:
+                        yield from out
             out = batcher.flush()
             if out is not None:
-                yield _to_safe_out(out)
+                yield from out
 
-        res = df.mapInPandas(grouped_map_udf, schema=exec_schema)
+        res = df.mapInArrow(grouped_arrow_udf, schema=exec_schema)
         return res.toDF(*out_cols) if rename_out else res
 
     # ungrouped: apply per physical partition (coarse) via mapInPandas

@@ -269,6 +269,53 @@ def test_cotransform_validation(spark):
         )
 
 
+def test_transform_grouped_arrow_fast_path(spark):
+    # pa.Table-annotated fn + partition.by → zero-copy per-group Table slice
+    df = make_df(spark, [[1, 10], [1, 20], [2, 5], [3, 7], [3, 9]], "k:int,v:int")
+
+    def agg(t: pa.Table) -> dict:
+        return {
+            "k": t.column("k")[0].as_py(),
+            "s": sum(t.column("v").to_pylist()),
+            "n": t.num_rows,
+        }
+
+    res = fa.transform(df, agg, schema="k:int,s:long,n:long", partition={"by": ["k"]})
+    assert rows(res) == [(1, 30, 2), (2, 5, 1), (3, 16, 2)]
+
+
+def test_transform_grouped_arrow_with_cursor(spark):
+    df = make_df(spark, [[1, 10], [2, 5], [1, 20]], "k:int,v:int")
+
+    def agg(cursor, t: pa.Table) -> dict:
+        return {"k": cursor["k"], "n": t.num_rows}
+
+    res = fa.transform(df, agg, schema="k:int,n:long", partition={"by": ["k"]})
+    assert rows(res) == [(1, 2), (2, 1)]
+
+
+def test_transform_string_annotations(spark):
+    # PEP 563 string annotations with function-local imports must dispatch
+    df = make_df(spark, [[1, 2], [3, 4]], "a:int,b:int")
+
+    def f_pd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf.assign(s=pdf.a + pdf.b)
+
+    assert rows(fa.transform(df, f_pd, schema="*,s:int")) == [(1, 2, 3), (3, 4, 7)]
+
+    def f_pa(t: "pa.Table"):
+        return {"n": t.num_rows}
+
+    # ungrouped transform runs once per physical partition
+    assert sum(r[0] for r in rows(fa.transform(df, f_pa, schema="n:long"))) == 2
+
+    def f_iter(tables: "Iterable[pd.DataFrame]") -> "Iterable[pd.DataFrame]":
+        for t in tables:
+            yield t[t.a > 1]
+
+    assert rows(fa.transform(df, f_iter, schema="*")) == [(3, 4)]
+
+
 def test_transform_iterable_arrow_native_path(spark):
     df = make_df(spark, [[i, float(i)] for i in range(50)], "a:int,b:double")
 
