@@ -20,11 +20,35 @@ or sinks). Here the flag maps onto real Spark streaming:
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style interval string ('10 minutes', '1 hour') to ms."""
+    total = 0
+    for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", interval):
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_UNITS_MS:
+            raise ValueError(f"unsupported interval unit {unit!r} in {interval!r}")
+        total += int(num) * _INTERVAL_UNITS_MS[u]
+    if total <= 0:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    return total
 
 __all__ = [
     "load_stream",
@@ -215,22 +239,56 @@ def stream_dedup_exact(
     df: DataFrame,
     keys: list[str],
     output_mode: str = "append",
+    event_time: "str | None" = None,
+    watermark: str = "10 minutes",
+    state_ttl: "str | None" = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup: emit only the FIRST row seen per key across
-    the whole stream (per-key boolean state via applyInPandasWithState).
-    State is one flag per distinct key — bound it with a watermark +
-    key-expiry timeout in production."""
+    """Streaming exact dedup: emit only the FIRST row seen per key
+    (per-key boolean state via applyInPandasWithState).
+
+    With ``event_time`` set, state is BOUNDED: the event-time column is
+    watermarked and each key's state expires ``state_ttl`` after the
+    newest event seen for that key (EventTimeTimeout — expiry fires when
+    the watermark passes the deadline, and Spark also drops the key's
+    late rows past the watermark). A key that reappears after expiry is
+    re-emitted — the standard bounded-memory dedup tradeoff: on an
+    unbounded stream at 100 TB/day, unexpiring state grows with distinct
+    keys forever; TTL caps it at the keys active within one TTL window.
+
+    Without ``event_time`` state never expires (only safe for bounded
+    backfills).
+    """
     out_schema = df.schema
+    use_ttl = event_time is not None
+    if use_ttl:
+        if state_ttl is None:
+            raise ValueError("state_ttl is required when event_time is set")
+        df = with_event_time(df, event_time, watermark)
+        ttl_ms = _interval_ms(state_ttl)
 
     def first_only(key, pdfs, state):
-        if state.exists:
+        if use_ttl and state.hasTimedOut:
+            # watermark passed this key's deadline: drop the flag
+            state.remove()
             return
+        seen = state.exists
         first_rows = None
+        newest: "int | None" = None
         for pdf in pdfs:
-            if len(pdf):
+            if len(pdf) == 0:
+                continue
+            if first_rows is None and not seen:
                 first_rows = pdf.iloc[:1]
+            if use_ttl:
+                m = pdf[event_time].max()
+                t = int(pd.Timestamp(m).value // 1_000_000)
+                newest = t if newest is None else max(newest, t)
+            elif first_rows is not None:
                 break
-        state.update((True,))
+        if not seen:
+            state.update((True,))
+        if use_ttl and newest is not None:
+            state.setTimeoutTimestamp(newest + ttl_ms)
         if first_rows is not None:
             yield first_rows
 
@@ -239,5 +297,5 @@ def stream_dedup_exact(
         outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode=output_mode,
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout" if use_ttl else "NoTimeout",
     )

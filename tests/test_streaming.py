@@ -184,6 +184,64 @@ def test_stream_dedup_exact(spark):
     assert out.select("user_id", "event_type").distinct().count() == n_pairs
 
 
+def test_stream_dedup_ttl_expires_state(spark, tmp_path):
+    # state for a key is dropped once the watermark passes last-seen + ttl;
+    # the key re-emits when it reappears after expiry
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(fname, rows, mtime):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = str(d / fname)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    h = datetime.timedelta(hours=1)
+    # b1: first sighting of a and b
+    write("001.parquet", [("a", t0), ("b", t0)], 1_000)
+    # b2: filler advances the watermark far past a/b's ttl deadline,
+    # so their state times out (no data for them this batch)
+    write("002.parquet", [("c", t0 + 10 * h)], 2_000)
+    # b3: filler-only batch — expiry fires for keys with no data in the
+    # batch, so a/b's timed-out state is removed here
+    write("003.parquet", [("d", t0 + 11 * h)], 3_000)
+    # b4: a reappears after expiry -> re-emitted; c suppressed (still live)
+    write("004.parquet", [("a", t0 + 12 * h), ("c", t0 + 12 * h)], 4_000)
+
+    stream = fs.load_stream(
+        spark,
+        str(d),
+        format_hint="parquet",
+        schema="k:str,ts:datetime",
+        maxFilesPerTrigger="1",
+    )
+    deduped = fs.stream_dedup_exact(
+        stream,
+        keys=["k"],
+        event_time="ts",
+        watermark="1 minute",
+        state_ttl="1 hour",
+    )
+    out = fs.run_to_memory(deduped, "dedup_ttl_test", output_mode="append").toPandas()
+    got = sorted(zip(out["k"], out["ts"]))
+    assert [k for k, _ in got] == ["a", "a", "b", "c", "d"]
+    # the second 'a' is the post-expiry re-emission
+    a_times = [t for k, t in got if k == "a"]
+    assert min(a_times) == t0 and max(a_times) == t0 + 12 * h
+
+
 def test_load_stream_explicit_schema(spark):
     stream = fs.load_stream(
         spark,
