@@ -11,13 +11,16 @@ from fugue_spark.frame import (
     as_dicts,
     as_pandas,
     drop_columns,
+    get_metadata,
     head,
     peek_dict,
     peek_row,
     persist,
     rename,
     select_columns,
+    set_metadata,
     unpersist,
+    with_metadata,
 )
 from fugue_spark.operators import (
     aggregate,

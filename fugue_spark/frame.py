@@ -29,7 +29,49 @@ __all__ = [
     "as_dicts",
     "persist",
     "unpersist",
+    "get_metadata",
+    "set_metadata",
+    "with_metadata",
 ]
+
+# ---------------------------------------------------------------------------
+# metadata side-car (reference: Dataset.metadata, fugue/dataset/
+# dataset.py:27-43 — a ParamDict attached to the dataset object). Spark
+# DataFrames are immutable plan handles, so the dict lives in a weak-keyed
+# side table and the frame ops in this module propagate it to their output.
+
+import weakref
+
+_METADATA: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
+
+
+def get_metadata(df: DataFrame) -> dict:
+    """The frame's metadata dict (mutable; empty by default)."""
+    md = _METADATA.get(df)
+    if md is None:
+        md = {}
+        _METADATA[df] = md
+    return md
+
+
+def set_metadata(df: DataFrame, metadata: "dict | None") -> DataFrame:
+    """Replace the frame's metadata (reference Dataset.reset_metadata,
+    dataset.py:39-43). Returns ``df`` for chaining."""
+    _METADATA[df] = dict(metadata) if metadata else {}
+    return df
+
+
+def with_metadata(df: DataFrame, **kv: Any) -> DataFrame:
+    """Merge keys into the frame's metadata; returns ``df`` for chaining."""
+    get_metadata(df).update(kv)
+    return df
+
+
+def _carry_metadata(src: DataFrame, out: DataFrame) -> DataFrame:
+    md = _METADATA.get(src)
+    if md:
+        _METADATA[out] = md  # shared dict: one logical dataset, many handles
+    return out
 
 
 def rename(df: DataFrame, columns: dict[str, str]) -> DataFrame:
@@ -39,7 +81,7 @@ def rename(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     new_names = [columns.get(c, c) for c in df.columns]
     if len(set(new_names)) != len(new_names):
         raise ValueError(f"rename produces duplicate columns: {new_names}")
-    return df.toDF(*new_names)
+    return _carry_metadata(df, df.toDF(*new_names))
 
 
 def drop_columns(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -48,14 +90,14 @@ def drop_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         raise ValueError(f"cannot drop missing columns {missing}")
     if len(columns) >= len(df.columns):
         raise ValueError("cannot drop all columns")
-    return df.drop(*columns)
+    return _carry_metadata(df, df.drop(*columns))
 
 
 def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"cannot select missing columns {missing}")
-    return df.select(*[_qcol(c) for c in columns])
+    return _carry_metadata(df, df.select(*[_qcol(c) for c in columns]))
 
 
 def _is_float(dt: T.DataType) -> bool:
@@ -88,13 +130,13 @@ def alter_columns(df: DataFrame, schema: "str | T.StructType") -> DataFrame:
         if _is_float(cur[name]) and not _is_float(target):
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
         cols.append(c.cast(target).alias(name))
-    return df.select(*cols)
+    return _carry_metadata(df, df.select(*cols))
 
 
 def head(df: DataFrame, n: int, columns: "list[str] | None" = None) -> DataFrame:
     if columns is not None:
         df = select_columns(df, columns)
-    return df.limit(n)
+    return _carry_metadata(df, df.limit(n))
 
 
 def peek_row(df: DataFrame) -> tuple:

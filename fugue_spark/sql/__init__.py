@@ -697,7 +697,11 @@ class _Executor:
         return fa.persist(self._get_df(name), lazy=lazy)
 
     def _st_checkpoint(self, c: _Cursor) -> DataFrame:
-        return fa.persist(self._get_df(None))
+        # reference CHECKPOINT = per-run strong (file) checkpoint
+        # (fugue/workflow/workflow.py:908); WEAK CHECKPOINT = persist
+        from fugue_spark.workflow import strong_checkpoint
+
+        return strong_checkpoint(self._get_df(None))
 
     def _st_deterministic(self, c: _Cursor) -> DataFrame:
         c.expect("CHECKPOINT")

@@ -18,6 +18,8 @@ import fugue_spark.api as fa
 __all__ = [
     "set_checkpoint_dir",
     "deterministic_checkpoint",
+    "weak_checkpoint",
+    "strong_checkpoint",
     "save_and_use",
     "assert_eq",
     "assert_not_eq",
@@ -62,6 +64,45 @@ def deterministic_checkpoint(df: DataFrame, namespace: str = "") -> DataFrame:
         df.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, path)
     return spark.read.parquet(path)
+
+
+_RUN_TAG = None
+_STRONG_SEQ = 0
+
+
+def weak_checkpoint(df: DataFrame, lazy: bool = False) -> DataFrame:
+    """Per-run WEAK checkpoint (reference workflow.py:889 ``weak_checkpoint``
+    = engine persist): caches the computed result in executor memory/disk
+    for reuse within this run. Lineage is NOT broken — a lost executor
+    recomputes from the original plan — and nothing survives the session.
+    """
+    return fa.persist(df, lazy=lazy)
+
+
+def strong_checkpoint(df: DataFrame, lazy: bool = False) -> DataFrame:
+    """Per-run STRONG checkpoint (reference workflow.py:908
+    ``strong_checkpoint`` = non-deterministic file checkpoint): materialize
+    to a RUN-SCOPED parquet file and continue from the file, breaking
+    lineage. Unlike :func:`deterministic_checkpoint` the file is keyed by
+    a per-run tag + sequence — never reused across runs (right for
+    nondeterministic or run-specific intermediates in iterative jobs whose
+    lineage would otherwise grow without bound). ``lazy`` skips the eager
+    materialization count (the write itself still runs now — Spark has no
+    deferred write)."""
+    global _RUN_TAG, _STRONG_SEQ
+    if _RUN_TAG is None:
+        import uuid
+
+        _RUN_TAG = uuid.uuid4().hex[:12]
+    _STRONG_SEQ += 1
+    path = os.path.join(
+        _checkpoint_dir(), f"run_{_RUN_TAG}", f"strong_{_STRONG_SEQ}.parquet"
+    )
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    if not lazy:
+        out.count()
+    return out
 
 
 def save_and_use(df: DataFrame, path: str, format_hint: "str | None" = None, **kwargs) -> DataFrame:

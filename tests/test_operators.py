@@ -370,3 +370,27 @@ def test_even_repartition_keeps_null_keys(spark):
     assert got == {(None, 1), (None, 2), (1, 3), (2, 4)}  # NULL group survives
     sizes = [s for s in out.rdd.glom().map(len).collect() if s > 0]
     assert sorted(sizes) == [1, 1, 2]  # NULL keys form their own group
+
+
+def test_frame_metadata_sidecar(spark):
+    # reference Dataset.metadata (fugue/dataset/dataset.py:27-43): a dict
+    # attached to the frame; our frame ops propagate it to their output
+    df = make_df(spark, [[1, "x"], [2, "y"]], "a:int,b:str")
+    assert fa.get_metadata(df) == {}
+    fa.with_metadata(df, source="unit", version=3)
+    assert fa.get_metadata(df) == {"source": "unit", "version": 3}
+
+    renamed = fa.rename(df, {"a": "aa"})
+    assert fa.get_metadata(renamed) == {"source": "unit", "version": 3}
+    selected = fa.select_columns(renamed, ["aa"])
+    assert fa.get_metadata(selected)["source"] == "unit"
+    altered = fa.alter_columns(selected, "aa:long")
+    assert fa.get_metadata(altered)["version"] == 3
+    limited = fa.head(altered, 1)
+    assert fa.get_metadata(limited)["source"] == "unit"
+
+    # reset replaces; an unrelated frame stays empty
+    fa.set_metadata(df, {"fresh": True})
+    assert fa.get_metadata(df) == {"fresh": True}
+    other = make_df(spark, [[9]], "z:int")
+    assert fa.get_metadata(other) == {}

@@ -298,6 +298,54 @@ def test_deterministic_checkpoint_statement(spark, tmp_path):
     assert len(ckpts) == 1
 
 
+def test_checkpoint_kinds_semantics(spark, tmp_path):
+    # the three checkpoint kinds (reference workflow.py:889/908 +
+    # _checkpoint.py): weak = persist (lineage intact, nothing on disk);
+    # strong = run-scoped file (lineage broken, NOT reused across calls);
+    # deterministic = plan-keyed file (reused for the same plan)
+    import contextlib
+    import io
+
+    from fugue_spark.workflow import (
+        deterministic_checkpoint,
+        set_checkpoint_dir,
+        strong_checkpoint,
+        weak_checkpoint,
+    )
+
+    set_checkpoint_dir(str(tmp_path))
+    df = spark.createDataFrame([[1], [2]], parse_schema("x:long"))
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("extended")
+        return buf.getvalue()
+
+    # weak: no files written, lineage (original LocalRelation/scan) intact
+    w = weak_checkpoint(df)
+    assert os.listdir(str(tmp_path)) == []
+    assert "InMemoryRelation" in plan_of(w) or "InMemoryTableScan" in plan_of(w)
+
+    # strong: breaks lineage to a run-scoped parquet; a second call on the
+    # SAME plan writes a NEW file (no cross-call reuse)
+    s1 = strong_checkpoint(df)
+    s2 = strong_checkpoint(df)
+    assert rows(s1) == [(1,), (2,)] and rows(s2) == [(1,), (2,)]
+    run_dirs = [f for f in os.listdir(str(tmp_path)) if f.startswith("run_")]
+    assert len(run_dirs) == 1
+    strongs = os.listdir(os.path.join(str(tmp_path), run_dirs[0]))
+    assert len(strongs) == 2
+    assert "parquet" in plan_of(s1).lower() and "InMemoryRelation" not in plan_of(s1)
+
+    # deterministic: same plan -> ONE file, second call reloads it
+    d1 = deterministic_checkpoint(df)
+    d2 = deterministic_checkpoint(df)
+    assert rows(d1) == [(1,), (2,)] and rows(d2) == [(1,), (2,)]
+    ckpts = [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")]
+    assert len(ckpts) == 1
+
+
 def test_module_statement(spark):
     def double_and_filter(spark_, df, min_x=0):
         return df.selectExpr("x * 2 AS x").where(f"x >= {min_x}")
