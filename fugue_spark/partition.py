@@ -28,6 +28,28 @@ from pyspark.sql import functions as F
 
 __all__ = ["PartitionSpec", "parse_presort", "apply_partition_spec"]
 
+
+def _nan_safe_key_exprs(df: DataFrame, keys: "list[str]") -> list:
+    """Partition/sort expressions that treat float NaN and NULL as ONE key.
+
+    pandas cannot distinguish them (both are NaN in a float64 column) so the
+    map engines group them together — but the JVM sorts NULL first and NaN
+    last, which would leave two non-adjacent runs that normalize to the SAME
+    key tuple: the user function would run twice for that key and one run's
+    rows could be dropped. Normalizing NaN→NULL in the exchange/sort keys
+    (never in the data columns) makes the runs adjacent and co-partitioned.
+    """
+    from pyspark.sql import types as T
+
+    exprs = []
+    for k in keys:
+        dt = df.schema[k].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            exprs.append(F.nanvl(F.col(k), F.lit(None).cast(dt)))
+        else:
+            exprs.append(F.col(k))
+    return exprs
+
 ROWCOUNT = "ROWCOUNT"
 CONCURRENCY = "CONCURRENCY"
 
@@ -151,8 +173,14 @@ def _even_repartition(df: DataFrame, num: int, by: list[str]) -> DataFrame:
             .map(lambda pair: pair[1])
         )
         return spark.createDataFrame(rdd, schema)
-    # keyed: assign each distinct key tuple an index, then round-robin groups
-    keys = df.select(*by).distinct()
+    # keyed: assign each distinct key tuple an index, then round-robin
+    # groups. Keys are NaN-normalized (NaN→NULL) for BOTH the distinct and
+    # the join below: the JVM treats NaN and NULL as different keys but the
+    # pandas map engines cannot, so they must share one gid/partition.
+    norm_keys = [
+        e.alias(k) for e, k in zip(_nan_safe_key_exprs(df, by), by)
+    ]
+    keys = df.select(*norm_keys).distinct()
     key_schema = keys.schema
     indexed = keys.rdd.zipWithIndex().map(
         lambda pair: tuple(pair[0]) + (pair[1],)
@@ -170,8 +198,9 @@ def _even_repartition(df: DataFrame, num: int, by: list[str]) -> DataFrame:
     # null-safe equality: rows whose key contains NULL still get a gid
     # (a plain `on=by` inner join silently drops them)
     cond = None
-    for i, k in enumerate(by):
-        c = df[k].eqNullSafe(key_df[f"__fugue_k{i}__"])
+    left_norm = _nan_safe_key_exprs(df, by)
+    for i, e in enumerate(left_norm):
+        c = e.eqNullSafe(key_df[f"__fugue_k{i}__"])
         cond = c if cond is None else (cond & c)
     joined = df.join(key_df, on=cond, how="inner").drop(
         *[f"__fugue_k{i}__" for i in range(len(by))]
@@ -198,7 +227,19 @@ def apply_partition_spec(df: DataFrame, spec: "PartitionSpec | None") -> DataFra
             df = df.repartition(num)
     elif algo == "rand":
         n = num if num > 0 else df.rdd.getNumPartitions()
-        df = df.repartition(n, F.rand(0))
+        if spec.by:
+            # randomized placement of whole KEY GROUPS: hashing the
+            # (NaN-normalized) keys with a per-plan salt keeps each group in
+            # one partition — plain repartition(rand()) would scatter rows
+            # of the same group across partitions and break grouped maps
+            import random
+
+            salt = random.randint(0, 2**31 - 1)
+            df = df.repartition(
+                n, F.hash(*_nan_safe_key_exprs(df, spec.by), F.lit(salt))
+            )
+        else:
+            df = df.repartition(n, F.rand(0))
     elif algo == "even":
         df = _even_repartition(df, num, spec.by)
     # coarse: leave physical layout untouched

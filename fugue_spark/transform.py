@@ -36,7 +36,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from fugue_spark.partition import PartitionSpec, apply_partition_spec
+from fugue_spark.partition import (
+    PartitionSpec,
+    _nan_safe_key_exprs,
+    apply_partition_spec,
+)
 from fugue_spark.schema import apply_schema_hint, is_schema_hint, parse_schema
 
 __all__ = ["transform", "out_transform", "PartitionCursor", "Transformer"]
@@ -320,26 +324,6 @@ def _sort_pandas(pdf: pd.DataFrame, presort: list[tuple[str, bool]]) -> pd.DataF
     )
 
 
-def _nan_safe_key_exprs(df: DataFrame, keys: list[str]) -> list:
-    """Partition/sort expressions that treat float NaN and NULL as ONE key.
-
-    pandas cannot distinguish them (both are NaN in a float64 column) so the
-    map engines group them together — but the JVM sorts NULL first and NaN
-    last, which would leave two non-adjacent runs that normalize to the SAME
-    key tuple: the user function would run twice for that key and one run's
-    rows could be dropped. Normalizing NaN→NULL in the exchange/sort keys
-    (never in the data columns) makes the runs adjacent and co-partitioned.
-    """
-    from pyspark.sql import functions as F
-
-    exprs = []
-    for k in keys:
-        dt = df.schema[k].dataType
-        if isinstance(dt, (T.FloatType, T.DoubleType)):
-            exprs.append(F.nanvl(F.col(k), F.lit(None).cast(dt)))
-        else:
-            exprs.append(F.col(k))
-    return exprs
 
 
 def _needs_pandas_conv(dt: T.DataType) -> bool:
@@ -601,6 +585,12 @@ def transform(
     ``Iterable[pd.DataFrame]`` annotation it sees Arrow-sized batches and
     can stream, so worker memory is bounded by batch size, not partition
     size.
+
+    Group-frame contract: frames handed to the function are zero-copy
+    slices of the partition block, so their index is a non-zero-based
+    RangeIndex — use POSITIONAL access (``.iloc``, ``.values``), not label
+    access (``.loc[0]``, ``df['x'][0]``). ``reset_index(drop=True)`` inside
+    the function if labels are needed.
     """
     spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
     fn, comment_schema, is_class = _resolve_fn(using)

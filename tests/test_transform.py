@@ -269,6 +269,29 @@ def test_cotransform_validation(spark):
         )
 
 
+def test_transform_nan_null_float_keys_one_group(spark):
+    # float NaN and NULL partition keys are ONE key to pandas; every
+    # partition algo must co-locate them so the fn runs once for that key
+    import math
+
+    data = [[1.0, 1], [1.0, 2], [None, 3], [math.nan, 4], [2.0, 5]]
+    df = spark.createDataFrame(data, parse_schema("k:double,v:int")).repartition(4)
+
+    def agg(pdf: pd.DataFrame) -> dict:
+        return {"n": len(pdf), "s": int(pdf.v.sum())}
+
+    for algo in ("default", "even", "rand"):
+        res = fa.transform(
+            df,
+            agg,
+            schema="n:long,s:long",
+            partition={"by": ["k"], "algo": algo, "num": 4},
+        )
+        got = sorted(rows(res))
+        # 3 logical keys: 1.0, 2.0, and the merged NaN/NULL group
+        assert got == [(1, 5), (2, 3), (2, 7)], f"algo={algo}: {got}"
+
+
 def test_transform_grouped_arrow_fast_path(spark):
     # pa.Table-annotated fn + partition.by → zero-copy per-group Table slice
     df = make_df(spark, [[1, 10], [1, 20], [2, 5], [3, 7], [3, 9]], "k:int,v:int")
