@@ -397,14 +397,24 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: "int | None" = 1000,
+    n_chunks: int = _SIMHASH_CHUNKS,
 ) -> DataFrame:
     """SimHash near-dup pairs: per-row simhash (map-only vectorized pandas
-    UDF), 16-bit chunk banding (hamming ≤ 3 over 4 chunks ⇒ some chunk
-    matches exactly), popcount verify. Chunk buckets larger than
-    ``max_bucket_size`` are dropped before the self-join (same quadratic
-    guard as the MinHash band join; byte-identical clusters belong to
-    :func:`dedup_exact`). Output: id_a, id_b, hamming.
+    UDF), chunk banding, popcount verify.
+
+    ``n_chunks`` (divisor of 64) is the recall/bucket-size knob: by
+    pigeonhole, a pair with hamming < n_chunks ALWAYS shares a chunk, so
+    candidate capture is guaranteed up to n_chunks-1 and probabilistic
+    beyond. More chunks ⇒ fewer bits per bucket key ⇒ denser buckets —
+    at corpus scale keep n_chunks small (default 4 × 16-bit) and let
+    ``max_bucket_size`` drop degenerate buckets before the self-join
+    (byte-identical clusters belong to :func:`dedup_exact`).
+    Output: id_a, id_b, hamming.
     """
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    chunk_bits = 64 // n_chunks
+    chunk_mask = (1 << chunk_bits) - 1
     sim_udf = F.pandas_udf(_simhash_batch, "long")
     s = df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh"))
     chunks = s.select(
@@ -415,9 +425,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                        F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("ch"),
                     )
-                    for c in range(_SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -152,9 +152,14 @@ def p4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
-@register(
-    "p5_ngram_jaccard_pairs",
-    oracle=f"""
+# exact 3-gram Jaccard pairs at threshold 0.5 — the oracle for BOTH p5
+# (which computes it exactly) and p6 (MinHash+LSH with exact verify: the
+# output is provably ⊆ exact pairs, and band capture at the corpus's
+# pair-similarity floor (j ≥ 0.80 ⇒ capture ≥ 99.98%/pair) plus
+# DETERMINISTIC seeded hashes make it value-identical to exact on the
+# fixed test corpora — confirmed at sf0.001/0.01/0.1, same posture as
+# p8's full-recall LSH oracle)
+_JACCARD_PAIRS_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id AS id, n_sh, g FROM (
         SELECT doc_id,
@@ -171,7 +176,12 @@ def p4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
     GROUP BY a.id, b.id
     HAVING CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) >= 5000
-    """,
+    """
+
+
+@register(
+    "p5_ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
     tags=("dedup", "jaccard"),
     bench=True,
 )
@@ -181,19 +191,81 @@ def p5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
 
 
-@register("p6_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"), bench=True)
+@register(
+    "p6_minhash_lsh_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
 def p6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with exact verify — non-SQL-expressible
-    (xxhash64 signatures); tests assert output ⊆ exact-Jaccard pairs."""
+    """MinHash+LSH near-dup pairs with exact verify.
+
+    Value-checked against the EXACT-Jaccard oracle: the exact-verify stage
+    makes the output ⊆ exact pairs, and on the test corpora (pair floor
+    j ≥ 0.80, 16 bands × r=4 ⇒ per-pair capture ≥ 99.98%, deterministic
+    seeded hashes) LSH captures every exact pair — confirmed equal at
+    sf0.001/0.01/0.1; tests also keep the ⊆ + recall assertions."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16, n=3)
 
 
 @register("p7_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
 def p7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits) — non-SQL-expressible."""
+    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits) over the organic
+    corpus — hamming values are hash-dependent, so no SQL oracle here;
+    p14 value-checks the same operator on a planted corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=12)
+
+
+@register(
+    "p14_simhash_planted_pairs",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+    FROM documents WHERE doc_id < 200
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "planted"),
+)
+def p14_simhash_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash value-check on a PLANTED corpus (the oracle for the
+    operator p7 runs organically).
+
+    Every token of each base doc is prefixed with its doc_id, so distinct
+    docs share NO tokens and their simhashes are independent 64-bit draws
+    (pairwise hamming ~32±4, nowhere near the threshold); each planted
+    near-copy appends two fresh tokens to one base doc (jaccard ≈ 0.96 ⇒
+    hamming ≤ 11 observed). n_chunks=16 makes candidate capture GUARANTEED
+    to hamming 15 (pigeonhole), so at max_hamming=13 the output is
+    EXACTLY the (base, planted) pairs — deterministic (fixed-key
+    siphash; unrelated floor is hamming 15), and the oracle is a pure id
+    projection. Checks both recall (every planted pair found) and
+    precision (no unrelated pair sneaks under the bar) with
+    value-checked rows."""
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    pref = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+                lambda w: F.concat(F.lit("d"), did, F.lit("_"), w),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    planted = pref.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" d"), did, F.lit("_x1 d"), did, F.lit("_x2")
+        ).alias("text"),
+    )
+    corpus = pref.unionByName(planted)
+    return (
+        simhash_pairs(corpus, max_hamming=13, n_chunks=16)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
