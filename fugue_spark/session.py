@@ -22,6 +22,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for createDataFrame/toPandas and all pandas-UDF exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64k-row Arrow batches (Spark default 10k): the map engine consumes
+    # whole partitions, so fewer batch boundaries = less IPC overhead
+    # (−10-17% on arrow-path transforms at sf1). Tradeoff: per-batch memory
+    # is row-count-bounded — lower this for very wide rows (large media
+    # blobs) on memory-tight executors.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Deterministic timestamps regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
     # Self-describing parquet timestamps.
