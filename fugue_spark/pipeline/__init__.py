@@ -4,8 +4,10 @@ analysis, multimodal columns."""
 
 from fugue_spark.pipeline.dedup import (
     dedup_exact,
+    dedup_near,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_pairs,
 )

@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "near_dup_clusters",
+    "dedup_near",
 ]
 
 
@@ -454,4 +456,74 @@ def simhash_pairs(
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    (id, cluster) where cluster = the MIN id in the component.
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbors; converged when no label
+    changes. Pure DataFrame ops — one equi-join + groupBy per round, no
+    driver-side graph. Lineage is cut per round (localCheckpoint) so the
+    plan stays flat. Rounds needed = graph diameter; near-dup components
+    are small and dense (diameter ≲ 5), so this converges in a few rounds
+    — for adversarially long chains at corpus scale, swap in a
+    star-contraction CC; the per-round plan shape here is the same.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("cluster").alias("nc")),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbc"))
+        )
+        new = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbc"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: keep one survivor per connected component of
+    the pair graph (the MIN id — deterministic across engines and runs),
+    plus every row in no pair. The standard final stage of a
+    MinHash/SimHash dedup pipeline: ``dedup_near(docs,
+    minhash_lsh_pairs(docs))``. The anti-join ships only ids."""
+    losers = near_dup_clusters(pairs).filter(F.col("cluster") != F.col("id")).select("id")
+    return df.join(
+        losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
     )

@@ -17,6 +17,7 @@ from fugue_spark.pipeline import (
     as_media,
     cosine_topk_bruteforce,
     dedup_exact,
+    dedup_near,
     extract_features,
     minhash_lsh_pairs,
     near_duplicates_lsh,
@@ -265,6 +266,46 @@ def p14_simhash_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs(corpus, max_hamming=13, n_chunks=16)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "p15_near_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    losers AS (
+      SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+      WHERE id != cluster
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "cluster", "cc"),
+)
+def p15_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: pair generation (exact Jaccard ≥ 0.5) →
+    connected components (iterative min-label propagation, pure DataFrame
+    rounds) → keep the min-id survivor per component. The standard final
+    stage of a corpus dedup pipeline; the oracle recomputes the components
+    with a recursive CTE, so transitive chains (a~b~c with a≁c) are
+    value-checked, not just direct pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return (
+        dedup_near(docs, pairs, id_col="doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     )
 
 

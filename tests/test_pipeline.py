@@ -243,3 +243,21 @@ def test_neardup_quadratic_guard(spark, emb):
         near_duplicates_by_embedding(big.limit(20), threshold=0.4, allow_quadratic=True)
     finally:
         sim._QUADRATIC_GUARD_ROWS = orig
+
+
+def test_near_dup_clusters_and_dedup_near(spark):
+    from fugue_spark.pipeline import dedup_near, near_dup_clusters
+    from fugue_spark.schema import parse_schema
+
+    # graph: 1-2, 2-3 (chain -> one component {1,2,3}), 5-6, singleton 9
+    pairs = spark.createDataFrame(
+        [[1, 2], [2, 3], [5, 6]], parse_schema("id_a:long,id_b:long")
+    )
+    cl = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [[i, f"t{i}"] for i in [1, 2, 3, 5, 6, 9]], parse_schema("doc_id:long,text:str")
+    )
+    kept = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
+    assert kept == [1, 5, 9]  # component minima + untouched singleton
