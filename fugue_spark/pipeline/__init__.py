@@ -25,6 +25,7 @@ from fugue_spark.pipeline.similarity import (
     near_duplicates_lsh,
 )
 from fugue_spark.pipeline.text import (
+    assign_pack_bins,
     with_fingerprint,
     with_lang_id,
     with_quality_score,

@@ -8,7 +8,7 @@ Python in the hot path), so it runs at scan speed on any data volume.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -120,3 +120,33 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     engine-portable; xxhash64 is the cheaper Spark-only alternative."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def assign_pack_bins(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_by: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document the index of
+    the fixed-token-budget training sequence its first token lands in.
+
+    ``bin = floor(exclusive_running_sum(tokens) / budget)`` over a
+    DETERMINISTIC order — exactly the document→sequence mapping of the
+    standard "concatenate the corpus, split every ``budget`` tokens"
+    pretraining packer (documents may straddle a boundary; their START
+    position defines the bin). With ``by`` (e.g. language or shard) the
+    running sum restarts per group and each group packs in parallel —
+    that is also the 100 TB posture: a global (unpartitioned) order is a
+    single-partition window sort, fine for one shard, wrong for a whole
+    corpus, so shard first and pack per shard.
+
+    Output: input columns + ``pack_bin`` (long).
+    """
+    w = Window.orderBy(F.col(order_by)) if not by else Window.partitionBy(*by).orderBy(F.col(order_by))
+    w = w.rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_bin", F.floor(start / F.lit(int(budget))).cast("long")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fugue_spark.benchmarks import load_table, register
 from fugue_spark.pipeline import (
     as_media,
+    assign_pack_bins,
     cosine_topk_bruteforce,
     dedup_exact,
     dedup_near,
@@ -307,6 +308,40 @@ def p15_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "p16_sequence_packing",
+    oracle="""
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 2048) AS BIGINT) AS pack_bin
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\\S+')) AS n_tok
+      FROM documents
+    )
+    ORDER BY lang, doc_id
+    """,
+    tags=("text", "packing"),
+)
+def p16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language running token total
+    over a deterministic order assigns each doc the 2048-token training
+    sequence its first token lands in (assign_pack_bins). Per-group
+    windows pack shards in parallel — the 100 TB posture (a global order
+    would be a single-partition sort)."""
+    docs = with_token_stats(load_table(spark, sf_dir, "documents"))
+    packed = assign_pack_bins(
+        docs.select("doc_id", "lang", F.col("n_ws_tokens").alias("n_tok")),
+        budget=2048,
+        token_col="n_tok",
+        order_by="doc_id",
+        by=["lang"],
+    )
+    return packed.select("doc_id", "lang", "n_tok", "pack_bin").orderBy("lang", "doc_id")
 
 
 @register(

@@ -261,3 +261,20 @@ def test_near_dup_clusters_and_dedup_near(spark):
     )
     kept = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
     assert kept == [1, 5, 9]  # component minima + untouched singleton
+
+
+def test_assign_pack_bins(spark):
+    from fugue_spark.pipeline import assign_pack_bins
+    from fugue_spark.schema import parse_schema
+
+    # budget 10, one group: tokens 4,4,4 -> starts 0,4,8 -> bins 0,0,0;
+    # then 5 -> start 12 -> bin 1; second group restarts at 0
+    rows = [["a", 1, 4], ["a", 2, 4], ["a", 3, 4], ["a", 4, 5], ["b", 1, 25]]
+    df = spark.createDataFrame(rows, parse_schema("g:str,i:long,tok:long"))
+    out = assign_pack_bins(df, budget=10, token_col="tok", order_by="i", by=["g"])
+    got = {(r.g, r.i): r.pack_bin for r in out.collect()}
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1, ("b", 1): 0}
+    # ungrouped: single global order
+    out2 = assign_pack_bins(df.filter("g = 'a'"), budget=8, token_col="tok", order_by="i")
+    got2 = {r.i: r.pack_bin for r in out2.collect()}
+    assert got2 == {1: 0, 2: 0, 3: 1, 4: 1}
