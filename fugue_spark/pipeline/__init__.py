@@ -26,6 +26,7 @@ from fugue_spark.pipeline.similarity import (
 )
 from fugue_spark.pipeline.text import (
     assign_pack_bins,
+    corpus_stats,
     with_fingerprint,
     with_lang_id,
     with_quality_score,

@@ -150,3 +150,35 @@ def assign_pack_bins(
     return df.withColumn(
         "pack_bin", F.floor(start / F.lit(int(budget))).cast("long")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    value_col: str,
+    by: "list[str] | None" = None,
+    quantiles: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group distribution stats of a numeric column: count, sum, and
+    quantiles — the length/token histogram every corpus-curation pass
+    starts from.
+
+    ``approx=False`` uses Spark's exact ``percentile`` (per-group sort —
+    fine up to millions of rows per group, and linearly interpolated
+    identically to DuckDB's ``quantile_cont``, so it is differential-gate
+    exact). ``approx=True`` switches to ``approx_percentile`` (t-digest
+    sketch, one pass, mergeable map-side) — the 100 TB path where a
+    per-group sort of raw values is the wrong plan.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col)).alias("total"),
+    ] + [
+        F.expr(
+            f"CAST(FLOOR({fn}({value_col}, {q}) * 100) AS BIGINT)"
+        ).alias(f"p{int(q * 100)}_e2")
+        for q in quantiles
+    ]
+    g = df.groupBy(*by) if by else df.groupBy()
+    return g.agg(*aggs)

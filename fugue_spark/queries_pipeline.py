@@ -16,6 +16,7 @@ from fugue_spark.benchmarks import load_table, register
 from fugue_spark.pipeline import (
     as_media,
     assign_pack_bins,
+    corpus_stats,
     cosine_topk_bruteforce,
     dedup_exact,
     dedup_near,
@@ -342,6 +343,27 @@ def p16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["lang"],
     )
     return packed.select("doc_id", "lang", "n_tok", "pack_bin").orderBy("lang", "doc_id")
+
+
+@register(
+    "p17_corpus_length_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total,
+           CAST(FLOOR(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_e2,
+           CAST(FLOOR(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_e2,
+           CAST(FLOOR(quantile_cont(n_chars, 0.99) * 100) AS BIGINT) AS p99_e2
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "stats", "quantile"),
+)
+def p17_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution (corpus_stats): count, total, and
+    exact linear-interpolated quantiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically, so the gate is value-exact.
+    ``approx=True`` (t-digest, mergeable one-pass sketch) is the 100 TB
+    path, recall-tested in pytest instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs, "n_chars", by=["lang"]).orderBy("lang")
 
 
 @register(

@@ -278,3 +278,18 @@ def test_assign_pack_bins(spark):
     out2 = assign_pack_bins(df.filter("g = 'a'"), budget=8, token_col="tok", order_by="i")
     got2 = {r.i: r.pack_bin for r in out2.collect()}
     assert got2 == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_corpus_stats_exact_and_approx(spark):
+    from fugue_spark.pipeline import corpus_stats
+    from fugue_spark.schema import parse_schema
+
+    rows = [["a", float(i)] for i in range(1, 101)] + [["b", 5.0], ["b", 15.0]]
+    df = spark.createDataFrame(rows, parse_schema("g:str,v:double"))
+    out = {r.g: r for r in corpus_stats(df, "v", by=["g"], quantiles=(0.5,)).collect()}
+    assert out["a"].n == 100 and out["a"].total == 5050.0
+    assert out["a"].p50_e2 == 5050  # linear interpolation between 50 and 51
+    assert out["b"].p50_e2 == 1000
+    # approx path: same schema, near-exact on small groups
+    ap = {r.g: r for r in corpus_stats(df, "v", by=["g"], quantiles=(0.5,), approx=True).collect()}
+    assert abs(ap["a"].p50_e2 - 5050) <= 100
