@@ -30,6 +30,7 @@ from fugue_spark.operators import (
     dropna,
     fillna,
     filter,
+    hash_sample,
     intersect,
     join,
     sample,

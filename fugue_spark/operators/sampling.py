@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from fugue_spark.partition import PartitionSpec, parse_presort
 
-__all__ = ["sample", "take"]
+__all__ = ["sample", "take", "hash_sample"]
 
 
 def sample(
@@ -83,3 +83,38 @@ def take(
         .filter(F.col("__fugue_rn__") <= n)
         .drop("__fugue_rn__")
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_cols: "list[str]",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Deterministic, engine-reproducible sampling: keep a row iff the md5
+    of its key is below ``rate`` of the hash space (hex-string compare —
+    md5 is identical everywhere, so the same subset falls out of Spark,
+    DuckDB, or anything else, forever).
+
+    Unlike ``sample`` (per-run RNG), this is the curation tool: keyed on a
+    stable id it yields reproducible corpus subsets; keyed on a GROUP
+    column (user_id, domain) it keeps or drops whole groups together —
+    leak-free train/eval splits. Map-only, no shuffle, scan speed.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if not key_cols:
+        raise ValueError("hash_sample needs at least one key column")
+    # threshold = rate of the 128-bit space, as a 32-hex-digit string; the
+    # DECIMAL rate is interpreted exactly (Fraction of its repr) so the
+    # contract — and any external reimplementation — doesn't inherit
+    # binary-float quirks: rate=0.1 is exactly 2^128/10
+    from fractions import Fraction
+
+    fr = Fraction(repr(rate))
+    t = ((1 << 128) * fr.numerator) // fr.denominator
+    if t >= (1 << 128):
+        return df
+    thr = format(t, "032x")
+    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.md5(key) < F.lit(thr))

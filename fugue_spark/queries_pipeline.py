@@ -367,6 +367,28 @@ def p17_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p18_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999999999999999999999999999'
+    ORDER BY doc_id
+    """,
+    tags=("sample", "deterministic"),
+)
+def p18_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample keyed on doc_id (hash_sample): md5 is
+    identical in every engine, so the SAME subset falls out of Spark and
+    DuckDB — reproducible corpus subsets and leak-free keyed splits,
+    value-checked (unlike q19's per-engine RNG sample)."""
+    import fugue_spark.api as fa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fa.hash_sample(docs, 0.1, ["doc_id"]).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+@register(
     "p8_embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -394,3 +394,23 @@ def test_frame_metadata_sidecar(spark):
     assert fa.get_metadata(df) == {"fresh": True}
     other = make_df(spark, [[9]], "z:int")
     assert fa.get_metadata(other) == {}
+
+
+def test_hash_sample_deterministic_and_keyed(spark):
+    df = make_df(spark, [[i, i % 7] for i in range(1000)], "id:long,grp:long")
+    a = sorted(r.id for r in fa.hash_sample(df, 0.2, ["id"]).collect())
+    b = sorted(r.id for r in fa.hash_sample(df, 0.2, ["id"]).collect())
+    assert a == b and 100 < len(a) < 320  # deterministic, ~20%
+    # nested rates: lower-rate sample is a subset of higher-rate sample
+    c = sorted(r.id for r in fa.hash_sample(df, 0.05, ["id"]).collect())
+    assert set(c) <= set(a)
+    # group-keyed: every group wholly in or wholly out
+    g = fa.hash_sample(df, 0.5, ["grp"]).groupBy("grp").count().collect()
+    kept = {r.grp: r["count"] for r in g}
+    full = {r.grp: r["count"] for r in df.groupBy("grp").count().collect()}
+    for grp, n in kept.items():
+        assert n == full[grp]
+    with pytest.raises(ValueError):
+        fa.hash_sample(df, 1.5, ["id"])
+    assert fa.hash_sample(df, 1.0, ["id"]).count() == 1000
+    assert fa.hash_sample(df, 0.0, ["id"]).count() == 0
