@@ -348,7 +348,7 @@ def p16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p17_corpus_length_stats",
     oracle="""
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total,
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total,
            CAST(FLOOR(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_e2,
            CAST(FLOOR(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_e2,
            CAST(FLOOR(quantile_cont(n_chars, 0.99) * 100) AS BIGINT) AS p99_e2

@@ -357,3 +357,28 @@ def test_transform_iterable_arrow_native_path(spark):
     with contextlib.redirect_stdout(buf):
         res.explain("simple")
     assert "Arrow" in buf.getvalue() or "MapInArrow" in buf.getvalue()
+
+
+def test_grouped_transform_plan_shape(spark):
+    # lock the engine's physical shape: grouped transform = ONE hash
+    # exchange on the keys + JVM sort + MapInArrow (no applyInPandas
+    # round-trips, no extra exchange after the python stage)
+    from fugue_spark.plans import physical_plan
+
+    df = make_df(spark, [[1, 2], [1, 3], [2, 4]], "k:int,v:int")
+
+    def agg(pdf: pd.DataFrame) -> dict:
+        return {"k": int(pdf.k.iloc[0]), "s": int(pdf.v.sum())}
+
+    res = fa.transform(df, agg, schema="k:int,s:long", partition={"by": ["k"]})
+    plan = physical_plan(res, "simple")
+    assert "MapInArrow" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hash_sample_plan_is_map_only(spark):
+    from fugue_spark.plans import has_exchange
+
+    df = make_df(spark, [[i] for i in range(100)], "id:long")
+    assert not has_exchange(fa.hash_sample(df, 0.5, ["id"]))
