@@ -92,10 +92,16 @@ def load_stream(
         reader = reader.option(k, v)
     df = reader.load(path)
     if ts_nanos_col is not None:
-        df = df.withColumn(
-            ts_nanos_col,
-            F.timestamp_micros(F.expr(f"{ts_nanos_col} div 1000")).cast("timestamp_ntz"),
-        )
+        from pyspark.sql import types as T
+
+        dt = df.schema[ts_nanos_col].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            conv = F.col(ts_nanos_col).cast("timestamp_ntz")
+        else:  # integer epoch-nanos column
+            conv = F.timestamp_micros(F.expr(f"{ts_nanos_col} div 1000")).cast(
+                "timestamp_ntz"
+            )
+        df = df.withColumn(ts_nanos_col, conv)
     return df
 
 
