@@ -361,23 +361,103 @@ def _table_to_pandas(tbl: pa.Table, fields: list, tz: str) -> pd.DataFrame:
     return pdf
 
 
+class _LazyColCache(dict):
+    """Drop-in ``DataFrame._item_cache`` that builds column Series lazily as
+    zero-copy slices of the PARENT partition frame's column managers.
+
+    pandas' own column access (``pdf.x`` / ``pdf['x']``) goes
+    ``__getattr__ → __getitem__ → _get_item_cache → _ixs → _box_col_values``
+    — ~50µs per cold access, which dominates small-group transformer
+    workloads (75% of worker CPU on the q11 profile). ``_get_item_cache``
+    consults ``self._item_cache.get(item)`` first, so a cache whose ``get``
+    *constructs* the Series on demand short-circuits the whole chain at
+    ~9µs per access, and only for columns the user function touches.
+
+    Mutation safety: every pandas mutation path invalidates the item cache
+    through ``clear`` / ``pop`` / ``del`` (frame.py:4624, 4576;
+    generic.py:4511 in pandas 2.2) — each flips ``dead`` here, after which
+    ``get`` behaves like a plain dict and pandas rebuilds Series from the
+    group frame's own (current) blocks. Under copy-on-write pandas bypasses
+    the item cache entirely, so this class is inert-but-harmless there.
+    """
+
+    __slots__ = ("mgrs", "a", "b", "ridx", "dead")
+
+    def __init__(self, mgrs: dict, a: int, b: int, ridx: "pd.RangeIndex"):
+        super().__init__()
+        self.mgrs = mgrs
+        self.a = a
+        self.b = b
+        self.ridx = ridx
+        self.dead = False
+
+    def get(self, key, default=None):
+        res = dict.get(self, key, None)
+        if res is not None or self.dead:
+            return res if res is not None else default
+        cm = self.mgrs.get(key)
+        if cm is None:
+            return default
+        sm = cm.get_slice(slice(self.a, self.b))
+        sm.axes = [self.ridx]
+        s = pd.Series._from_mgr(sm, axes=[self.ridx])
+        s._name = key
+        dict.__setitem__(self, key, s)
+        return s
+
+    def clear(self):
+        self.dead = True
+        dict.clear(self)
+
+    def pop(self, key, *default):
+        self.dead = True
+        return dict.pop(self, key, *default)
+
+    def __delitem__(self, key):
+        self.dead = True
+        dict.__delitem__(self, key)
+
+
 def _group_frame_maker(pdf: pd.DataFrame):
-    """Per-group frame factory: a direct BlockManager row-slice — the same
-    zero-copy view ``iloc`` produces, minus the indexing machinery (~40%
-    of per-group cost on small groups). Falls back to ``iloc`` if pandas
-    internals move."""
+    """Per-group frame factory: direct block row-slices — the same zero-copy
+    views ``iloc`` produces, minus the indexing machinery — plus a lazy
+    column cache (see _LazyColCache) so the user function's column accesses
+    skip pandas' Series-boxing chain. Together ~35% off per-group worker
+    cost on small groups vs plain ``iloc`` (q11 profile, pinned core).
+    Verifies one group against ``iloc`` at build time and falls back to
+    ``iloc`` if pandas internals move."""
     try:
+        from pandas.core.internals.managers import BlockManager
+
         mgr = pdf._mgr
+        blocks = tuple(mgr.blocks)
         cols = pdf.columns
-        ridx = pdf.index
         from_mgr = pd.DataFrame._from_mgr
-        sl = slice(0, 1)
-        from_mgr(mgr.get_slice(sl, axis=1), axes=[cols, ridx[sl]])
+        bm_new = BlockManager.__new__
+        col_mgrs = {c: pdf[c]._mgr for c in cols}
+        idx_cache: dict[int, pd.RangeIndex] = {}
 
         def make(a: int, b: int) -> pd.DataFrame:
-            s = slice(a, b)
-            return from_mgr(mgr.get_slice(s, axis=1), axes=[cols, ridx[s]])
+            L = b - a
+            ridx = idx_cache.get(L)
+            if ridx is None:
+                ridx = pd.RangeIndex(L)
+                idx_cache[L] = ridx
+            sl = slice(a, b)
+            bm = bm_new(BlockManager)
+            bm.axes = [cols, ridx]
+            bm.blocks = tuple(blk.slice_block_rows(sl) for blk in blocks)
+            df = from_mgr(bm, axes=bm.axes)
+            df._item_cache = _LazyColCache(col_mgrs, a, b, ridx)
+            return df
 
+        # smoke-verify one group against the public API before trusting it
+        if len(pdf):
+            n = min(2, len(pdf))
+            got, want = make(0, n), pdf.iloc[0:n].reset_index(drop=True)
+            assert list(got.columns) == list(want.columns)
+            assert got.dtypes.equals(want.dtypes)
+            assert all(got[c].equals(want[c]) for c in got.columns)
         return make
     except Exception:  # pragma: no cover - pandas-internals fallback
         return lambda a, b: pdf.iloc[a:b]
@@ -587,10 +667,10 @@ def transform(
     size.
 
     Group-frame contract: frames handed to the function are zero-copy
-    slices of the partition block, so their index is a non-zero-based
-    RangeIndex — use POSITIONAL access (``.iloc``, ``.values``), not label
-    access (``.loc[0]``, ``df['x'][0]``). ``reset_index(drop=True)`` inside
-    the function if labels are needed.
+    slices of the partition block with a fresh zero-based RangeIndex.
+    Prefer POSITIONAL access (``.iloc``, ``.values``); mutating a group
+    frame in place writes through to the partition buffer (copy first if
+    the function both mutates and re-reads other groups' data).
     """
     spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
     fn, comment_schema, is_class = _resolve_fn(using)

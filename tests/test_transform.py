@@ -382,3 +382,50 @@ def test_hash_sample_plan_is_map_only(spark):
 
     df = make_df(spark, [[i] for i in range(100)], "id:long")
     assert not has_exchange(fa.hash_sample(df, 0.5, ["id"]))
+
+
+def test_group_frame_maker_lazy_cache_semantics():
+    """The per-group frames' lazy column cache must serve correct views and
+    deactivate on every pandas mutation path (setitem / new column / del)."""
+    import numpy as np
+
+    from fugue_spark.transform import _group_bounds, _group_frame_maker
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 2, 3],
+            "x": [1.0, 2.0, 3.0, float("nan"), 5.0, 6.0],
+            "s": ["a", "b", "c", "d", "e", "f"],
+            "i": pd.array([10, 20, 30, 40, 50, 60], dtype="int32"),
+        }
+    )
+    _, bounds = _group_bounds(pdf, ["k"], contiguous=True)
+    make = _group_frame_maker(pdf)
+    pairs = list(zip(bounds[:-1], bounds[1:]))
+
+    g = make(*pairs[1])  # k == 2 group, includes the NaN
+    assert list(g.index) == [0, 1, 2]  # zero-based RangeIndex
+    assert g.x.tolist()[0] == 3.0 and np.isnan(g.x.tolist()[1])
+    assert g["s"].tolist() == ["c", "d", "e"]
+    assert g.i.dtype == "int32"
+    # attribute access twice returns the cached object (no rebuild)
+    assert g.x is g.x
+
+    # column replacement must not serve stale cached views
+    g2 = make(*pairs[0])
+    before = g2.x.tolist()
+    g2["x"] = g2["x"] * 10
+    assert g2.x.tolist() == [v * 10 for v in before]
+    # new column insert then read
+    g3 = make(*pairs[2])
+    g3["y"] = 99.0
+    assert g3.y.tolist() == [99.0]
+    assert g3.x.tolist() == [6.0]
+    # del column then read another
+    g4 = make(*pairs[0])
+    _ = g4.x
+    del g4["x"]
+    assert list(g4.columns) == ["k", "s", "i"]
+    assert g4.s.tolist() == ["a", "b"]
+    # iloc row-slice of a group frame still works
+    assert make(*pairs[1]).iloc[1:].x.tolist()[1] == 5.0
