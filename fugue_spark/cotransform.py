@@ -45,14 +45,22 @@ _HOWS = ("inner", "left_outer", "right_outer", "full_outer", "cross")
 _NO_KV: "list | None" = None  # sentinel: function takes no cursor, skip kv work
 
 
-def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True):
+def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True, side_forms=None, presort=()):
     """Zip N dataframes as a tagged union: every input is projected onto the
     superset schema (its payload columns prefixed, others NULL), unioned,
     and hash-exchanged ONCE on the keys; inside mapInArrow each key group
     splits by tag back into per-input frames. One shuffle, one Arrow stream
     per partition — beats cogroup().applyInPandas by an order of magnitude
-    when groups are small (no JVM↔Python round trip per group)."""
+    when groups are small (no JVM↔Python round trip per group).
+
+    ``side_forms[i]`` ∈ {'pd','pa'}: a ``pa.Table``-annotated side skips the
+    pandas conversion entirely — its groups are zero-copy ``Table.slice``
+    views of the partition's Arrow stream (the same win as transform's
+    arrow fast path, q20 vs q11). ``presort`` is applied JVM-side inside
+    the single partition sort (per-side column resolution via a CASE over
+    the tag), so no python-side sort runs per group."""
     cross = len(keys) == 0
+    side_forms = side_forms or ["pd"] * len(dfs)
     payloads = [[c for c in d.columns if c not in keys] for d in dfs]
     if cross:
         # whole-frame zip: a constant surrogate key makes every row one
@@ -87,15 +95,38 @@ def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True):
         combined.repartition(1) if cross else combined.repartition(num, *key_exprs)
     )
     # JVM-side sort: every (key, tag) run arrives contiguous in the Arrow
-    # stream, so the python side slices groups by run-length with no sort
-    combined = combined.sortWithinPartitions(
-        *[e.asc_nulls_first() for e in key_exprs], F.col("__tag__")
-    )
+    # stream, so the python side slices groups by run-length with no sort.
+    # Presort rides the same sort: each side's column c lives at
+    # __in{i}__{c}, so a CASE over the tag resolves "sort by c" per side —
+    # within a (key, tag) run the CASE is one side's column, sorting that
+    # side's rows by its own values (NULL constant for sides lacking c).
+    # nulls-last on data columns = the reference's pandas na_position
+    # contract; this removes the per-group pandas sort_values entirely.
     n_inputs = len(dfs)
-    out_cols = [f.name for f in out_schema.fields]
-
     in_columns = [list(d.columns) for d in dfs]
     keyset = set(keys)
+    presort_exprs = []
+    for name, asc in presort:
+        branches = None
+        for i in range(n_inputs):
+            if name in in_columns[i] and name not in keyset:
+                c = F.col(f"__in{i}__{name}")
+                branches = (
+                    F.when(F.col("__tag__") == i, c)
+                    if branches is None
+                    else branches.when(F.col("__tag__") == i, c)
+                )
+        if branches is None:
+            if name in keyset:
+                continue  # key columns are constant within a group
+            raise ValueError(f"presort column {name!r} not found in any input")
+        presort_exprs.append(
+            branches.asc_nulls_last() if asc else branches.desc_nulls_last()
+        )
+    combined = combined.sortWithinPartitions(
+        *[e.asc_nulls_first() for e in key_exprs], F.col("__tag__"), *presort_exprs
+    )
+    out_cols = [f.name for f in out_schema.fields]
     side_src = [
         [(c if c in keyset else f"__in{i}__{c}") for c in in_columns[i]]
         for i in range(n_inputs)
@@ -133,21 +164,28 @@ def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True):
         # restores the input dtype with no astype pass (NULL padding from
         # other sides is gone before conversion).
         tags = tbl.column("__tag__").to_numpy()
-        sides: list[pd.DataFrame] = []
+        sides: list[Any] = []
         makers: list[Any] = []
-        empties: list[pd.DataFrame] = []
+        empties: list[Any] = []
         prefix: list[Any] = []  # side-local exclusive prefix count at tbl pos
         for i in range(n_inputs):
             mask = tags == i
             stbl = tbl.filter(pa.array(mask)).select(side_src[i])
             stbl = stbl.rename_columns(in_columns[i])
-            f = _table_to_pandas(stbl, side_fields[i], tz)
             ex = np.zeros(npart + 1, dtype=np.int64)
             np.cumsum(mask, out=ex[1:])
-            sides.append(f)
-            makers.append(_group_frame_maker(f))
             prefix.append(ex)
-            empties.append(f.iloc[0:0])
+            if side_forms[i] == "pa":
+                # arrow-annotated side: groups are zero-copy Table.slice
+                # views — no pandas construction at all (q21 vs q12)
+                sides.append(stbl)
+                makers.append(lambda a, b, _t=stbl: _t.slice(a, b - a))
+                empties.append(stbl.slice(0, 0))
+            else:
+                f = _table_to_pandas(stbl, side_fields[i], tz)
+                sides.append(f)
+                makers.append(_group_frame_maker(f))
+                empties.append(f.iloc[0:0])
         batcher = _ArrowResultBatcher(out_cols, arrow_out_schema, "cotransform")
         if cross:
             out = batcher.add(run(list(sides), []))
@@ -218,16 +256,36 @@ def cotransform(
 
     sig_params = list(inspect.signature(using).parameters.values())
     wants_cursor = bool(sig_params) and sig_params[0].name == "cursor"
-    n_data = len(sig_params) - (1 if wants_cursor else 0)
+    data_params = sig_params[1:] if wants_cursor else sig_params
+    n_data = len(data_params)
     if n_data != len(dfs):
         raise ValueError(
             f"function takes {n_data} dataframes but {len(dfs)} were zipped"
         )
 
-    presort = spec.presort
+    # per-side input form from annotations: a ``pa.Table`` side gets
+    # zero-copy Arrow slices, a pandas (or unannotated) side gets pandas
+    # frames — sides are independent, so mixed signatures work
+    import typing as _typing
+
+    from fugue_spark.transform import _IN_ARROW, _IN_PANDAS, _classify
+
+    try:
+        hints = _typing.get_type_hints(using)
+    except Exception:
+        hints = {}
+    side_forms = []
+    for p in data_params:
+        form = _classify(hints.get(p.name, p.annotation), _IN_PANDAS)
+        if form not in (_IN_PANDAS, _IN_ARROW):
+            raise ValueError(
+                f"cotransform sides must be pd.DataFrame or pa.Table, got {form!r}"
+            )
+        side_forms.append("pa" if form == _IN_ARROW else "pd")
+
     dummy_cursor = PartitionCursor(keys, [None] * len(keys), 0)
 
-    def run(frames: "list[pd.DataFrame]", kv: "list[Any] | None") -> Any:
+    def run(frames: "list[Any]", kv: "list[Any] | None") -> Any:
         # returns the RAW user result (dict / DataFrame / iterable) — the
         # _ResultBatcher conforms and batches it; None skips the group
         if how == "inner" and any(len(f) == 0 for f in frames):
@@ -236,19 +294,17 @@ def cotransform(
             return None
         if how == "right_outer" and len(frames[-1]) == 0:
             return None
-        if presort:
-            names = [n for n, _ in presort]
-            asc = [a for _, a in presort]
-            frames = [
-                f.sort_values([n for n in names if n in f.columns],
-                              ascending=[a for n, a in zip(names, asc) if n in f.columns],
-                              na_position="last", kind="mergesort")
-                if any(n in f.columns for n in names) else f
-                for f in frames
-            ]
         if wants_cursor:
             cursor = dummy_cursor if kv is None else PartitionCursor(keys, kv, 0)
             return using(cursor, *frames, **kwargs)
         return using(*frames, **kwargs)
 
-    return _union_cotransform(dfs, keys, run, out_schema, wants_kv=wants_cursor)
+    return _union_cotransform(
+        dfs,
+        keys,
+        run,
+        out_schema,
+        wants_kv=wants_cursor,
+        side_forms=side_forms,
+        presort=spec.presort,
+    )

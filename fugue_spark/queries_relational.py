@@ -649,6 +649,62 @@ def q20_transform_arrow_per_order(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "q21_cotransform_arrow",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           COUNT(l.l_linenumber) AS n_lines,
+           CAST(CAST(ROUND(MAX(o.o_totalprice) * 10000, 0) AS BIGINT)
+             - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS price_gap_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("zip", "comap", "arrow"),
+    bench=True,
+)
+def q21_cotransform_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12's workload on the zip engine's Arrow fast path: both sides are
+    ``pa.Table``-annotated, so each group is a pair of zero-copy
+    ``Table.slice`` views of the partition stream — no pandas construction
+    anywhere. Benchmarked beside q12 it isolates the cotransform pandas
+    handoff cost exactly as q20 does for q11."""
+    import pyarrow as pa
+
+    from fugue_spark.cotransform import cotransform
+
+    orders = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "orders"), {"o_orderkey": "orderkey"}),
+        ["orderkey", "o_totalprice"],
+    )
+    li = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "lineitem"), {"l_orderkey": "orderkey"}),
+        ["orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def gap(cursor, o: pa.Table, l: pa.Table):
+        import numpy as np
+
+        rev_e4 = int(
+            np.round(
+                l.column("l_extendedprice").to_numpy()
+                * (1 - l.column("l_discount").to_numpy())
+                * 10000
+            )
+            .astype("int64")
+            .sum()
+        )
+        total_e4 = int(np.round(o.column("o_totalprice").to_numpy().max() * 10000))
+        return {
+            "orderkey": int(cursor["orderkey"]),
+            "n_lines": l.num_rows,
+            "price_gap_e4": total_e4 - rev_e4,
+        }
+
+    return cotransform(
+        [orders, li], gap, schema="orderkey:long,n_lines:long,price_gap_e4:long", how="inner"
+    )
+
+
 @register("q19_sample_seeded", oracle=None, tags=("sample",))
 def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded fraction sample — engine-specific RNG, rows-only check."""

@@ -429,3 +429,68 @@ def test_group_frame_maker_lazy_cache_semantics():
     assert g4.s.tolist() == ["a", "b"]
     # iloc row-slice of a group frame still works
     assert make(*pairs[1]).iloc[1:].x.tolist()[1] == 5.0
+
+
+def test_cotransform_arrow_sides(spark):
+    """pa.Table-annotated sides get zero-copy Arrow slices; mixed pandas/
+    arrow signatures work per side; presort applies JVM-side."""
+    a = make_df(spark, [[1, 10], [2, 20], [3, 30]], "k:int,x:int")
+    b = make_df(spark, [[1, 5.0], [1, 1.0], [3, 9.0], [4, 2.0]], "k:int,y:double")
+
+    def merge(cursor, left: pa.Table, right: pa.Table):
+        assert isinstance(left, pa.Table) and isinstance(right, pa.Table)
+        return {
+            "k": int(cursor["k"]),
+            "nx": left.num_rows,
+            "ny": right.num_rows,
+            "firsty": float(right.column("y")[0].as_py()) if right.num_rows else None,
+        }
+
+    res = fa.cotransform(
+        [a, b],
+        merge,
+        schema="k:int,nx:long,ny:long,firsty:double",
+        partition={"presort": "y DESC"},
+    )
+    assert rows(res) == [(1, 1, 2, 5.0), (3, 1, 1, 9.0)]
+
+    def mixed(cursor, left: pd.DataFrame, right: pa.Table):
+        assert isinstance(left, pd.DataFrame) and isinstance(right, pa.Table)
+        return {"k": int(cursor["k"]), "n": len(left) + right.num_rows}
+
+    res2 = fa.cotransform([a, b], mixed, schema="k:int,n:long", how="full_outer")
+    assert rows(res2) == [(1, 3), (2, 1), (3, 2), (4, 1)]
+
+
+def test_cotransform_presort_pandas_sides(spark):
+    """JVM-side presort must order each pandas side's rows inside a group
+    (nulls last), replacing the old per-group sort_values."""
+    a = make_df(spark, [[1, 3.0], [1, None], [1, 1.0], [2, 7.0]], "k:int,v:double")
+    b = make_df(spark, [[1, "x"], [2, "y"]], "k:int,s:str")
+
+    def first_v(cursor, left: pd.DataFrame, right: pd.DataFrame):
+        vals = left.v.tolist()
+        return {
+            "k": int(cursor["k"]),
+            "first_v": vals[0],
+            "last_is_nan": pd.isna(vals[-1]),
+        }
+
+    res = fa.cotransform(
+        [a, b],
+        first_v,
+        schema="k:int,first_v:double,last_is_nan:boolean",
+        partition={"presort": "v DESC"},
+    )
+    assert rows(res) == [(1, 3.0, True), (2, 7.0, False)]
+
+
+def test_cotransform_rejects_unsupported_side_annotation(spark):
+    a = make_df(spark, [[1, 10]], "k:int,x:int")
+    b = make_df(spark, [[1, 2]], "k:int,y:int")
+
+    def f(left: Iterable[pd.DataFrame], right: pd.DataFrame):
+        return None
+
+    with pytest.raises(ValueError, match="pd.DataFrame or pa.Table"):
+        fa.cotransform([a, b], f, schema="n:long")
