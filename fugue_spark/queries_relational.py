@@ -705,6 +705,54 @@ def q21_cotransform_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q22_transform_compiled",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lines,
+           FIRST(l_linenumber ORDER BY l_quantity DESC, l_linenumber ASC) AS top_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("transform", "map", "compile"),
+    bench=True,
+)
+def q22_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's workload through the aggregation trace-compiler
+    (``compile="strict"``): the SAME pandas-style per-group function, but
+    the engine symbolically executes it once and rewrites the transform as
+    a native groupBy().agg — whole-stage codegen, map-side partial
+    aggregation, no Python workers. This is the only transformer form
+    whose cost profile matches a hand-written Catalyst aggregation; the
+    gate proves hash-identical results to the q11 oracle."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_linenumber", "l_quantity"],
+    )
+
+    def per_order(pdf):
+        # identical math to q11, in traceable form (no int()/np wrappers);
+        # this function also runs unmodified on the pandas path
+        rev_e4 = (pdf.l_extendedprice * (1 - pdf.l_discount) * 10000).round().astype("int64").sum()
+        return {
+            "l_orderkey": pdf.l_orderkey.iloc[0],
+            "revenue": rev_e4.astype("float64") / 10000,
+            "n_lines": len(pdf),
+            "top_line": pdf.l_linenumber.iloc[0],
+        }
+
+    return transform(
+        li,
+        per_order,
+        schema="l_orderkey:long,revenue:double,n_lines:long,top_line:int",
+        partition={"by": ["l_orderkey"], "presort": "l_quantity DESC, l_linenumber ASC"},
+        compile="strict",
+    )
+
+
 @register("q19_sample_seeded", oracle=None, tags=("sample",))
 def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded fraction sample — engine-specific RNG, rows-only check."""

@@ -656,8 +656,18 @@ def transform(
     discard_output: bool = False,
     callback: "Callable | None" = None,
     validations: "dict | None" = None,
+    compile: "bool | str" = False,
 ) -> DataFrame:
     """Apply ``using`` to every logical partition of ``df``.
+
+    ``compile=True`` opts in to the aggregation trace-compiler: the
+    function is executed once with symbolic inputs, and if it reduces to a
+    dict of aggregation expressions the whole transform runs as a native
+    ``groupBy().agg`` (whole-stage codegen, map-side partial aggregation —
+    no Python workers). Requires a side-effect-free function; falls back to
+    the pandas path when the function is untraceable, or raises with
+    ``compile="strict"``. See fugue_spark/compile.py for the traceable
+    surface.
 
     Scale posture: grouped path is one hash exchange on the keys (Catalyst
     plans the shuffle, AQE sizes it); ungrouped path is shuffle-free. The
@@ -781,6 +791,33 @@ def transform(
         return ctx.partitionId() if ctx is not None else 0
 
     safe_keys = [name_to_safe[k] for k in keys]
+
+    if compile:
+        from fugue_spark.compile import TraceError, try_compile_aggregation
+
+        try:
+            if is_class:
+                raise TraceError("class transformers are not traceable")
+            if err_types or init_fn is not None or discard_output or "callback" in kwargs:
+                raise TraceError(
+                    "compile=True is incompatible with ignore_errors/on_init/callback"
+                )
+            return try_compile_aggregation(
+                df,
+                fn,
+                keys,
+                presort,
+                out_schema,
+                kwargs,
+                wants_cursor,
+                name_to_safe,
+                in_schema=input_schema,
+            )
+        except TraceError:
+            if compile == "strict":
+                raise
+            # fall through to the pandas/arrow execution paths unchanged
+
     if keys:
         contiguous = False
         if spec.algo not in ("default", "hash"):

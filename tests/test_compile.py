@@ -1,0 +1,213 @@
+"""Aggregation trace-compiler: compile=True must produce byte-identical
+results to the pandas path and a pure Catalyst plan (no Python workers)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark.transform import transform
+
+
+def make_df(spark, data, schema):
+    from fugue_spark.ingest import to_df
+
+    return to_df(spark, data, schema)
+
+
+def sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _li(spark):
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n).astype("int64"),
+            "price": np.round(rng.uniform(1, 1000, n), 2),
+            "disc": np.round(rng.uniform(0, 0.1, n), 2),
+            "line": rng.integers(1, 8, n).astype("int32"),
+            "qty": rng.integers(1, 50, n).astype("int64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+SCHEMA11 = "k:long,revenue:double,n_lines:long,top_line:int"
+PART11 = {"by": ["k"], "presort": "qty DESC, line ASC"}
+
+
+def test_compiled_matches_pandas_path_q11_shape(spark):
+    df = _li(spark)
+
+    def q11_shape(pdf):
+        rev_e4 = (pdf.price * (1 - pdf.disc) * 10000).round().astype("int64").sum()
+        return {
+            "k": pdf.k.iloc[0],
+            "revenue": rev_e4.astype("float64") / 10000,
+            "n_lines": len(pdf),
+            "top_line": pdf.line.iloc[0],
+        }
+    plain = transform(df, q11_shape, schema=SCHEMA11, partition=PART11)
+    compiled = transform(df, q11_shape, schema=SCHEMA11, partition=PART11, compile="strict")
+    assert sorted_rows(plain) == sorted_rows(compiled)
+    assert plain.schema == compiled.schema
+    # the compiled plan is pure Catalyst: hash aggregation, no python UDFs
+    explained = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in explained  # Hash or Sort aggregate, pure Catalyst
+    assert "MapInArrow" not in explained and "MapInPandas" not in explained
+
+
+def test_compiled_matches_pandas_path_q13_shape(spark):
+    df = _li(spark)
+
+    def q13_shape(pdf):
+        return {
+            "k": pdf.k.iloc[0],
+            "n": len(pdf),
+            "qty": pdf.qty.sum(),
+        }
+    plain = transform(df, q13_shape, schema="k:long,n:long,qty:long", partition={"by": ["k"]})
+    compiled = transform(
+        df, q13_shape, schema="k:long,n:long,qty:long", partition={"by": ["k"]}, compile="strict"
+    )
+    assert sorted_rows(plain) == sorted_rows(compiled)
+
+
+def test_compiled_cursor_form_and_multi_reductions(spark):
+    df = _li(spark)
+
+    def stats(cursor, pdf):
+        return {
+            "k": cursor["k"],
+            "mean_qty": pdf.qty.mean(),
+            "span": pdf.price.max() - pdf.price.min(),
+            "n_lines": pdf.shape[0],
+            "uniq": pdf.line.nunique(),
+        }
+
+    schema = "k:long,mean_qty:double,span:double,n_lines:long,uniq:long"
+    plain = transform(df, stats, schema=schema, partition={"by": ["k"]})
+    compiled = transform(df, stats, schema=schema, partition={"by": ["k"]}, compile="strict")
+    a, b = sorted_rows(plain), sorted_rows(compiled)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and ra[3] == rb[3] and ra[4] == rb[4]
+        assert abs(ra[1] - rb[1]) < 1e-9 and abs(ra[2] - rb[2]) < 1e-9
+
+
+def test_compiled_global_aggregation(spark):
+    df = _li(spark)
+
+    def total(pdf):
+        return {"n": len(pdf), "qty": pdf.qty.sum()}
+
+    compiled = transform(df, total, schema="n:long,qty:long", compile="strict")
+    [row] = compiled.collect()
+    pd_all = df.toPandas()
+    assert row.n == len(pd_all) and row.qty == pd_all.qty.sum()
+
+
+def test_untraceable_falls_back_and_strict_raises(spark):
+    from fugue_spark.compile import TraceError
+
+    df = _li(spark)
+
+    def forces_eval(pdf):
+        return {"k": pdf.k.iloc[0], "v": int(pdf.qty.sum())}  # int() -> untraceable
+
+    # non-strict: silently falls back to the pandas path, same results
+    res = transform(df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]}, compile=True)
+    want = transform(df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]})
+    assert sorted_rows(res) == sorted_rows(want)
+    with pytest.raises(TraceError, match="int\\(\\)"):
+        transform(
+            df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]}, compile="strict"
+        )
+
+    def branches(pdf):
+        if (pdf.qty > 10).sum() > 2:  # bool() on traced expr
+            return {"k": pdf.k.iloc[0], "v": 1}
+        return {"k": pdf.k.iloc[0], "v": 0}
+
+    with pytest.raises(TraceError):
+        transform(df, branches, schema="k:long,v:long", partition={"by": ["k"]}, compile="strict")
+
+    def first_without_presort(pdf):
+        return {"k": pdf.k.iloc[0], "v": pdf.qty.iloc[0]}
+
+    with pytest.raises(TraceError, match="presort"):
+        transform(
+            df,
+            first_without_presort,
+            schema="k:long,v:long",
+            partition={"by": ["k"]},
+            compile="strict",
+        )
+
+
+def test_compiled_presort_first_row_asc_and_desc(spark):
+    df = make_df(
+        spark,
+        [[1, 5.0, "b"], [1, 9.0, "a"], [1, 1.0, "c"], [2, 4.0, "z"], [2, 6.0, "y"]],
+        "k:int,v:double,s:str",
+    )
+
+    def top(pdf):
+        return {"k": pdf.k.iloc[0], "best": pdf.s.iloc[0]}
+
+    res = transform(
+        df,
+        top,
+        schema="k:int,best:str",
+        partition={"by": ["k"], "presort": "v DESC"},
+        compile="strict",
+    )
+    assert sorted_rows(res) == [(1, "a"), (2, "y")]
+    res2 = transform(
+        df,
+        top,
+        schema="k:int,best:str",
+        partition={"by": ["k"], "presort": "v ASC"},
+        compile="strict",
+    )
+    assert sorted_rows(res2) == [(1, "c"), (2, "z")]
+
+
+def test_compiled_arrow_annotated_reducer(spark):
+    import pyarrow as pa
+
+    df = _li(spark)
+
+    def arrow_fn(t: pa.Table):
+        qty = t.column("qty")
+        return {"k": t.column("k")[0].as_py(), "n": t.num_rows, "qty": qty.sum()}
+
+    compiled = transform(
+        df, arrow_fn, schema="k:long,n:long,qty:long", partition={"by": ["k"]}, compile="strict"
+    )
+    want = (
+        df.groupBy("k").count().join(df.groupBy("k").sum("qty"), "k").select("k", "count", "sum(qty)")
+    )
+    assert sorted_rows(compiled) == sorted_rows(want)
+
+
+def test_compiled_fillna_and_np_funcs(spark):
+    df = make_df(
+        spark,
+        [[1, 4.0], [1, None], [2, 16.0], [2, 25.0]],
+        "k:int,v:double",
+    )
+
+    def f(pdf):
+        vals = np.sqrt(pdf.v.fillna(0.0).values)
+        return {"k": pdf.k.iloc[0], "s": vals.sum()}
+
+    plain = transform(df, f, schema="k:int,s:double", partition={"by": ["k"]})
+    compiled = transform(df, f, schema="k:int,s:double", partition={"by": ["k"]}, compile="strict")
+    a, b = sorted_rows(plain), sorted_rows(compiled)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and abs(ra[1] - rb[1]) < 1e-9
