@@ -495,18 +495,27 @@ def simhash_pairs(
     )
 
 
-def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame, max_iters: int = 20, stats: "dict | None" = None
+) -> DataFrame:
     """Connected components of the near-duplicate pair graph:
     (id, cluster) where cluster = the MIN id in the component.
 
-    Iterative min-label propagation: each round every node takes the
-    smallest label among itself and its neighbors; converged when no label
-    changes. Pure DataFrame ops — one equi-join + groupBy per round, no
-    driver-side graph. Lineage is cut per round (localCheckpoint) so the
-    plan stays flat. Rounds needed = graph diameter; near-dup components
-    are small and dense (diameter ≲ 5), so this converges in a few rounds
-    — for adversarially long chains at corpus scale, swap in a
-    star-contraction CC; the per-round plan shape here is the same.
+    Each round does TWO label moves, both pure DataFrame ops (one
+    equi-join + groupBy, then one self-join), no driver-side graph:
+
+    1. neighbor-min: every node takes the smallest label among itself and
+       its neighbors (handles dense near-dup blobs in one round);
+    2. pointer jump (path doubling): every node then takes its LABEL's
+       label — the hash-to-min contraction that makes adversarially long
+       chains converge in O(log n) rounds instead of O(diameter): after
+       round r every node points within distance 2^-r of its component
+       min. A 1000-link chain converges in ~10 rounds (tested).
+
+    Labels only decrease and every label is a node id, so the jump join is
+    always resolvable; converged when no label changes. Lineage is cut per
+    round (localCheckpoint) so the plan stays flat. ``stats["rounds"]``
+    reports the rounds used when a dict is passed.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
         pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
@@ -518,7 +527,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("id").alias("b"), F.col("cluster").alias("nc")),
@@ -527,13 +538,22 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("nc").alias("nbc"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbc"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jump: cluster <- label(cluster); monotone because the
+        # parent's label is <= the parent id (labels never exceed ids)
+        parent = stepped.select(
+            F.col("id").alias("__pid__"), F.col("cluster").alias("__pc__")
+        )
         new = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            stepped.join(parent, stepped["cluster"] == parent["__pid__"], "left")
             .select(
                 F.col("id"),
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbc"), F.col("cluster"))
-                ).alias("cluster"),
+                F.coalesce(F.col("__pc__"), F.col("cluster")).alias("cluster"),
             )
             .localCheckpoint()
         )
@@ -546,6 +566,8 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -293,3 +293,20 @@ def test_corpus_stats_exact_and_approx(spark):
     # approx path: same schema, near-exact on small groups
     ap = {r.g: r for r in corpus_stats(df, "v", by=["g"], quantiles=(0.5,), approx=True).collect()}
     assert abs(ap["a"].p50_e2 - 5050) <= 100
+
+
+def test_near_dup_clusters_chain_converges_logarithmically(spark):
+    """Pointer jumping must collapse a 1000-link chain in O(log n) rounds
+    (min-label propagation alone needs ~1000)."""
+    from fugue_spark.pipeline import near_dup_clusters
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = near_dup_clusters(chain, max_iters=15, stats=stats)
+    rows = labels.collect()
+    assert len(rows) == n + 1
+    assert all(r.cluster == 0 for r in rows)
+    assert stats["rounds"] <= 12  # ~log2(1000) + slack, far below diameter
