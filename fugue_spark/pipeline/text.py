@@ -137,19 +137,65 @@ def assign_pack_bins(
     standard "concatenate the corpus, split every ``budget`` tokens"
     pretraining packer (documents may straddle a boundary; their START
     position defines the bin). With ``by`` (e.g. language or shard) the
-    running sum restarts per group and each group packs in parallel —
-    that is also the 100 TB posture: a global (unpartitioned) order is a
-    single-partition window sort, fine for one shard, wrong for a whole
-    corpus, so shard first and pack per shard.
+    running sum restarts per group and each group packs in parallel.
+
+    Without ``by`` the GLOBAL order is computed hierarchically instead of
+    as one single-partition window sort (the 100 TB killer): the data is
+    range-partitioned on ``order_by`` so each shard holds a contiguous
+    slice of the global order, per-shard token totals (one tiny agg row
+    per shard) become exclusive shard offsets on the driver, and each
+    shard then runs its own window prefix-sum plus its offset — all
+    shards sort and scan in parallel, and the only serial state is one
+    long per shard. ``order_by`` should be unique (ties at a range-shard
+    boundary have engine-arbitrary relative order, as in any engine).
 
     Output: input columns + ``pack_bin`` (long).
     """
-    w = Window.orderBy(F.col(order_by)) if not by else Window.partitionBy(*by).orderBy(F.col(order_by))
-    w = w.rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-    return df.withColumn(
-        "pack_bin", F.floor(start / F.lit(int(budget))).cast("long")
+    budget = int(budget)
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(order_by))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+        return df.withColumn("pack_bin", F.floor(start / F.lit(budget)).cast("long"))
+
+    spark = df.sparkSession
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = df.columns
+    # contiguous global ranges; shard id pinned by the checkpoint so the
+    # totals pass and the window pass see identical shard boundaries
+    rdf = (
+        df.repartitionByRange(shards, F.col(order_by))
+        .withColumn("__shard__", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
+    totals = {
+        r["__shard__"]: r["t"]
+        for r in rdf.groupBy("__shard__").agg(F.sum(F.col(token_col)).alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += int(totals[s] or 0)
+    if not offsets:
+        return df.withColumn("pack_bin", F.lit(None).cast("long"))
+    # exclusive prefix within the shard + the shard's global offset
+    w = (
+        Window.partitionBy("__shard__")
+        .orderBy(F.col(order_by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    start = local + F.element_at(off_map, F.col("__shard__"))
+    return rdf.withColumn(
+        "pack_bin", F.floor(start / F.lit(budget)).cast("long")
+    ).select(*cols, "pack_bin")
 
 
 def corpus_stats(

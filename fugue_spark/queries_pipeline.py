@@ -346,6 +346,40 @@ def p16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p19_sequence_packing_global",
+    oracle="""
+    SELECT doc_id, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 2048) AS BIGINT) AS pack_bin
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+')) AS n_tok
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    tags=("text", "packing"),
+)
+def p19_sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-order sequence packing via the hierarchical two-pass path:
+    range-partition on the order key (each shard = a contiguous slice of
+    the global order) → per-shard token totals → driver exclusive shard
+    offsets → per-shard window + offset. Every shard sorts and scans in
+    parallel; no single-partition sort anywhere — the value-checked proof
+    that global concat-and-chunk packing scales."""
+    docs = with_token_stats(load_table(spark, sf_dir, "documents"))
+    packed = assign_pack_bins(
+        docs.select("doc_id", F.col("n_ws_tokens").alias("n_tok")),
+        budget=2048,
+        token_col="n_tok",
+        order_by="doc_id",
+    )
+    return packed.select("doc_id", "n_tok", "pack_bin").orderBy("doc_id")
+
+
+@register(
     "p17_corpus_length_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total,

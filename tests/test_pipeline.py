@@ -310,3 +310,29 @@ def test_near_dup_clusters_chain_converges_logarithmically(spark):
     assert len(rows) == n + 1
     assert all(r.cluster == 0 for r in rows)
     assert stats["rounds"] <= 12  # ~log2(1000) + slack, far below diameter
+
+
+def test_assign_pack_bins_global_hierarchical(spark):
+    """The global (no-by) path must value-match a single-window prefix sum
+    while executing as parallel per-shard windows over a range partition."""
+    import pandas as pd
+
+    from fugue_spark.pipeline import assign_pack_bins
+
+    pdf = pd.DataFrame({"i": range(200), "tok": [(7 * i) % 13 + 1 for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    out = assign_pack_bins(df, budget=16, token_col="tok", order_by="i").toPandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    run = 0
+    expect = []
+    for t in pdf.tok:
+        expect.append(run // 16)
+        run += t
+    assert out.pack_bin.tolist() == expect
+    # plan really is multi-shard: the window runs per __shard__ partition
+    # (the range exchange itself sits behind the pinned checkpoint), never
+    # over a single global partition
+    plan = assign_pack_bins(df, budget=16, token_col="tok", order_by="i")
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__shard__" in explained
+    assert "SinglePartition" not in explained
