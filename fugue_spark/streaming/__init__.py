@@ -72,7 +72,15 @@ def load_stream(
     **options: str,
 ) -> DataFrame:
     """Open a file-based stream with the schema taken from a bounded read
-    of the same path (streams require explicit schemas)."""
+    of the same path (streams require explicit schemas).
+
+    ``ts_nanos_col`` names the event-time column and accepts TWO layouts:
+    an int64 epoch-nanoseconds column (the driver's events.parquet shape —
+    converted via micros truncation) or a column that is already
+    timestamp / timestamp_ntz (passed through; plain timestamp is
+    reinterpreted as NTZ under the engine's fixed UTC session timezone,
+    so wall-clock values are unchanged). Any other column type is a
+    ValueError naming the available columns."""
     from fugue_spark.sources import infer_format
 
     fmt = format_hint or infer_format(path)
@@ -94,14 +102,28 @@ def load_stream(
     if ts_nanos_col is not None:
         from pyspark.sql import types as T
 
-        dt = df.schema[ts_nanos_col].dataType
+        # resolve case-insensitively, matching Spark's analyzer default
+        field = next(
+            (f for f in df.schema.fields if f.name.lower() == ts_nanos_col.lower()),
+            None,
+        )
+        if field is None:
+            raise ValueError(
+                f"ts_nanos_col {ts_nanos_col!r} not found; columns: {df.columns}"
+            )
+        dt = field.dataType
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            conv = F.col(ts_nanos_col).cast("timestamp_ntz")
-        else:  # integer epoch-nanos column
-            conv = F.timestamp_micros(F.expr(f"{ts_nanos_col} div 1000")).cast(
+            conv = F.col(field.name).cast("timestamp_ntz")
+        elif isinstance(dt, T.IntegralType):  # epoch-nanos long
+            conv = F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
                 "timestamp_ntz"
             )
-        df = df.withColumn(ts_nanos_col, conv)
+        else:
+            raise ValueError(
+                f"ts_nanos_col {field.name!r} must be timestamp or integral "
+                f"epoch-nanos, got {dt.simpleString()}"
+            )
+        df = df.withColumn(field.name, conv)
     return df
 
 

@@ -253,3 +253,71 @@ def test_load_stream_explicit_schema(spark):
         stream.groupBy("event_type").count(), "schema_test"
     )
     assert out.count() == 5
+
+
+def test_load_stream_timestamp_passthrough(spark, tmp_path):
+    """ts_nanos_col that is ALREADY a timestamp passes through (as NTZ,
+    unchanged wall-clock under the fixed UTC session tz); resolution is
+    case-insensitive; non-timestamp non-integral columns raise."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "tsin"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 6, 1, 12, 30, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(["x", "y"], pa.string()),
+                "TS": pa.array([t0, t0 + datetime.timedelta(hours=1)], pa.timestamp("us")),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    # case-mismatched name resolves to the actual field
+    stream = fs.load_stream(spark, str(d), format_hint="parquet", ts_nanos_col="ts")
+    import pyspark.sql.types as T
+
+    assert isinstance(stream.schema["TS"].dataType, T.TimestampNTZType)
+    out = fs.run_to_memory(stream, "ts_passthrough_test", output_mode="append").toPandas()
+    assert sorted(out["TS"]) == [t0, t0 + datetime.timedelta(hours=1)]
+
+    with pytest.raises(ValueError, match="timestamp or integral"):
+        fs.load_stream(spark, str(d), format_hint="parquet", ts_nanos_col="k")
+    with pytest.raises(ValueError, match="not found"):
+        fs.load_stream(spark, str(d), format_hint="parquet", ts_nanos_col="nope")
+
+
+def test_stream_dedup_file_sink_end_to_end(spark, tmp_path):
+    """availableNow file-sink run: load_stream -> TTL'd dedup ->
+    write_stream parquet, output exactly-once-equal to the batch oracle."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = fs.load_stream(spark, EVENTS, ts_nanos_col="ts")
+    deduped = fs.stream_dedup_exact(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+        watermark="1 minute",
+        state_ttl="365 days",  # nothing expires inside the bounded replay
+    )
+    q = fs.write_stream(deduped, out_dir, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    from fugue_spark.benchmarks import load_table
+
+    batch = load_table(spark, SF, "events").select("user_id", "event_type").distinct()
+    assert got.count() == batch.count()  # exactly one row per key, no dupes
+    assert (
+        got.select("user_id", "event_type").distinct().count() == batch.count()
+    )
+    assert (
+        got.select("user_id", "event_type")
+        .exceptAll(batch)
+        .count()
+        == 0
+    )
