@@ -1,7 +1,8 @@
-"""Aggregation trace-compiler: run a per-group transformer function ONCE
-against symbolic proxies; if it reduces to a dict of aggregation
-expressions, execute the whole transform as a native ``groupBy().agg`` —
-whole-stage-codegen, map-side partial aggregation, no Python workers.
+"""Aggregation trace-compiler: run a per-group transformer (or zip
+co-transformer) function ONCE against symbolic proxies; if it reduces to a
+dict of aggregation expressions, execute the whole operation as native
+Catalyst aggregation — whole-stage codegen, map-side partial aggregation,
+no Python workers.
 
 Why: the pandas-path floor for tiny groups is ~70µs/group of pure Python
 (frame slice + Series boxing + numpy-on-4-rows), which keeps q11-shaped
@@ -9,10 +10,11 @@ workloads >2× DuckDB however well tuned. A reduction expressed as Catalyst
 aggregates shuffles only partial agg states — at 100 TB that is the
 difference between a python-bounded stage and a codegen'd one.
 
-Opt-in (``transform(..., compile=True)``): tracing assumes the function is
-side-effect-free and runs it with proxy inputs, so functions that branch on
-data values, call ``int()``/``float()`` on results, or mutate state raise
-``TraceError`` and (non-strict) fall back to the pandas path unchanged.
+Opt-in (``transform(..., compile=True)`` / ``cotransform(...,
+compile=True)``): tracing assumes the function is side-effect-free and runs
+it with proxy inputs, so functions that branch on data values, call
+``int()``/``float()`` on results, or mutate state raise ``TraceError`` and
+(non-strict) fall back to the pandas path unchanged.
 
 Traceable surface (kept deliberately small and exact):
   * column access: ``pdf.col`` / ``pdf['col']``; ``.values`` / ``.to_numpy()``
@@ -26,7 +28,15 @@ Traceable surface (kept deliberately small and exact):
     group key (constant), or to ``min_by``/``max_by`` over the declared
     presort; without a presort a non-key first-row access fails the trace
     (it would be nondeterministic on the pandas path too)
-  * scalar arithmetic on reduced values; output must be a dict
+  * scalar arithmetic on reduced values — including across zip sides (each
+    reduction is registered as a per-side aggregation leaf; composite
+    expressions combine the leaves after the join); output must be a dict
+
+Compiled plans:
+  * transform  → ``df.groupBy(keys).agg(leaves)`` + output projection
+  * cotransform (inner zip) → per-side ``groupBy(keys).agg(side leaves)``
+    joined on the keys (inner join ≡ the zip engine's skip-empty-group
+    rule), then the output projection combines sides' leaves
 
 Rounding caveat: ``np.round`` is round-half-even, Spark/DuckDB ``round``
 is half-away-from-zero for positives; they differ only on exact .5
@@ -46,7 +56,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TraceError", "try_compile_aggregation"]
+__all__ = ["TraceError", "try_compile_aggregation", "try_compile_cotransform"]
 
 
 class TraceError(ValueError):
@@ -86,6 +96,23 @@ def _lift(other: Any) -> "Column | Any":
     raise TraceError(f"cannot mix {type(other).__name__} into a traced expression")
 
 
+class _TraceCtx:
+    """Per-trace registry of aggregation leaves. Every reduction becomes a
+    ``(side, agg Column)`` leaf referenced as ``__aggN__``; composite scalar
+    expressions are built over the references, so a cross-side expression
+    (zip) can still be split into per-side aggregations at assembly."""
+
+    __slots__ = ("leaves",)
+
+    def __init__(self):
+        self.leaves: list[tuple[int, Column]] = []
+
+    def leaf(self, side: int, col: Column) -> "_Scalar":
+        i = len(self.leaves)
+        self.leaves.append((side, col))
+        return _Scalar(F.col(f"__agg{i}__"))
+
+
 class _Base:
     """Shared operator surface for vector (per-row) and scalar (reduced)
     proxies; every operation returns a new proxy over a pyspark Column."""
@@ -98,39 +125,42 @@ class _Base:
     def _make(self, col: Column):
         return type(self)(col)
 
+    def _lift(self, other: Any):
+        return _lift(other)
+
     # arithmetic -----------------------------------------------------------
     def __add__(self, o):
-        return self._make(self.col + _lift(o))
+        return self._make(self.col + self._lift(o))
 
     def __radd__(self, o):
-        return self._make(_lift(o) + self.col)
+        return self._make(self._lift(o) + self.col)
 
     def __sub__(self, o):
-        return self._make(self.col - _lift(o))
+        return self._make(self.col - self._lift(o))
 
     def __rsub__(self, o):
-        return self._make(_lift(o) - self.col)
+        return self._make(self._lift(o) - self.col)
 
     def __mul__(self, o):
-        return self._make(self.col * _lift(o))
+        return self._make(self.col * self._lift(o))
 
     def __rmul__(self, o):
-        return self._make(_lift(o) * self.col)
+        return self._make(self._lift(o) * self.col)
 
     def __truediv__(self, o):
-        return self._make(self.col / _lift(o))
+        return self._make(self.col / self._lift(o))
 
     def __rtruediv__(self, o):
-        return self._make(_lift(o) / self.col)
+        return self._make(self._lift(o) / self.col)
 
     def __floordiv__(self, o):
-        return self._make(F.floor(self.col / _lift(o)).cast("long"))
+        return self._make(F.floor(self.col / self._lift(o)).cast("long"))
 
     def __mod__(self, o):
-        return self._make(self.col % _lift(o))
+        return self._make(self.col % self._lift(o))
 
     def __pow__(self, o):
-        return self._make(F.pow(self.col, _lift(o)))
+        return self._make(F.pow(self.col, self._lift(o)))
 
     def __neg__(self):
         return self._make(-self.col)
@@ -140,28 +170,28 @@ class _Base:
 
     # comparisons / boolean ------------------------------------------------
     def __eq__(self, o):  # type: ignore[override]
-        return self._make(self.col == _lift(o))
+        return self._make(self.col == self._lift(o))
 
     def __ne__(self, o):  # type: ignore[override]
-        return self._make(self.col != _lift(o))
+        return self._make(self.col != self._lift(o))
 
     def __lt__(self, o):
-        return self._make(self.col < _lift(o))
+        return self._make(self.col < self._lift(o))
 
     def __le__(self, o):
-        return self._make(self.col <= _lift(o))
+        return self._make(self.col <= self._lift(o))
 
     def __gt__(self, o):
-        return self._make(self.col > _lift(o))
+        return self._make(self.col > self._lift(o))
 
     def __ge__(self, o):
-        return self._make(self.col >= _lift(o))
+        return self._make(self.col >= self._lift(o))
 
     def __and__(self, o):
-        return self._make(self.col & _lift(o))
+        return self._make(self.col & self._lift(o))
 
     def __or__(self, o):
-        return self._make(self.col | _lift(o))
+        return self._make(self.col | self._lift(o))
 
     def __invert__(self):
         return self._make(~self.col)
@@ -178,12 +208,6 @@ class _Base:
         "ceil": F.ceil,
         "rint": lambda c: F.round(c, 0),
         "negative": lambda c: -c,
-        "add": None,
-        "subtract": None,
-        "multiply": None,
-        "true_divide": None,
-        "divide": None,
-        "power": None,
         "minimum": F.least,
         "maximum": F.greatest,
     }
@@ -209,9 +233,9 @@ class _Base:
         if fn is None:
             raise TraceError(f"ufunc {name} is not traceable")
         if name in ("minimum", "maximum"):
-            return self._make(fn(_lift(inputs[0]), _lift(inputs[1])))
+            return self._make(fn(self._lift(inputs[0]), self._lift(inputs[1])))
         (x,) = inputs
-        return self._make(fn(_lift(x)))
+        return self._make(fn(self._lift(x)))
 
     # common methods -------------------------------------------------------
     def round(self, decimals: int = 0):
@@ -242,7 +266,8 @@ class _Base:
 
 
 class _Scalar(_Base):
-    """A reduced (per-group scalar) expression."""
+    """A reduced (per-group scalar) expression — a composition over
+    ``__aggN__`` leaf references."""
 
     def as_py(self):
         # pyarrow scalar surface: tracing arrow-annotated functions
@@ -260,7 +285,7 @@ class _Iloc:
 
 
 class _Vec(_Base):
-    """A per-row (vector) expression over the group's rows."""
+    """A per-row (vector) expression over one side's group rows."""
 
     __slots__ = ("frame", "name")
 
@@ -270,8 +295,22 @@ class _Vec(_Base):
         self.name = name
 
     def _make(self, col: Column):
-        # derived vectors lose key identity but keep the frame (for presort)
+        # derived vectors lose key identity but keep the frame (side/presort)
         return _Vec(col, frame=self.frame)
+
+    def _lift(self, other: Any):
+        if isinstance(other, _Vec) and other.frame is not self.frame:
+            raise TraceError(
+                "cannot combine per-row expressions from different zip sides "
+                "(reduce each side first)"
+            )
+        return _lift(other)
+
+    def _leaf(self, col: Column) -> _Scalar:
+        f = self.frame
+        if f is None:  # pragma: no cover - vectors always carry a frame
+            raise TraceError("reduction on an unbound expression")
+        return f.ctx.leaf(f.side, col)
 
     # array-like surface ---------------------------------------------------
     @property
@@ -290,26 +329,26 @@ class _Vec(_Base):
 
     @property
     def size(self):
-        return _Scalar(F.count(F.lit(1)))
+        return self._leaf(F.count(F.lit(1)))
 
     # reductions -----------------------------------------------------------
     def sum(self, *a, **k):
-        return _Scalar(F.sum(self.col))
+        return self._leaf(F.sum(self.col))
 
     def min(self, *a, **k):
-        return _Scalar(F.min(self.col))
+        return self._leaf(F.min(self.col))
 
     def max(self, *a, **k):
-        return _Scalar(F.max(self.col))
+        return self._leaf(F.max(self.col))
 
     def mean(self, *a, **k):
-        return _Scalar(F.avg(self.col))
+        return self._leaf(F.avg(self.col))
 
     def count(self, *a, **k):
-        return _Scalar(F.count(self.col))
+        return self._leaf(F.count(self.col))
 
     def nunique(self, *a, **k):
-        return _Scalar(F.count_distinct(self.col))
+        return self._leaf(F.count_distinct(self.col))
 
     def _first(self, i: Any) -> _Scalar:
         if not isinstance(i, int) or i != 0:
@@ -319,7 +358,7 @@ class _Vec(_Base):
             raise TraceError("first-row access on a derived expression is not traceable")
         if self.name is not None and self.name in f.keys:
             # group key: constant within the group
-            return _Scalar(F.first(self.col))
+            return _KeyRef(self.col, frame=f, name=self.name)
         if not f.presort:
             raise TraceError(
                 "first-row access without a presort is nondeterministic; "
@@ -332,6 +371,8 @@ class _Vec(_Base):
         use_max = n_desc * 2 >= len(f.presort)
         orderings = []
         for name, asc in f.presort:
+            if name not in f._fields:
+                raise TraceError(f"presort column {name!r} not on this zip side")
             kcol = F.col(f.safe(name))
             flip = (asc and use_max) or (not asc and not use_max)
             if flip:
@@ -345,28 +386,53 @@ class _Vec(_Base):
             orderings.append(kcol)
         order = F.struct(*orderings) if len(orderings) > 1 else orderings[0]
         agg = F.max_by(self.col, order) if use_max else F.min_by(self.col, order)
-        return _Scalar(agg)
+        return self._leaf(agg)
+
+
+class _KeyRef(_Vec):
+    """``col.iloc[0]`` on a GROUP KEY — constant within the group; resolved
+    at assembly to the grouping column itself (post-join for zip)."""
+
+    def as_py(self):
+        # pyarrow scalar surface (t.column("k")[0].as_py())
+        return self
 
 
 # ``len(pdf)`` must hand the user a real int (CPython coerces __len__'s
 # result to an exact int, discarding any subclass), so len is traced with a
-# sentinel VALUE. The function is traced twice with two different sentinels
-# and the outputs must be invariant: a value equal to the sentinel in both
-# traces compiles to count(*); anything else that CHANGED between traces
-# was contaminated by arithmetic on len() and fails the trace loudly.
-_LEN_TOKENS = (0x5EAC0DE1, 0x5EAC0DE2)
+# sentinel VALUE (one per side per trace). The function is traced twice with
+# different sentinels and the outputs must be invariant: a value equal to
+# side s's sentinel in both traces compiles to that side's count(*);
+# anything else that CHANGED between traces was contaminated by arithmetic
+# on len() and fails the trace loudly.
+_LEN_BASE = (0x5EAC0DE1, 0x5EAC2DE2)
+
+
+def _len_token(trace: int, side: int) -> int:
+    return _LEN_BASE[trace] + 0x1000 * side
 
 
 class _TraceFrame:
-    """The ``pdf`` stand-in handed to the user function during tracing."""
+    """The per-side ``pdf`` stand-in handed to the user function."""
 
-    def __init__(self, schema: T.StructType, keys: list[str], presort, name_to_safe, len_token: int):
+    def __init__(
+        self,
+        schema: T.StructType,
+        keys: list[str],
+        presort,
+        name_to_safe,
+        len_token: int,
+        ctx: _TraceCtx,
+        side: int = 0,
+    ):
         self._schema = schema
         self.keys = list(keys)
         self.presort = list(presort)
         self._name_to_safe = dict(name_to_safe)
         self._fields = {f.name: f for f in schema.fields}
         self._len_token = len_token
+        self.ctx = ctx
+        self.side = side
 
     def safe(self, name: str) -> str:
         return self._name_to_safe.get(name, name)
@@ -398,7 +464,7 @@ class _TraceFrame:
 
     @property
     def shape(self):
-        return (_Scalar(F.count(F.lit(1))), len(self._fields))
+        return (self.ctx.leaf(self.side, F.count(F.lit(1))), len(self._fields))
 
     # pyarrow.Table surface, so arrow-annotated reducers trace too
     def column(self, name: str) -> _Vec:
@@ -426,11 +492,109 @@ class _TraceCursor:
     def __getitem__(self, name: str):
         if name not in self._frame.keys:
             raise TraceError(f"cursor[{name!r}] is not a partition key")
-        return self._frame._col(name)
+        return self._frame._col(name)._first(0)
 
     @property
     def key_value_dict(self):
-        return {k: self._frame._col(k) for k in self._frame.keys}
+        return {k: self._frame._col(k)._first(0) for k in self._frame.keys}
+
+
+def _trace(fn, frames, kwargs, wants_cursor) -> dict:
+    args = list(frames)
+    try:
+        if wants_cursor:
+            res = fn(_TraceCursor(frames[0]), *args, **kwargs)
+        else:
+            res = fn(*args, **kwargs)
+    except TraceError:
+        raise
+    except Exception as ex:
+        raise TraceError(f"tracing raised {type(ex).__name__}: {ex}") from ex
+    if not isinstance(res, dict):
+        raise TraceError(
+            f"compiled transforms must return a dict of scalars, got {type(res).__name__}"
+        )
+    return res
+
+
+def _check_invariant(res, res2, ctx, ctx2, out_cols, n_sides) -> None:
+    if set(res) != set(out_cols) or set(res2) != set(out_cols):
+        raise TraceError(f"traced output keys {sorted(res)} != schema {sorted(out_cols)}")
+    if len(ctx.leaves) != len(ctx2.leaves) or any(
+        s1 != s2 or str(c1) != str(c2)
+        for (s1, c1), (s2, c2) in zip(ctx.leaves, ctx2.leaves)
+    ):
+        raise TraceError(
+            "the traced aggregations depend on len(pdf) — use pdf.shape[0]"
+        )
+
+
+def _token_side(v: int, trace: int, n_sides: int) -> "int | None":
+    for s in range(n_sides):
+        if v == _len_token(trace, s):
+            return s
+    return None
+
+
+def _assemble_outputs(res, res2, ctx, out_schema, n_sides, key_resolver):
+    """→ list of per-field output Columns (over ``__aggN__`` refs and
+    resolved key columns), registering count(*) leaves for len tokens."""
+    outs: list[Column] = []
+    for f in out_schema.fields:
+        v, w = res[f.name], res2[f.name]
+        if isinstance(v, (_Scalar, _Vec)):
+            if type(w) is not type(v) or str(w.col) != str(v.col):
+                raise TraceError(
+                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                )
+        if isinstance(v, _KeyRef):
+            outs.append(key_resolver(v.name).cast(f.dataType).alias(f.name))
+        elif isinstance(v, _Scalar):
+            outs.append(v.col.cast(f.dataType).alias(f.name))
+        elif isinstance(v, _Vec):
+            raise TraceError(
+                f"output {f.name!r} is a per-row expression — reduce it "
+                "(sum/min/max/mean/first) before returning"
+            )
+        elif isinstance(v, bool) or v is None or isinstance(v, str):
+            if w != v:
+                raise TraceError(f"output {f.name!r} is not len()-invariant")
+            outs.append(F.lit(v).cast(f.dataType).alias(f.name))
+        elif isinstance(v, (int, float)):
+            side = _token_side(v, 0, n_sides) if isinstance(v, int) else None
+            if side is not None:
+                if w != _len_token(1, side):
+                    raise TraceError(
+                        f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                    )
+                leaf = ctx.leaf(side, F.count(F.lit(1)))
+                outs.append(leaf.col.cast(f.dataType).alias(f.name))
+            elif v == w or (v != v and w != w):  # equal constants (or both NaN)
+                outs.append(F.lit(v).cast(f.dataType).alias(f.name))
+            else:
+                raise TraceError(
+                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                )
+        else:
+            raise TraceError(f"output {f.name!r} has untraceable type {type(v).__name__}")
+    return outs
+
+
+def _widen_nullable(out: DataFrame) -> DataFrame:
+    """Widen non-nullable agg outputs (count(*)) to the engine's
+    all-nullable schema contract: when(isNotNull, x) resets the nullability
+    flag at analysis time (when(lit(True), x) is constant-folded and does
+    not)."""
+    if any(not f.nullable for f in out.schema.fields):
+        out = out.select(
+            *[
+                F.when(F.col(f.name).isNotNull(), F.col(f.name)).alias(f.name)
+                if not f.nullable
+                else F.col(f.name)
+                for f in out.schema.fields
+            ]
+        )
+    return out
 
 
 def try_compile_aggregation(
@@ -444,7 +608,8 @@ def try_compile_aggregation(
     name_to_safe: "dict | None" = None,
     in_schema: "T.StructType | None" = None,
 ) -> DataFrame:
-    """Trace ``fn`` and return the compiled ``groupBy().agg`` plan.
+    """Trace ``fn`` over one frame and return the compiled
+    ``groupBy().agg`` plan.
 
     ``df`` may carry engine-internal safe column names; ``in_schema`` is the
     user-visible schema and ``name_to_safe`` maps between them.
@@ -452,89 +617,96 @@ def try_compile_aggregation(
     Raises TraceError when the function is not a pure dict-of-aggregations
     reduction; the caller decides whether to fall back or surface it.
     """
-    def run_trace(len_token: int) -> tuple[dict, _TraceFrame]:
-        frame = _TraceFrame(
-            in_schema or df.schema, keys, presort, name_to_safe or {}, len_token
-        )
-        try:
-            if wants_cursor:
-                res = fn(_TraceCursor(frame), frame, **kwargs)
-            else:
-                res = fn(frame, **kwargs)
-        except TraceError:
-            raise
-        except Exception as ex:
-            raise TraceError(f"tracing raised {type(ex).__name__}: {ex}") from ex
-        if not isinstance(res, dict):
-            raise TraceError(
-                f"compiled transforms must return a dict of scalars, got {type(res).__name__}"
-            )
-        return res, frame
+    schema = in_schema or df.schema
+    nts = name_to_safe or {}
+
+    def run_trace(trace: int):
+        ctx = _TraceCtx()
+        frame = _TraceFrame(schema, keys, presort, nts, _len_token(trace, 0), ctx, 0)
+        return _trace(fn, [frame], kwargs, wants_cursor), ctx, frame
 
     # trace twice with different len() sentinels: outputs must be invariant,
     # which catches any arithmetic on len(pdf) (a plain int by CPython rule)
     # leaking into results as a bogus constant — including inside exprs
-    res, frame = run_trace(_LEN_TOKENS[0])
-    res2, _ = run_trace(_LEN_TOKENS[1])
+    res, ctx, frame = run_trace(0)
+    res2, ctx2, _ = run_trace(1)
     out_cols = [f.name for f in out_schema.fields]
-    if set(res) != set(out_cols) or set(res2) != set(out_cols):
-        raise TraceError(f"traced output keys {sorted(res)} != schema {sorted(out_cols)}")
-
-    keyset = set(keys)
-    aggs: list[Column] = []
-    for f in out_schema.fields:
-        v, w = res[f.name], res2[f.name]
-        if isinstance(v, (_Scalar, _Vec)):
-            if type(w) is not type(v) or str(w.col) != str(v.col):
-                raise TraceError(
-                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
-                )
-        if isinstance(v, _Scalar):
-            aggs.append(v.col.cast(f.dataType).alias(f.name))
-        elif isinstance(v, _Vec):
-            if v.name is None or v.name not in keyset:
-                raise TraceError(
-                    f"output {f.name!r} is a per-row expression — reduce it "
-                    "(sum/min/max/mean/first) before returning"
-                )
-            aggs.append(F.first(v.col).cast(f.dataType).alias(f.name))
-        elif isinstance(v, bool) or v is None or isinstance(v, str):
-            if w != v:
-                raise TraceError(f"output {f.name!r} is not len()-invariant")
-            aggs.append(F.lit(v).cast(f.dataType).alias(f.name))
-        elif isinstance(v, (int, float)):
-            if v == _LEN_TOKENS[0] and w == _LEN_TOKENS[1]:
-                aggs.append(F.count(F.lit(1)).cast(f.dataType).alias(f.name))
-            elif v == w or (v != v and w != w):  # equal constants (or both NaN)
-                aggs.append(F.lit(v).cast(f.dataType).alias(f.name))
-            else:
-                raise TraceError(
-                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
-                )
-        else:
-            raise TraceError(f"output {f.name!r} has untraceable type {type(v).__name__}")
+    _check_invariant(res, res2, ctx, ctx2, out_cols, 1)
 
     safe = frame.safe
+    gk = {k: f"__gk_{i}__" for i, k in enumerate(keys)}
+    outs = _assemble_outputs(
+        res, res2, ctx, out_schema, 1, key_resolver=lambda k: F.col(gk[k])
+    )
+    aggs = [col.alias(f"__agg{i}__") for i, (_, col) in enumerate(ctx.leaves)]
     if keys:
         # alias grouping columns to internal names so output aliases that
         # reuse a key's name (the common case) never become ambiguous
-        grouped = df.groupBy(
-            *[F.col(safe(k)).alias(f"__gk_{i}__") for i, k in enumerate(keys)]
+        grouped = df.groupBy(*[F.col(safe(k)).alias(gk[k]) for k in keys])
+        out = grouped.agg(*aggs) if aggs else grouped.agg(
+            F.count(F.lit(1)).alias("__dummy__")
         )
-        out = grouped.agg(*aggs)
     else:
-        out = df.agg(*aggs)
-    out = out.select(*out_cols)
-    # widen non-nullable agg outputs (count(*)) to the engine's all-nullable
-    # schema contract: when(isNotNull, x) resets the nullability flag at
-    # analysis time (when(lit(True), x) is constant-folded and does not)
-    if any(not f.nullable for f in out.schema.fields):
-        out = out.select(
-            *[
-                F.when(F.col(f.name).isNotNull(), F.col(f.name)).alias(f.name)
-                if not f.nullable
-                else F.col(f.name)
-                for f in out.schema.fields
-            ]
-        )
-    return out
+        out = df.agg(*aggs) if aggs else df.agg(F.count(F.lit(1)).alias("__dummy__"))
+    return _widen_nullable(out.select(*outs))
+
+
+def try_compile_cotransform(
+    dfs: "list[DataFrame]",
+    fn: Callable,
+    keys: list[str],
+    presort,
+    out_schema: T.StructType,
+    kwargs: dict,
+    wants_cursor: bool,
+    how: str,
+) -> DataFrame:
+    """Trace a zip co-transformer over N side frames and compile it to
+    per-side ``groupBy(keys).agg`` joined on the keys.
+
+    Only ``how='inner'`` compiles: the inner join reproduces the zip
+    engine's skip-empty-group rule exactly; outer hows would need pandas'
+    empty-frame aggregate semantics (sum()=0, max()=NaN) instead of SQL
+    NULLs, so they stay on the python path.
+    """
+    if how != "inner":
+        raise TraceError(f"only how='inner' cotransforms compile (got {how!r})")
+    if not keys:
+        raise TraceError("cross zip does not compile")
+    n = len(dfs)
+
+    def run_trace(trace: int):
+        ctx = _TraceCtx()
+        frames = [
+            _TraceFrame(
+                dfs[i].schema, keys, presort, {}, _len_token(trace, i), ctx, i
+            )
+            for i in range(n)
+        ]
+        return _trace(fn, frames, kwargs, wants_cursor), ctx
+
+    res, ctx = run_trace(0)
+    res2, ctx2 = run_trace(1)
+    out_cols = [f.name for f in out_schema.fields]
+    _check_invariant(res, res2, ctx, ctx2, out_cols, n)
+
+    outs = _assemble_outputs(
+        res, res2, ctx, out_schema, n, key_resolver=lambda k: F.col(k)
+    )
+    # per-side aggregation over the SAME keys, then inner-join the sides:
+    # each side shuffles only its partial agg states — the zip engine's
+    # single tagged-union exchange carries whole rows instead
+    sides: list[DataFrame] = []
+    for i, df in enumerate(dfs):
+        aggs = [
+            col.alias(f"__agg{j}__")
+            for j, (s, col) in enumerate(ctx.leaves)
+            if s == i
+        ]
+        if not aggs:
+            aggs = [F.count(F.lit(1)).alias(f"__present_{i}__")]
+        sides.append(df.groupBy(*[F.col(k) for k in keys]).agg(*aggs))
+    joined = sides[0]
+    for g in sides[1:]:
+        joined = joined.join(g, on=keys, how="inner")
+    return _widen_nullable(joined.select(*outs))

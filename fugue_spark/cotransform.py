@@ -236,7 +236,18 @@ def cotransform(
     partition: "PartitionSpec | dict | None" = None,
     how: str = "inner",
     params: "dict | None" = None,
+    compile: "bool | str" = False,
 ) -> DataFrame:
+    """Zip ``dfs`` on their common (or declared) keys and apply ``using``
+    to each aligned key group.
+
+    ``compile=True`` opts in to the aggregation trace-compiler: a
+    reducer-shaped function compiles to per-side ``groupBy().agg`` joined
+    on the keys — no tagged union, no Python workers, each side shuffles
+    only partial agg states (see fugue_spark/compile.py). Untraceable
+    functions (or non-inner hows) fall back to the zip engine;
+    ``compile="strict"`` raises instead.
+    """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
     if len(dfs) < 2:
@@ -282,6 +293,18 @@ def cotransform(
                 f"cotransform sides must be pd.DataFrame or pa.Table, got {form!r}"
             )
         side_forms.append("pa" if form == _IN_ARROW else "pd")
+
+    if compile:
+        from fugue_spark.compile import TraceError, try_compile_cotransform
+
+        try:
+            return try_compile_cotransform(
+                dfs, using, keys, spec.presort, out_schema, kwargs, wants_cursor, how
+            )
+        except TraceError:
+            if compile == "strict":
+                raise
+            # fall through to the zip engine unchanged
 
     dummy_cursor = PartitionCursor(keys, [None] * len(keys), 0)
 

@@ -753,6 +753,57 @@ def q22_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q23_cotransform_compiled",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           COUNT(l.l_linenumber) AS n_lines,
+           CAST(CAST(ROUND(MAX(o.o_totalprice) * 10000, 0) AS BIGINT)
+             - SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS price_gap_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("zip", "comap", "compile"),
+    bench=True,
+)
+def q23_cotransform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12's workload through the zip trace-compiler (``compile="strict"``):
+    the same two-sided per-group reducer, symbolically executed once and
+    rewritten as per-side groupBy().agg joined on the key — each side
+    shuffles only partial aggregation states instead of the tagged-union
+    exchange carrying every row to Python workers. Hash-identical to the
+    q12 oracle."""
+    from fugue_spark.cotransform import cotransform
+
+    orders = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "orders"), {"o_orderkey": "orderkey"}),
+        ["orderkey", "o_totalprice"],
+    )
+    li = fa.select_columns(
+        fa.rename(load_table(spark, sf_dir, "lineitem"), {"l_orderkey": "orderkey"}),
+        ["orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def gap(cursor, o, l):
+        # identical math to q12, in traceable form; runs unmodified on the
+        # zip engine too (numpy scalar ops on the pandas path)
+        rev_e4 = (l.l_extendedprice * (1 - l.l_discount) * 10000).round().astype("int64").sum()
+        total_e4 = (o.o_totalprice.max() * 10000).round().astype("int64")
+        return {
+            "orderkey": cursor["orderkey"],
+            "n_lines": len(l),
+            "price_gap_e4": total_e4 - rev_e4,
+        }
+
+    return cotransform(
+        [orders, li],
+        gap,
+        schema="orderkey:long,n_lines:long,price_gap_e4:long",
+        how="inner",
+        compile="strict",
+    )
+
+
 @register("q19_sample_seeded", oracle=None, tags=("sample",))
 def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded fraction sample — engine-specific RNG, rows-only check."""

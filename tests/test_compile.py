@@ -211,3 +211,89 @@ def test_compiled_fillna_and_np_funcs(spark):
     a, b = sorted_rows(plain), sorted_rows(compiled)
     for ra, rb in zip(a, b):
         assert ra[0] == rb[0] and abs(ra[1] - rb[1]) < 1e-9
+
+
+# ---------------- cotransform compilation ----------------
+
+
+def _two_sides(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 400
+    o = pd.DataFrame(
+        {"k": np.arange(100, dtype="int64"), "total": np.round(rng.uniform(10, 500, 100), 2)}
+    )
+    l = pd.DataFrame(
+        {
+            "k": rng.integers(0, 120, n).astype("int64"),  # some keys missing from o
+            "price": np.round(rng.uniform(1, 100, n), 2),
+            "disc": np.round(rng.uniform(0, 0.1, n), 2),
+        }
+    )
+    return spark.createDataFrame(o), spark.createDataFrame(l)
+
+
+def test_cotransform_compiled_matches_zip_engine(spark):
+    from fugue_spark.cotransform import cotransform
+
+    o, l = _two_sides(spark)
+
+    def gap(cursor, left, right):
+        rev = (right.price * (1 - right.disc) * 10000).round().astype("int64").sum()
+        tot = (left.total.max() * 10000).round().astype("int64")
+        return {"k": cursor["k"], "n": len(right), "gap": tot - rev}
+
+    schema = "k:long,n:long,gap:long"
+    plain = cotransform([o, l], gap, schema=schema, how="inner")
+    compiled = cotransform([o, l], gap, schema=schema, how="inner", compile="strict")
+    assert sorted_rows(plain) == sorted_rows(compiled)
+    assert plain.schema == compiled.schema
+    explained = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in explained and "MapInPandas" not in explained
+
+
+def test_cotransform_compiled_mean_and_counts_both_sides(spark):
+    from fugue_spark.cotransform import cotransform
+
+    o, l = _two_sides(spark)
+
+    def f(left, right):
+        return {
+            "k": left.k.iloc[0],
+            "n_left": len(left),
+            "n_right": right.price.count(),
+            "avg_price": right.price.mean(),
+        }
+
+    schema = "k:long,n_left:long,n_right:long,avg_price:double"
+    plain = cotransform([o, l], f, schema=schema, how="inner")
+    compiled = cotransform([o, l], f, schema=schema, how="inner", compile="strict")
+    a, b = sorted_rows(plain), sorted_rows(compiled)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3] and abs(ra[3] - rb[3]) < 1e-9
+
+
+def test_cotransform_compiled_restrictions(spark):
+    from fugue_spark.compile import TraceError
+    from fugue_spark.cotransform import cotransform
+
+    o, l = _two_sides(spark)
+
+    def f(left, right):
+        return {"k": left.k.iloc[0], "n": len(right)}
+
+    # outer hows stay on the python path (empty-side pandas semantics)
+    with pytest.raises(TraceError, match="inner"):
+        cotransform(
+            [o, l], f, schema="k:long,n:long", how="left_outer", compile="strict"
+        )
+
+    def mixes_sides(left, right):
+        return {"k": left.k.iloc[0], "bad": (left.total * right.price).sum()}
+
+    with pytest.raises(TraceError, match="zip sides"):
+        cotransform(
+            [o, l], mixes_sides, schema="k:long,bad:double", how="inner", compile="strict"
+        )
