@@ -285,18 +285,97 @@ class _Iloc:
 
 
 class _Vec(_Base):
-    """A per-row (vector) expression over one side's group rows."""
+    """A per-row (vector) expression over one side's group rows.
 
-    __slots__ = ("frame", "name")
+    ``boolish`` marks comparison/logical results: pandas reduces boolean
+    Series numerically (sum counts Trues, mean is the True fraction), so
+    boolean vectors cast to long inside sum/mean — SQL would reject
+    sum(boolean) outright."""
 
-    def __init__(self, col: Column, frame: "_TraceFrame | None" = None, name: "str | None" = None):
+    __slots__ = ("frame", "name", "boolish")
+
+    def __init__(
+        self,
+        col: Column,
+        frame: "_TraceFrame | None" = None,
+        name: "str | None" = None,
+        boolish: bool = False,
+    ):
         super().__init__(col)
         self.frame = frame
         self.name = name
+        self.boolish = boolish
 
     def _make(self, col: Column):
         # derived vectors lose key identity but keep the frame (side/presort)
         return _Vec(col, frame=self.frame)
+
+    def _make_bool(self, col: Column):
+        return _Vec(col, frame=self.frame, boolish=True)
+
+    # comparisons / logical: boolean-typed results ------------------------
+    def __eq__(self, o):  # type: ignore[override]
+        return self._make_bool(self.col == self._lift(o))
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._make_bool(self.col != self._lift(o))
+
+    def __lt__(self, o):
+        return self._make_bool(self.col < self._lift(o))
+
+    def __le__(self, o):
+        return self._make_bool(self.col <= self._lift(o))
+
+    def __gt__(self, o):
+        return self._make_bool(self.col > self._lift(o))
+
+    def __ge__(self, o):
+        return self._make_bool(self.col >= self._lift(o))
+
+    def __and__(self, o):
+        return self._make_bool(self.col & self._lift(o))
+
+    def __or__(self, o):
+        return self._make_bool(self.col | self._lift(o))
+
+    def __invert__(self):
+        return self._make_bool(~self.col)
+
+    def isna(self):
+        return self._make_bool(self.col.isNull())
+
+    def isnull(self):
+        return self._make_bool(self.col.isNull())
+
+    def notna(self):
+        return self._make_bool(self.col.isNotNull())
+
+    def isin(self, values):
+        vals = list(values)
+        if not all(isinstance(v, (int, float, bool, str)) for v in vals):
+            raise TraceError("isin with non-constant values is not traceable")
+        return self._make_bool(self.col.isin(vals))
+
+    def between(self, left, right, inclusive: str = "both"):
+        if inclusive != "both":
+            raise TraceError("between(inclusive != 'both') is not traceable")
+        return self._make_bool(
+            (self.col >= self._lift(left)) & (self.col <= self._lift(right))
+        )
+
+    def abs(self):
+        return self._make(F.abs(self.col))
+
+    def clip(self, lower=None, upper=None):
+        for b in (lower, upper):
+            if b is not None and not isinstance(b, (int, float)):
+                raise TraceError("clip bounds must be numeric constants")
+        c = self.col
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._make(c)
 
     def _lift(self, other: Any):
         if isinstance(other, _Vec) and other.frame is not self.frame:
@@ -332,23 +411,42 @@ class _Vec(_Base):
         return self._leaf(F.count(F.lit(1)))
 
     # reductions -----------------------------------------------------------
+    def _num(self) -> Column:
+        # pandas reduces boolean Series numerically
+        return self.col.cast("long") if self.boolish else self.col
+
     def sum(self, *a, **k):
-        return self._leaf(F.sum(self.col))
+        return self._leaf(F.sum(self._num()))
 
     def min(self, *a, **k):
-        return self._leaf(F.min(self.col))
+        return self._leaf(F.min(self._num()))
 
     def max(self, *a, **k):
-        return self._leaf(F.max(self.col))
+        return self._leaf(F.max(self._num()))
 
     def mean(self, *a, **k):
-        return self._leaf(F.avg(self.col))
+        return self._leaf(F.avg(self._num()))
 
     def count(self, *a, **k):
         return self._leaf(F.count(self.col))
 
     def nunique(self, *a, **k):
         return self._leaf(F.count_distinct(self.col))
+
+    def std(self, ddof: int = 1):
+        if ddof not in (0, 1):
+            raise TraceError("std(ddof) must be 0 or 1")
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._leaf(fn(self._num()))
+
+    def var(self, ddof: int = 1):
+        if ddof not in (0, 1):
+            raise TraceError("var(ddof) must be 0 or 1")
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        return self._leaf(fn(self._num()))
+
+    def median(self):
+        return self._leaf(F.median(self._num()))
 
     def _first(self, i: Any) -> _Scalar:
         if not isinstance(i, int) or i != 0:

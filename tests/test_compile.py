@@ -297,3 +297,48 @@ def test_cotransform_compiled_restrictions(spark):
         cotransform(
             [o, l], mixes_sides, schema="k:long,bad:double", how="inner", compile="strict"
         )
+
+
+def test_compiled_boolean_reductions_and_extended_surface(spark):
+    df = make_df(
+        spark,
+        [
+            [1, 5.0, None],
+            [1, -3.0, 2.0],
+            [1, 9.0, 4.0],
+            [2, 2.0, 6.0],
+            [2, 8.0, None],
+            [2, 100.0, 1.0],
+        ],
+        "k:int,v:double,w:double",
+    )
+
+    def f(pdf):
+        return {
+            "k": pdf.k.iloc[0],
+            "n_big": (pdf.v > 4).sum(),
+            "frac_neg": (pdf.v < 0).mean(),
+            "n_null_w": pdf.w.isna().sum(),
+            "n_in": pdf.k.isin([1, 7]).sum(),
+            "n_band": pdf.v.between(0, 10).sum(),
+            "sum_clip": pdf.v.clip(0, 10).sum(),
+            "sum_abs": pdf.v.abs().sum(),
+            "sd": pdf.v.std(),
+            "vr": pdf.v.var(ddof=0),
+            "med": pdf.v.median(),
+        }
+
+    schema = (
+        "k:int,n_big:long,frac_neg:double,n_null_w:long,n_in:long,"
+        "n_band:long,sum_clip:double,sum_abs:double,sd:double,vr:double,med:double"
+    )
+    plain = transform(df, f, schema=schema, partition={"by": ["k"]})
+    compiled = transform(df, f, schema=schema, partition={"by": ["k"]}, compile="strict")
+    a, b = sorted_rows(plain), sorted_rows(compiled)
+    assert len(a) == len(b) == 2
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float):
+                assert abs(x - y) < 1e-9, (ra, rb)
+            else:
+                assert x == y, (ra, rb)
