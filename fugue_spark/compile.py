@@ -499,15 +499,46 @@ class _KeyRef(_Vec):
 # ``len(pdf)`` must hand the user a real int (CPython coerces __len__'s
 # result to an exact int, discarding any subclass), so len is traced with a
 # sentinel VALUE (one per side per trace). The function is traced twice with
-# different sentinels and the outputs must be invariant: a value equal to
-# side s's sentinel in both traces compiles to that side's count(*);
-# anything else that CHANGED between traces was contaminated by arithmetic
-# on len() and fails the trace loudly.
-_LEN_BASE = (0x5EAC0DE1, 0x5EAC2DE2)
+# different sentinels and the outputs must be invariant. Sentinels are
+# digit-weighted (side s contributes 16^s in the low bits), so any
+# NON-NEGATIVE INTEGER COMBINATION of side lengths — len(a), len(a)+len(b),
+# 2*len(a) — decodes uniquely back to per-side multiplicities and compiles
+# to the matching combination of count(*) leaves; the second trace must
+# decode to the SAME multiset or the trace fails (len contamination).
+_LEN_BASE = (0x5EAC0DE1, 0x2AB5CDE3)
+_LEN_SIDE_W = 0x1000  # side s token = BASE + W * 16**s
+_LEN_MAX_SIDES = 4  # decoding is unique while sum of side digits < BASE/W
 
 
 def _len_token(trace: int, side: int) -> int:
-    return _LEN_BASE[trace] + 0x1000 * side
+    return _LEN_BASE[trace] + _LEN_SIDE_W * (16 ** side)
+
+
+def _decode_len_sum(v: Any, trace: int, n_sides: int) -> "dict[int, int] | None":
+    """If ``v`` equals a non-negative integer combination of this trace's
+    len sentinels, return {side: multiplicity}; else None."""
+    if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+        return None
+    if n_sides > _LEN_MAX_SIDES:
+        return None
+    base = _LEN_BASE[trace]
+    for k in range(1, 9):  # total number of len() terms
+        r = v - k * base
+        if r < 0:
+            break
+        if r >= base or r % _LEN_SIDE_W:
+            continue
+        d = r // _LEN_SIDE_W
+        mult: dict[int, int] = {}
+        total = 0
+        for side in range(n_sides):
+            digit = (d >> (4 * side)) & 0xF
+            if digit:
+                mult[side] = digit
+                total += digit
+        if d < 16 ** n_sides and total == k and mult:
+            return mult
+    return None
 
 
 class _TraceFrame:
@@ -627,13 +658,6 @@ def _check_invariant(res, res2, ctx, ctx2, out_cols, n_sides) -> None:
         )
 
 
-def _token_side(v: int, trace: int, n_sides: int) -> "int | None":
-    for s in range(n_sides):
-        if v == _len_token(trace, s):
-            return s
-    return None
-
-
 def _assemble_outputs(res, res2, ctx, out_schema, n_sides, key_resolver):
     """→ list of per-field output Columns (over ``__aggN__`` refs and
     resolved key columns), registering count(*) leaves for len tokens."""
@@ -659,14 +683,19 @@ def _assemble_outputs(res, res2, ctx, out_schema, n_sides, key_resolver):
                 raise TraceError(f"output {f.name!r} is not len()-invariant")
             outs.append(F.lit(v).cast(f.dataType).alias(f.name))
         elif isinstance(v, (int, float)):
-            side = _token_side(v, 0, n_sides) if isinstance(v, int) else None
-            if side is not None:
-                if w != _len_token(1, side):
+            dec = _decode_len_sum(v, 0, n_sides)
+            if dec is not None:
+                if _decode_len_sum(w, 1, n_sides) != dec:
                     raise TraceError(
-                        f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                        f"output {f.name!r} mixes len(pdf) with other arithmetic "
+                        "— use pdf.shape[0]"
                     )
-                leaf = ctx.leaf(side, F.count(F.lit(1)))
-                outs.append(leaf.col.cast(f.dataType).alias(f.name))
+                expr = None
+                for side, mult in sorted(dec.items()):
+                    leaf = ctx.leaf(side, F.count(F.lit(1)))
+                    term = leaf.col if mult == 1 else leaf.col * F.lit(mult)
+                    expr = term if expr is None else expr + term
+                outs.append(expr.cast(f.dataType).alias(f.name))
             elif v == w or (v != v and w != w):  # equal constants (or both NaN)
                 outs.append(F.lit(v).cast(f.dataType).alias(f.name))
             else:

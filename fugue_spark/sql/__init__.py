@@ -232,7 +232,7 @@ class _Executor:
     # clause keywords that may appear where an OPTIONAL df ref is parsed —
     # never candidates for catalog-table fallthrough
     _CLAUSE_KEYWORDS = STATEMENT_KEYWORDS | {
-        "AND", "APPEND", "AS", "ASC", "AVRO", "BY", "CALLBACK", "COLUMNS",
+        "AND", "APPEND", "AS", "ASC", "AVRO", "BY", "CALLBACK", "COLUMNS", "COMPILED",
         "CSV", "DESC", "EXISTS", "FALSE", "FROM", "IF", "JSON", "LAZY",
         "NULL", "NULLS", "ON", "ORC", "OUTER", "OVERWRITE", "PARAMS",
         "PARQUET", "PERCENT", "PREPARTITION", "PRESORT", "REPLACE", "ROW",
@@ -483,6 +483,11 @@ class _Executor:
     # -- transforms / extensions --
 
     def _st_transform(self, c: _Cursor, discard: bool = False) -> "DataFrame | None":
+        # TRANSFORM [COMPILED] df... [PREPARTITION ...] USING fn [PARAMS ...]
+        #   [SCHEMA ...] [CALLBACK fn] — COMPILED opts into the aggregation
+        # trace-compiler (strict: an untraceable function is a script error,
+        # not a silent slow path)
+        compiled = c.match("COMPILED")
         names = self._df_ref_list(c)
         spec = self._prepartition(c) or PartitionSpec()
         c.expect("USING")
@@ -494,23 +499,29 @@ class _Executor:
         callback = None
         if c.match("CALLBACK"):
             callback = self._resolve_fn(self._dotted_name(c))
+        compile_arg = "strict" if compiled else False
         inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
         if len(inputs) == 1 and isinstance(inputs[0], ZippedFrames):
             z = inputs[0]
             if schema is None:
                 raise FugueSQLError("TRANSFORM on zipped input requires SCHEMA")
             return cotransform(
-                z.dfs, fn, schema=schema, partition=z.spec, how=z.how, params=params
+                z.dfs, fn, schema=schema, partition=z.spec, how=z.how, params=params,
+                compile=compile_arg,
             )
         if len(inputs) > 1:
             if schema is None:
                 raise FugueSQLError("multi-input TRANSFORM requires SCHEMA")
-            return cotransform(inputs, fn, schema=schema, partition=spec, params=params)
+            return cotransform(
+                inputs, fn, schema=schema, partition=spec, params=params,
+                compile=compile_arg,
+            )
         if discard:
             out_transform(inputs[0], fn, partition=spec, params=params)
             return None
         return transform(
-            inputs[0], fn, schema=schema, partition=spec, params=params, callback=callback
+            inputs[0], fn, schema=schema, partition=spec, params=params,
+            callback=callback, compile=compile_arg,
         )
 
     def _st_outtransform(self, c: _Cursor) -> None:

@@ -385,3 +385,57 @@ def test_plan_utilities(spark):
         fa.broadcast(small), "n_nationkey"
     )
     assert broadcast_join_count(j) == 1
+
+
+def test_transform_compiled_keyword(spark):
+    """TRANSFORM COMPILED runs the statement through the aggregation
+    trace-compiler (strict): reducer functions execute as native
+    groupBy().agg; untraceable ones are a script error."""
+
+    def summarize(pdf: pd.DataFrame):
+        return {"k": pdf.k.iloc[0], "n": len(pdf), "s": pdf.v.sum()}
+
+    res = fsql(
+        """
+        CREATE [["a", 3], ["a", 1], ["b", 9]] SCHEMA k:str,v:long
+        TRANSFORM COMPILED PREPARTITION BY k USING summarize SCHEMA k:str,n:long,s:long
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"summarize": summarize},
+    )
+    assert rows(res["out"]) == [("a", 2, 4), ("b", 1, 9)]
+
+    def untraceable(pdf: pd.DataFrame):
+        return {"k": pdf.k.iloc[0], "n": int(pdf.v.sum())}
+
+    from fugue_spark.compile import TraceError
+
+    with pytest.raises(TraceError):
+        fsql(
+            """
+            CREATE [["a", 3]] SCHEMA k:str,v:long
+            TRANSFORM COMPILED PREPARTITION BY k USING untraceable SCHEMA k:str,n:long
+            YIELD DATAFRAME AS out
+            """,
+            spark=spark,
+            functions={"untraceable": untraceable},
+        )
+
+
+def test_transform_compiled_zipped(spark):
+    def merge(cursor, a: pd.DataFrame, b: pd.DataFrame):
+        return {"k": cursor["k"], "n": len(a) + len(b)}
+
+    res = fsql(
+        """
+        l = CREATE [[1, 10], [2, 20]] SCHEMA k:long,x:long
+        r = CREATE [[1, 30], [1, 40]] SCHEMA k:long,y:long
+        ZIP l, r BY k
+        TRANSFORM COMPILED USING merge SCHEMA k:long,n:long
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"merge": merge},
+    )
+    assert rows(res["out"]) == [(1, 3)]
