@@ -114,8 +114,9 @@ def _hot_shingles(ex: DataFrame, ndocs_df: DataFrame, max_shingle_df, min_cap: i
     """The (small) set of shingles whose document frequency exceeds the cap —
     the standard corpus-scale guard: one stop-gram shared by 10% of docs
     otherwise turns the inverted-index self-join quadratic. A fractional cap
-    is resolved INSIDE the plan (1-row count subquery cross-joined in), so no
-    eager job runs ahead of the real query."""
+    is resolved INSIDE the plan (1-row count subquery cross-joined in); the
+    caller decides whether to evaluate this lazily (broadcast side) or probe
+    it eagerly to specialize the plan (see ngram_jaccard_pairs)."""
     if max_shingle_df is None:
         return None
     counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df__"))
