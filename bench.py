@@ -159,6 +159,9 @@ def main() -> None:
             from make_sf1 import DST, make_sf1
 
             sf1_dir = DST if os.path.isdir(DST) else make_sf1()
+            from fugue_spark.benchmarks import release_cache
+
+            release_cache(sf_dir)  # drop the sf0.1 cache: less heap, less GC
             t1 = run_queries(spark, bench_specs, sf1_dir)
             point = {"value": round(sum(t1.values()), 3), "queries": t1}
             try:

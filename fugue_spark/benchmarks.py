@@ -60,6 +60,17 @@ def warm_cache(spark: SparkSession, sf_dir: str, tables: "tuple[str, ...]" = TAB
         _TABLE_CACHE[(sf_dir, t)] = df
 
 
+def release_cache(sf_dir: "str | None" = None) -> None:
+    """Unpersist cached inputs (one sf dir, or all). The bench calls this
+    between scale phases so a finished phase's cached tables don't sit in
+    the executor heap inflating GC pressure during the next phase."""
+    for key in [k for k in _TABLE_CACHE if sf_dir is None or k[0] == sf_dir]:
+        try:
+            _TABLE_CACHE.pop(key).unpersist()
+        except Exception:  # pragma: no cover - session already gone
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get((sf_dir, name))
     if cached is not None:
