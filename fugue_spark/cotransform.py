@@ -123,8 +123,13 @@ def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True, side_forms=Non
         presort_exprs.append(
             branches.asc_nulls_last() if asc else branches.desc_nulls_last()
         )
+    # NOTE: __tag__ is deliberately NOT a sort key — each side is tag-
+    # filtered before use, so within a key group a side's rows are
+    # contiguous in its own filtered frame regardless of tag interleaving,
+    # and the per-side exclusive prefix sums index any (a, b) boundary.
+    # One fewer comparison column in the partition sort.
     combined = combined.sortWithinPartitions(
-        *[e.asc_nulls_first() for e in key_exprs], F.col("__tag__"), *presort_exprs
+        *[e.asc_nulls_first() for e in key_exprs], *presort_exprs
     )
     out_cols = [f.name for f in out_schema.fields]
     side_src = [
@@ -156,9 +161,10 @@ def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True, side_forms=Non
             return
         # Split by tag ONCE per partition, Arrow-side (C++ filter, then one
         # to_pandas per SIDE — the union frame itself is never converted).
-        # Because the JVM sort is (keys, tag), each side's rows inside a key
-        # group form one contiguous sub-run of that side's frame, located by
-        # an exclusive prefix-sum of the tag mask — O(1) per group per side.
+        # The JVM sort is on the keys (+ presort), so after the tag filter
+        # a side's rows inside a key group are contiguous in its own frame;
+        # the exclusive prefix-sum of the tag mask maps ANY (a, b) group
+        # boundary of the union to that side's slice — O(1) per group.
         # The Arrow filter also makes the dtype story exact: a side's column
         # leaves the union with its original Arrow type, so to_pandas
         # restores the input dtype with no astype pass (NULL padding from
