@@ -487,6 +487,47 @@ def q13_fuguesql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["result"]
 
 
+def _q24_per_order(pdf):
+    # traceable form of _q13_per_order: same math, no int() wrappers
+    return {
+        "l_orderkey": pdf.l_orderkey.iloc[0],
+        "n": len(pdf),
+        "qty": pdf.l_quantity.sum().astype("int64"),
+    }
+
+
+@register(
+    "q24_fuguesql_compiled",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS qty
+    FROM lineitem WHERE l_quantity < 30
+    GROUP BY l_orderkey
+    """,
+    tags=("sql", "fuguesql", "compile"),
+    bench=True,
+)
+def q24_fuguesql_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13's script with ``TRANSFORM COMPILED``: the SQL layer routes the
+    same per-group function through the trace-compiler, so the script
+    executes as LOAD → Catalyst SELECT → native groupBy().agg — zero
+    Python in the final plan. Benchmarked beside q13 it isolates what the
+    script's pandas stage costs."""
+    from fugue_spark.sql import fsql
+
+    res = fsql(
+        """
+        li = LOAD PARQUET "{{path}}"
+        proj = SELECT l_orderkey, l_quantity FROM li WHERE l_quantity < 30
+        TRANSFORM COMPILED proj PREPARTITION BY l_orderkey USING per_order SCHEMA l_orderkey:long,n:long,qty:long
+        YIELD DATAFRAME AS result
+        """,
+        spark=spark,
+        functions={"per_order": _q24_per_order},
+        path=f"{sf_dir}/lineitem.parquet",
+    )
+    return res["result"]
+
+
 @register(
     "q14_alter_columns_cast",
     oracle="""
