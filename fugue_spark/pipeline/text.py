@@ -204,6 +204,7 @@ def corpus_stats(
     by: "list[str] | None" = None,
     quantiles: "tuple[float, ...]" = (0.5, 0.9, 0.99),
     approx: bool = False,
+    n_distinct: bool = False,
 ) -> DataFrame:
     """Per-group distribution stats of a numeric column: count, sum, and
     quantiles — the length/token histogram every corpus-curation pass
@@ -215,6 +216,11 @@ def corpus_stats(
     exact). ``approx=True`` switches to ``approx_percentile`` (t-digest
     sketch, one pass, mergeable map-side) — the 100 TB path where a
     per-group sort of raw values is the wrong plan.
+
+    ``n_distinct=True`` adds a distinct-value count with the same split:
+    exact ``count_distinct`` (a second shuffle keyed on the value) when
+    ``approx=False``, HyperLogLog++ ``approx_count_distinct`` (one pass,
+    constant-size mergeable sketch, default ~2% rsd) when ``approx=True``.
     """
     fn = "approx_percentile" if approx else "percentile"
     aggs = [
@@ -226,5 +232,12 @@ def corpus_stats(
         ).alias(f"p{int(q * 100)}_e2")
         for q in quantiles
     ]
+    if n_distinct:
+        nd = (
+            F.approx_count_distinct(F.col(value_col))
+            if approx
+            else F.count_distinct(F.col(value_col))
+        )
+        aggs.append(nd.alias("n_distinct"))
     g = df.groupBy(*by) if by else df.groupBy()
     return g.agg(*aggs)

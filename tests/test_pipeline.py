@@ -293,6 +293,19 @@ def test_corpus_stats_exact_and_approx(spark):
     # approx path: same schema, near-exact on small groups
     ap = {r.g: r for r in corpus_stats(df, "v", by=["g"], quantiles=(0.5,), approx=True).collect()}
     assert abs(ap["a"].p50_e2 - 5050) <= 100
+    # distinct counts: exact vs HLL sketch (near-exact at this size)
+    ex = {
+        r.g: r
+        for r in corpus_stats(df, "v", by=["g"], quantiles=(0.5,), n_distinct=True).collect()
+    }
+    assert ex["a"].n_distinct == 100 and ex["b"].n_distinct == 2
+    hll = {
+        r.g: r
+        for r in corpus_stats(
+            df, "v", by=["g"], quantiles=(0.5,), approx=True, n_distinct=True
+        ).collect()
+    }
+    assert abs(hll["a"].n_distinct - 100) <= 5 and hll["b"].n_distinct == 2
 
 
 def test_near_dup_clusters_chain_converges_logarithmically(spark):
