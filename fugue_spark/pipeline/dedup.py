@@ -576,13 +576,39 @@ def dedup_near(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    score_col: "str | None" = None,
 ) -> DataFrame:
     """Drop near-duplicates: keep one survivor per connected component of
-    the pair graph (the MIN id — deterministic across engines and runs),
-    plus every row in no pair. The standard final stage of a
-    MinHash/SimHash dedup pipeline: ``dedup_near(docs,
-    minhash_lsh_pairs(docs))``. The anti-join ships only ids."""
-    losers = near_dup_clusters(pairs).filter(F.col("cluster") != F.col("id")).select("id")
+    the pair graph, plus every row in no pair. The standard final stage of
+    a MinHash/SimHash dedup pipeline: ``dedup_near(docs,
+    minhash_lsh_pairs(docs))``.
+
+    Survivor rule: the MIN id (deterministic across engines and runs), or
+    with ``score_col`` the HIGHEST-scoring member of each cluster (ties →
+    min id) — the curation-quality variant: dedup against a quality score
+    so the best document wins, not the earliest. Either way the joins ship
+    only (id, cluster[, score]) — never the documents."""
+    clusters = near_dup_clusters(pairs)
+    if score_col is None:
+        losers = clusters.filter(F.col("cluster") != F.col("id")).select("id")
+    else:
+        scored = clusters.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(score_col).alias("__score__")
+            ),
+            on="id",
+        )
+        best = scored.groupBy("cluster").agg(
+            # max score, tie-broken by min id: max_by over (score, -id)
+            F.max_by("id", F.struct(F.col("__score__"), (-F.col("id")).alias("__nid__"))).alias(
+                "__keep__"
+            )
+        )
+        losers = (
+            scored.join(best, on="cluster")
+            .filter(F.col("id") != F.col("__keep__"))
+            .select("id")
+        )
     return df.join(
         losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
     )

@@ -342,3 +342,69 @@ def test_compiled_boolean_reductions_and_extended_surface(spark):
                 assert abs(x - y) < 1e-9, (ra, rb)
             else:
                 assert x == y, (ra, rb)
+
+
+def test_compiled_randomized_differential(spark):
+    """Kitchen-sink reducer over random grouped data (with NULLs): the
+    compiled plan must match the pandas path value-for-value across
+    seeds. Boolean reductions only touch non-null columns (pandas counts
+    a NaN comparison as False in the mean denominator; SQL avg skips
+    NULL rows — a real semantic difference, not a bug)."""
+
+    def kitchen(pdf):
+        return {
+            "k": pdf.k.iloc[0],
+            "n": len(pdf),
+            "s_v": pdf.v.sum(),
+            "mn": pdf.v.min(),
+            "mx": pdf.v.max(),
+            "avg_w": pdf.w.mean(),
+            "n_pos": (pdf.w > 0).sum(),
+            "n_null_v": pdf.v.isna().sum(),
+            "filled": pdf.v.fillna(0.0).sum(),
+            "sd_w": pdf.w.std(),
+            "med_w": pdf.w.median(),
+            "uniq_i": pdf.i.nunique(),
+            "clipped": pdf.w.clip(-1.0, 1.0).sum(),
+            "rooted": np.sqrt(pdf.w.abs()).sum(),
+        }
+
+    schema = (
+        "k:long,n:long,s_v:double,mn:double,mx:double,avg_w:double,"
+        "n_pos:long,n_null_v:long,filled:double,sd_w:double,med_w:double,"
+        "uniq_i:long,clipped:double,rooted:double"
+    )
+
+    def close(x, y):
+        if x is None and y is None:
+            return True
+        if x is None or y is None:
+            return False
+        if isinstance(x, float):
+            if x != x and y != y:
+                return True
+            return abs(x - y) <= 1e-6 * max(1.0, abs(x), abs(y))
+        return x == y
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 300
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 25, n).astype("int64"),
+                "v": rng.uniform(-50, 50, n),
+                "w": rng.uniform(-5, 5, n),
+                "i": rng.integers(0, 9, n).astype("int64"),
+            }
+        )
+        pdf.loc[rng.random(n) < 0.2, "v"] = None
+        df = spark.createDataFrame(pdf)
+        plain = transform(df, kitchen, schema=schema, partition={"by": ["k"]})
+        compiled = transform(
+            df, kitchen, schema=schema, partition={"by": ["k"]}, compile="strict"
+        )
+        a, b = sorted_rows(plain), sorted_rows(compiled)
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            for x, y in zip(ra, rb):
+                assert close(x, y), (seed, ra, rb)

@@ -349,3 +349,23 @@ def test_assign_pack_bins_global_hierarchical(spark):
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__shard__" in explained
     assert "SinglePartition" not in explained
+
+
+def test_dedup_near_score_survivor(spark):
+    """score_col keeps the highest-quality member per cluster (ties -> min
+    id) instead of the min id."""
+    from fugue_spark.pipeline import dedup_near
+    from fugue_spark.schema import parse_schema
+
+    docs = spark.createDataFrame(
+        [[1, 0.2], [2, 0.9], [3, 0.9], [4, 0.5], [5, 0.1]],
+        parse_schema("doc_id:long,score:double"),
+    )
+    # cluster {1,2,3} and {5}; 4 unpaired
+    pairs = spark.createDataFrame(
+        [[1, 2], [2, 3]], parse_schema("id_a:long,id_b:long")
+    )
+    out = sorted(r.doc_id for r in dedup_near(docs, pairs, score_col="score").collect())
+    assert out == [2, 4, 5]  # 2 beats 3 on the id tiebreak, 0.9 beats 0.2
+    out_min = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
+    assert out_min == [1, 4, 5]
