@@ -258,6 +258,18 @@ def cotransform(
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
     if len(dfs) < 2:
         raise ValueError("cotransform needs at least two dataframes")
+    # the tagged union embeds column names in generated identifiers; the
+    # reference's schema model (triad) only permits identifier names, so
+    # fail fast with a clear message instead of a Catalyst analysis error
+    from fugue_spark.transform import _SAFE_NAME_RE
+
+    for d in dfs:
+        bad = [c for c in d.columns if not _SAFE_NAME_RE.fullmatch(c)]
+        if bad:
+            raise ValueError(
+                f"cotransform requires identifier column names, got {bad}; "
+                "rename() them first"
+            )
     spec = partition if isinstance(partition, PartitionSpec) else PartitionSpec(partition)
     if how == "cross":
         # reference zip: cross takes no partition keys; the function is
