@@ -30,6 +30,7 @@ from fugue_spark.pipeline.text import (
     with_fingerprint,
     with_lang_id,
     with_quality_score,
+    with_repetition_stats,
     with_token_stats,
 )
 from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401

@@ -81,6 +81,69 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, map-only JVM expressions:
+
+    * ``n_lines`` / ``dup_line_frac_e4`` — fraction of lines that are
+      duplicates of an earlier line (boilerplate/navigation detector);
+    * ``top_word_frac_e4`` — share of the most frequent word among all
+      words (degenerate keyword-stuffing detector);
+    * ``frac_alpha_words_e4`` — fraction of words containing a letter.
+
+    Ratios are integer-scaled (×10⁴) for cross-engine reproducibility.
+    At 100 TB this is scan-speed: no shuffle, no Python; the per-word work
+    uses array HOFs on already-split arrays (bounded by document length).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_dis_lines = F.size(F.array_distinct(lines))
+    dup_line_frac_e4 = F.when(
+        n_lines > 0, F.floor(((n_lines - n_dis_lines) * 10000) / n_lines).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    words = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    n_words = F.size(words)
+    # mode count = longest equal-run of the SORTED word array: one C++
+    # array_sort then a single O(w) interpreted fold — never the O(w²)
+    # count-per-distinct-word form (higher-order lambdas are interpreted
+    # per element; see _shingles for the same lesson). Stays entirely
+    # inside the row: no explode, no shuffle.
+    sorted_words = F.array_sort(words)
+    run_acc = F.aggregate(
+        sorted_words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_word_frac_e4 = F.when(
+        n_words > 0, F.floor((run_acc * 10000) / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    frac_alpha_words_e4 = F.when(
+        n_words > 0, F.floor((alpha_words * 10000) / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    return df.withColumns(
+        {
+            "n_lines": n_lines,
+            "dup_line_frac_e4": dup_line_frac_e4,
+            "top_word_frac_e4": top_word_frac_e4,
+            "frac_alpha_words_e4": frac_alpha_words_e4,
+        }
+    )
+
+
 # marker stopwords per language — deterministic argmax with fixed precedence
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],

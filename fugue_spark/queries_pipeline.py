@@ -27,6 +27,7 @@ from fugue_spark.pipeline import (
     simhash_pairs,
     with_lang_id,
     with_quality_score,
+    with_repetition_stats,
     with_token_stats,
 )
 
@@ -377,6 +378,58 @@ def p19_sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="doc_id",
     )
     return packed.select("doc_id", "n_tok", "pack_bin").orderBy("doc_id")
+
+
+@register(
+    "p20_repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      FROM documents
+    ),
+    topw AS (
+      SELECT doc_id, MAX(c) AS top_count FROM (
+        SELECT doc_id, COUNT(*) AS c FROM w GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_distinct(string_split(text, chr(10)))) AS n_dis,
+             len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+             len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                             x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha
+      FROM documents
+    )
+    SELECT b.doc_id,
+           b.n_lines,
+           CAST(FLOOR(((b.n_lines - b.n_dis) * 10000.0) / b.n_lines) AS BIGINT) AS dup_line_frac_e4,
+           CAST(FLOOR((t.top_count * 10000.0) / b.n_words) AS BIGINT) AS top_word_frac_e4,
+           CAST(FLOOR((b.n_alpha * 10000.0) / b.n_words) AS BIGINT) AS frac_alpha_words_e4
+    FROM base b JOIN topw t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def p20_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals, map-only: duplicate-line
+    fraction (array_distinct on split lines), top-word fraction (the mode
+    count via one array_sort + an O(w) run-length fold — never the O(w²)
+    count-per-distinct form), alphabetic-word fraction. The DuckDB oracle
+    computes the same mode via unnest+GROUP BY — a genuinely different
+    algorithm agreeing value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_repetition_stats(docs)
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac_e4",
+            "top_word_frac_e4",
+            "frac_alpha_words_e4",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -369,3 +369,22 @@ def test_dedup_near_score_survivor(spark):
     assert out == [2, 4, 5]  # 2 beats 3 on the id tiebreak, 0.9 beats 0.2
     out_min = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
     assert out_min == [1, 4, 5]
+
+
+def test_repetition_stats_values(spark):
+    from fugue_spark.pipeline import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            [1, "a b a b a"],           # top word 'a' x3 of 5
+            [2, "x\ny\nx\nz"],          # 4 lines, 1 dup
+            [3, "12 34 abc !!"],        # 1 alpha word of 4
+            [4, ""],                    # empty text
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    r = {x.doc_id: x for x in with_repetition_stats(df).collect()}
+    assert r[1].top_word_frac_e4 == 6000
+    assert r[2].n_lines == 4 and r[2].dup_line_frac_e4 == 2500
+    assert r[3].frac_alpha_words_e4 == 2500
+    assert r[4].top_word_frac_e4 == 0 and r[4].dup_line_frac_e4 == 0
