@@ -408,3 +408,19 @@ def test_compiled_randomized_differential(spark):
         for ra, rb in zip(a, b):
             for x, y in zip(ra, rb):
                 assert close(x, y), (seed, ra, rb)
+
+
+def test_compiled_with_exotic_input_names(spark):
+    """Input columns that need engine-internal safe renaming (dots/spaces)
+    must still trace: the proxy exposes user-visible names and resolves
+    them through the safe-name map."""
+    pdf = pd.DataFrame({"the key": [1, 1, 2], "v.alue": [10.0, 20.0, 30.0]})
+    df = spark.createDataFrame(pdf)
+
+    def f(frame):
+        return {"k": frame["the key"].iloc[0], "s": frame["v.alue"].sum()}
+
+    out = transform(
+        df, f, schema="k:long,s:double", partition={"by": ["the key"]}, compile="strict"
+    )
+    assert sorted_rows(out) == [(1, 30.0), (2, 30.0)]
