@@ -42,7 +42,11 @@ def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, f
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     # median of N timed passes per query: a single pass poisoned by machine
-    # contention (another tenant, GC stall) cannot corrupt the artifact
+    # contention (another tenant, GC stall) cannot corrupt the artifact.
+    # When the spread is wide (this box shows sporadic ~2× JVM-JIT/CPU
+    # spikes on identical work — measured via /proc CPU accounting), take
+    # up to 2 extra passes so one spike cannot drag the median; the same
+    # adaptive rule is applied to the DuckDB side (run_duckdb).
     timings: dict[str, float] = {}
     for name, spec in bench_specs:
         samples = []
@@ -50,6 +54,10 @@ def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, f
             t0 = time.perf_counter()
             df = spec.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        while max(samples) > 1.5 * min(samples) and len(samples) < passes + 2:
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(median(samples), 3)
         print(
@@ -89,6 +97,11 @@ def run_duckdb(bench_specs, sf_dir: str, cpus: int, passes: int = 3) -> dict[str
             con.execute(spec.oracle).fetchall()  # warm pass
             samples = []
             for _ in range(passes):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                samples.append(time.perf_counter() - t0)
+            # same adaptive spread rule as the Spark side (symmetric)
+            while max(samples) > 1.5 * min(samples) and len(samples) < passes + 2:
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 samples.append(time.perf_counter() - t0)

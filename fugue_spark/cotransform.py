@@ -45,7 +45,9 @@ _HOWS = ("inner", "left_outer", "right_outer", "full_outer", "cross")
 _NO_KV: "list | None" = None  # sentinel: function takes no cursor, skip kv work
 
 
-def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True, side_forms=None, presort=()):
+def _union_cotransform(
+    dfs, keys, run, out_schema, wants_kv=True, side_forms=None, presort=(), how="full_outer"
+):
     """Zip N dataframes as a tagged union: every input is projected onto the
     superset schema (its payload columns prefixed, others NULL), unioned,
     and hash-exchanged ONCE on the keys; inside mapInArrow each key group
@@ -201,7 +203,26 @@ def _union_cotransform(dfs, keys, run, out_schema, wants_kv=True, side_forms=Non
             kpdf = _table_to_pandas(tbl.select(keys), key_fields, tz)
             _, bounds = _group_bounds(kpdf, keys, contiguous=True)
             karrs = [kpdf[k].to_numpy() for k in keys] if wants_kv else []
+            # which sides must be non-empty for the group to be emitted —
+            # checked on the prefix sums BEFORE any frame is built, so
+            # skipped groups cost two array loads, not N frame constructions
+            if how == "inner":
+                required = range(n_inputs)
+            elif how == "left_outer":
+                required = (0,)
+            elif how == "right_outer":
+                required = (n_inputs - 1,)
+            else:
+                required = ()
             for a, b in zip(bounds[:-1], bounds[1:]):
+                skip = False
+                for i in required:
+                    ex = prefix[i]
+                    if ex[a] == ex[b]:
+                        skip = True
+                        break
+                if skip:
+                    continue
                 frames = []
                 for i in range(n_inputs):
                     ex = prefix[i]
@@ -328,13 +349,9 @@ def cotransform(
 
     def run(frames: "list[Any]", kv: "list[Any] | None") -> Any:
         # returns the RAW user result (dict / DataFrame / iterable) — the
-        # _ResultBatcher conforms and batches it; None skips the group
-        if how == "inner" and any(len(f) == 0 for f in frames):
-            return None
-        if how == "left_outer" and len(frames[0]) == 0:
-            return None
-        if how == "right_outer" and len(frames[-1]) == 0:
-            return None
+        # _ResultBatcher conforms and batches it; None skips the group.
+        # how-based group skipping happens in the udf loop on the prefix
+        # sums, BEFORE frames are built — no len() checks needed here.
         if wants_cursor:
             cursor = dummy_cursor if kv is None else PartitionCursor(keys, kv, 0)
             return using(cursor, *frames, **kwargs)
@@ -348,4 +365,5 @@ def cotransform(
         wants_kv=wants_cursor,
         side_forms=side_forms,
         presort=spec.presort,
+        how=how,
     )
