@@ -27,6 +27,8 @@ from fugue_spark.pipeline.similarity import (
 from fugue_spark.pipeline.text import (
     assign_pack_bins,
     corpus_stats,
+    ngram_overlap,
+    ngram_topk,
     with_fingerprint,
     with_lang_id,
     with_quality_score,

@@ -16,6 +16,8 @@ __all__ = [
     "with_quality_score",
     "with_lang_id",
     "with_fingerprint",
+    "ngram_topk",
+    "ngram_overlap",
     "LANG_MARKERS",
 ]
 
@@ -183,6 +185,114 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     engine-portable; xxhash64 is the cheaper Spark-only alternative."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def _word_ngrams(t: Column, n: int) -> Column:
+    """Array of word ``n``-grams of the lowercased text: whitespace
+    tokenization (the ``\\S+`` convention shared with with_token_stats),
+    adjacent words joined by a single space. Rows shorter than ``n`` words
+    yield an empty array (the WHEN guard also keeps ``sequence`` from
+    generating a descending range). Entirely in-row array HOFs — no
+    explode, no shuffle, scan speed."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    if n == 1:
+        return w
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Top-``k`` word n-grams by corpus frequency — the vocabulary /
+    boilerplate-phrase census every curation pass wants.
+
+    Output: ``(by...,) ngram, cnt`` — deterministic total order
+    (count desc, ngram asc) so the cut at ``k`` is engine-reproducible.
+
+    At 100 TB: explode → ``groupBy(ngram).count`` is one shuffle carrying
+    (ngram, partial count) — map-side partial aggregation collapses
+    repeated n-grams before the exchange. The global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort); the
+    per-group variant is a bounded window over the already-aggregated
+    counts."""
+    grams = _word_ngrams(F.col(text_col), n)
+    keys = list(by or [])
+    ex = df.select(*keys, F.explode(grams).alias("ngram"))
+    counts = ex.groupBy(*keys, "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("cnt").desc(), F.col("ngram").asc()
+        )
+        return (
+            counts.withColumn("__rank__", F.row_number().over(w))
+            .filter(F.col("__rank__") <= k)
+            .drop("__rank__")
+        )
+    return counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc()).limit(k)
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """Contamination check: for every probe document, the fraction of its
+    DISTINCT word n-grams that occur anywhere in the corpus — the standard
+    train/test decontamination signal (n-gram overlap against the training
+    set, à la the 13-gram checks of large-LM training reports).
+
+    Output per probe doc: ``id_col, n_ngrams, n_hit, overlap_e4``
+    (integer-scaled ratio). Probe docs with fewer than ``n`` words have no
+    n-grams and are absent from the output (no 0/0 row).
+
+    At 100 TB: the corpus side reduces to DISTINCT n-grams (map-side
+    partial dedup before the exchange), the probe side to per-doc distinct
+    n-grams; one equi-join on the n-gram keyed by hash partitioning — no
+    broadcast needed on either side, both sides prunable to a single
+    column. ``join_on_hash=True`` joins on ``xxhash64(ngram)`` instead of
+    the string — ~8 bytes/key on the wire instead of the n-gram text
+    (collision odds 2^-64 per pair; not engine-portable, so the
+    differential gate uses the string form)."""
+    key = F.xxhash64(F.col("ngram")).alias("__k__") if join_on_hash else F.col("ngram").alias("__k__")
+    cg = (
+        corpus.select(
+            F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("ngram")
+        )
+        .select(key)
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    pg = probe.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("ngram"),
+    ).select(id_col, key)
+    joined = pg.join(cg, "__k__", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit__").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_e4",
+            F.floor(F.col("n_hit") * 10000 / F.col("n_ngrams")).cast("long"),
+        )
+    )
 
 
 def assign_pack_bins(

@@ -24,6 +24,8 @@ from fugue_spark.pipeline import (
     minhash_lsh_pairs,
     near_duplicates_lsh,
     ngram_jaccard_pairs,
+    ngram_overlap,
+    ngram_topk,
     simhash_pairs,
     with_lang_id,
     with_quality_score,
@@ -430,6 +432,74 @@ def p20_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "p21_ngram_topk",
+    oracle="""
+    WITH w AS (
+      SELECT regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+    ),
+    ng AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT ngram, COUNT(*) AS cnt FROM ng
+    GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+    """,
+    tags=("text", "vocab"),
+)
+def p21_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram census over the corpus (ngram_topk): in-row n-gram
+    arrays (no python), one shuffle of (ngram, partial count) thanks to
+    map-side combine, global top-k as TakeOrderedAndProject — the
+    vocabulary/boilerplate-phrase tool. Deterministic total order
+    (count desc, ngram asc) makes the k-cut engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_topk(docs, n=2, k=50)
+
+
+# 30% probe split of the 128-bit md5 space (Fraction(0.3) of 2^128, the
+# hash_sample threshold contract) — identical string compare in DuckDB
+_PROBE_THR = format(((1 << 128) * 3) // 10, "032x")
+
+
+@register(
+    "p22_ngram_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws,
+             md5(CAST(doc_id AS VARCHAR)) >= '{_PROBE_THR}' AS is_corpus
+      FROM documents
+    ),
+    ngr AS (
+      SELECT doc_id, is_corpus,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS ngram
+      FROM base WHERE len(ws) >= 3
+    ),
+    corpus AS (SELECT DISTINCT ngram FROM ngr WHERE is_corpus),
+    probe AS (SELECT doc_id, ngram FROM ngr WHERE NOT is_corpus)
+    SELECT p.doc_id, COUNT(*) AS n_ngrams, COUNT(c.ngram) AS n_hit,
+           CAST(FLOOR(COUNT(c.ngram) * 10000.0 / COUNT(*)) AS BIGINT) AS overlap_e4
+    FROM probe p LEFT JOIN corpus c USING (ngram)
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+    tags=("text", "contamination"),
+)
+def p22_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check (ngram_overlap): per probe document,
+    the fraction of its distinct trigrams found anywhere in the corpus
+    split — the decontamination signal of large-LM training reports. The
+    corpus/probe split is the md5 hash_sample contract (engine-portable),
+    so Spark and DuckDB compute the same split, the same distinct-ngram
+    sets, and the same per-doc overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_corpus = F.md5(F.col("doc_id").cast("string")) >= F.lit(_PROBE_THR)
+    return ngram_overlap(
+        docs.filter(is_corpus), docs.filter(~is_corpus), n=3
+    ).orderBy("doc_id")
 
 
 @register(

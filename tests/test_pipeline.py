@@ -388,3 +388,64 @@ def test_repetition_stats_values(spark):
     assert r[2].n_lines == 4 and r[2].dup_line_frac_e4 == 2500
     assert r[3].frac_alpha_words_e4 == 2500
     assert r[4].top_word_frac_e4 == 0 and r[4].dup_line_frac_e4 == 0
+
+
+def test_ngram_topk_values(spark):
+    from fugue_spark.pipeline import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            [1, "the cat sat"],       # bigrams: "the cat", "cat sat"
+            [2, "the cat ran"],       # bigrams: "the cat", "cat ran"
+            [3, "x"],                 # too short: no bigrams
+            [4, ""],                  # empty
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    rows = ngram_topk(df, n=2, k=2).collect()
+    assert [(r.ngram, r.cnt) for r in rows] == [("the cat", 2), ("cat ran", 1)]
+    # per-group variant keeps k per group with the same deterministic order
+    df2 = df.withColumn("g", F.col("doc_id") % 2)
+    rows2 = ngram_topk(df2, n=2, k=1, by=["g"]).collect()
+    got = {r.g: (r.ngram, r.cnt) for r in rows2}
+    assert got[0] == ("cat ran", 1) and got[1] == ("cat sat", 1)
+
+
+def test_ngram_topk_unigram_and_short_rows(spark):
+    from fugue_spark.pipeline import ngram_topk
+
+    df = spark.createDataFrame(
+        [[1, "a b a"], [2, "b"]], parse_schema("doc_id:long,text:str")
+    )
+    rows = ngram_topk(df, n=1, k=10).collect()
+    assert [(r.ngram, r.cnt) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_ngram_overlap_values(spark):
+    from fugue_spark.pipeline import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [[10, "alpha beta gamma delta"]], parse_schema("doc_id:long,text:str")
+    )
+    probe = spark.createDataFrame(
+        [
+            [1, "alpha beta gamma"],    # both trigram windows? only 1: hit
+            [2, "beta gamma delta x"],  # "beta gamma delta" hit, "gamma delta x" miss
+            [3, "zeta eta theta"],      # no hits
+            [4, "too short"],           # <3 words: absent from output
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    out = {r.doc_id: r for r in ngram_overlap(corpus, probe, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_ngrams, out[1].n_hit, out[1].overlap_e4) == (1, 1, 10000)
+    assert (out[2].n_ngrams, out[2].n_hit, out[2].overlap_e4) == (2, 1, 5000)
+    assert (out[3].n_ngrams, out[3].n_hit, out[3].overlap_e4) == (1, 0, 0)
+    # the hash-join variant computes the identical fractions
+    out_h = {
+        r.doc_id: r
+        for r in ngram_overlap(corpus, probe, n=3, join_on_hash=True).collect()
+    }
+    assert {k: (v.n_ngrams, v.n_hit) for k, v in out.items()} == {
+        k: (v.n_ngrams, v.n_hit) for k, v in out_h.items()
+    }
