@@ -31,6 +31,7 @@ from fugue_spark.schema import parse_schema
 from fugue_spark.transform import (
     PartitionCursor,
     _ArrowResultBatcher,
+    _arrow_group_bounds,
     _group_bounds,
     _group_frame_maker,
     _nan_safe_key_exprs,
@@ -200,9 +201,16 @@ def _union_cotransform(
             if out is not None:
                 yield from out
         else:
-            kpdf = _table_to_pandas(tbl.select(keys), key_fields, tz)
-            _, bounds = _group_bounds(kpdf, keys, contiguous=True)
-            karrs = [kpdf[k].to_numpy() for k in keys] if wants_kv else []
+            # null-free integer keys: bounds + key arrays straight from
+            # Arrow, skipping the key-column pandas materialization
+            fast = _arrow_group_bounds(tbl, keys)
+            if fast is not None:
+                bounds, karr_np = fast
+                karrs = karr_np if wants_kv else []
+            else:
+                kpdf = _table_to_pandas(tbl.select(keys), key_fields, tz)
+                _, bounds = _group_bounds(kpdf, keys, contiguous=True)
+                karrs = [kpdf[k].to_numpy() for k in keys] if wants_kv else []
             # which sides must be non-empty for the group to be emitted —
             # checked on the prefix sums BEFORE any frame is built, so
             # skipped groups cost two array loads, not N frame constructions

@@ -520,6 +520,31 @@ def _group_frame_maker(pdf: pd.DataFrame):
         return lambda a, b: pdf.iloc[a:b]
 
 
+def _arrow_group_bounds(tbl: pa.Table, keys: list[str]):
+    """Run-length group bounds + per-key numpy arrays straight from the
+    Arrow table — no pandas materialization of the key columns. Valid when
+    every key is integer/bool with zero NULLs (the overwhelmingly common
+    case for join/group keys); returns None otherwise so the caller falls
+    back to the pandas path (which owns the NaN-is-a-key contract)."""
+    import numpy as np
+
+    arrs = []
+    for k in keys:
+        c = tbl.column(k)
+        t = c.type
+        if c.null_count != 0 or not (pa.types.is_integer(t) or pa.types.is_boolean(t)):
+            return None
+        arrs.append(c.to_numpy(zero_copy_only=False))
+    if tbl.num_rows == 0:
+        return np.array([0]), arrs
+    diff = None
+    for a in arrs:
+        d = a[1:] != a[:-1]
+        diff = d if diff is None else (diff | d)
+    bounds = np.flatnonzero(np.r_[True, diff, True])
+    return bounds, arrs
+
+
 def _group_bounds(pdf: pd.DataFrame, keys: list[str], contiguous: bool):
     """Run-length group boundaries over key columns.
 
@@ -987,9 +1012,13 @@ def transform(
             if arrow_fast:
                 if rename_in:
                     tbl = tbl.rename_columns(orig_in)
-                kpdf = tbl.select(keys).to_pandas()
-                _, bounds = _group_bounds(kpdf, keys, contiguous=True)
-                key_arrays = [kpdf[k].values for k in keys]
+                fast = _arrow_group_bounds(tbl, keys)
+                if fast is not None:  # null-free int keys: no pandas at all
+                    bounds, key_arrays = fast
+                else:
+                    kpdf = tbl.select(keys).to_pandas()
+                    _, bounds = _group_bounds(kpdf, keys, contiguous=True)
+                    key_arrays = [kpdf[k].values for k in keys]
                 for a, b in zip(bounds[:-1], bounds[1:]):
                     cursor = cursor_at(a, key_arrays)
                     sub = tbl.slice(a, b - a)
