@@ -31,6 +31,7 @@ from fugue_spark.operators import (
     fillna,
     filter,
     hash_sample,
+    hash_sample_stratified,
     intersect,
     join,
     sample,

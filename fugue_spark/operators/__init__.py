@@ -3,7 +3,12 @@ whose physical execution is Catalyst's problem."""
 
 from fugue_spark.operators.joins import broadcast, join, salted_join
 from fugue_spark.operators.na import dropna, fillna
-from fugue_spark.operators.sampling import hash_sample, sample, take
+from fugue_spark.operators.sampling import (
+    hash_sample,
+    hash_sample_stratified,
+    sample,
+    take,
+)
 from fugue_spark.operators.select import aggregate, assign, filter, select
 from fugue_spark.operators.setops import distinct, intersect, subtract, union
 

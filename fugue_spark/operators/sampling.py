@@ -118,3 +118,48 @@ def hash_sample(
     thr = format(t, "032x")
     key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.md5(key) < F.lit(thr))
+
+
+def _md5_threshold(rate: float) -> "str | None":
+    """``rate`` of the 128-bit md5 space as a 32-hex-digit string (None =
+    keep everything). Exact-Fraction interpretation of the decimal repr —
+    the hash_sample contract."""
+    from fractions import Fraction
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    fr = Fraction(repr(rate))
+    t = ((1 << 128) * fr.numerator) // fr.denominator
+    if t >= (1 << 128):
+        return None
+    return format(t, "032x")
+
+
+def hash_sample_stratified(
+    df: DataFrame,
+    rates: "dict[str, float]",
+    key_cols: "list[str]",
+    strata_col: str,
+    default_rate: float = 0.0,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Dataset mixing: a different deterministic sampling rate per stratum
+    (source, language, domain) — the standard corpus-reweighting move when
+    composing a training mix. Strata absent from ``rates`` get
+    ``default_rate`` (0 = drop).
+
+    Same md5 contract as hash_sample (engine-reproducible, keyed grouping
+    gives leak-free splits), so the SAME rows fall out of any engine. The
+    per-stratum threshold is a CASE over ``strata_col`` — still map-only,
+    no shuffle, scan speed regardless of the number of strata.
+    """
+    if not key_cols:
+        raise ValueError("hash_sample_stratified needs at least one key column")
+    thr_col = F.lit(_md5_threshold(default_rate) or "g")  # 'g' > any hex digit
+    for s, r in sorted(rates.items()):
+        t = _md5_threshold(r)
+        thr_col = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(t if t is not None else "g")
+        ).otherwise(thr_col)
+    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.md5(key) < thr_col)

@@ -464,6 +464,46 @@ def p21_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash_sample threshold contract) — identical string compare in DuckDB
 _PROBE_THR = format(((1 << 128) * 3) // 10, "032x")
 
+# per-language mixing rates for p23, as exact 128-bit thresholds (the
+# hash_sample Fraction contract, mirrored into the oracle's CASE)
+from fugue_spark.operators.sampling import _md5_threshold
+
+_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+_MIX_THRS = {s: _md5_threshold(r) for s, r in _MIX_RATES.items()}
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN '{t}'" for s, t in sorted(_MIX_THRS.items())
+) + " ELSE '0' END"
+
+
+@register(
+    "p23_stratified_mix",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < {_MIX_CASE}
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("sample", "mixing"),
+)
+def p23_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing (hash_sample_stratified): a different deterministic
+    sampling rate per language (en 50%, de 25%, fr 10%, everything else
+    dropped) — the corpus-reweighting move when composing a training mix.
+    Map-only CASE over the md5 threshold, engine-reproducible, summarized
+    per stratum so the gate value-checks the exact surviving subset."""
+    import fugue_spark.api as fa
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = fa.hash_sample_stratified(docs, _MIX_RATES, ["doc_id"], "lang")
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
 
 @register(
     "p22_ngram_overlap",

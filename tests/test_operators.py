@@ -414,3 +414,29 @@ def test_hash_sample_deterministic_and_keyed(spark):
         fa.hash_sample(df, 1.5, ["id"])
     assert fa.hash_sample(df, 1.0, ["id"]).count() == 1000
     assert fa.hash_sample(df, 0.0, ["id"]).count() == 0
+
+
+def test_hash_sample_stratified(spark):
+    import fugue_spark.api as fa
+    from fugue_spark.schema import parse_schema
+
+    df = spark.createDataFrame(
+        [[i, ["a", "b", "c"][i % 3]] for i in range(300)],
+        parse_schema("id:long,src:str"),
+    )
+    out = fa.hash_sample_stratified(df, {"a": 1.0, "b": 0.5}, ["id"], "src")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.src, set()).add(r.id)
+    assert len(by.get("a", ())) == 100          # rate 1.0 keeps everything
+    assert 20 <= len(by.get("b", ())) <= 80     # ~50%
+    assert "c" not in by                        # default_rate=0 drops
+    # deterministic: the b-subset is exactly hash_sample(b_rows, 0.5)
+    b_only = fa.hash_sample(df.filter(df.src == "b"), 0.5, ["id"])
+    assert by["b"] == {r.id for r in b_only.collect()}
+    # keyed on the stratum itself: whole groups kept or dropped together
+    grp = fa.hash_sample_stratified(df, {"a": 0.5, "b": 0.5}, ["src"], "src")
+    kept = {r.src for r in grp.collect()}
+    for s in kept:
+        assert len([r for r in grp.collect() if r.src == s]) == 100
