@@ -238,7 +238,12 @@ class _Base:
         return self._make(fn(self._lift(x)))
 
     # common methods -------------------------------------------------------
-    def round(self, decimals: int = 0):
+    def round(self, decimals: int = 0, out: Any = None, **_kw: Any):
+        # np.round(x, n) dispatches here via numpy's _wrapfunc, which
+        # passes out= through — accept and reject it explicitly instead of
+        # letting numpy fall back to an object-array rint loop
+        if out is not None:
+            raise TraceError("round(out=...) is not traceable")
         return self._make(F.round(self.col, int(decimals)))
 
     def astype(self, dtype: Any):
@@ -577,7 +582,14 @@ class _TraceFrame:
     def __getitem__(self, name):
         if isinstance(name, str):
             return self._col(name)
-        raise TraceError("only single-column [name] access is traceable")
+        # masks / projections derive a row-local frame (map-shape compile)
+        return _DerivedFrame(self)[name]
+
+    def assign(self, **kw):
+        return _DerivedFrame(self).assign(**kw)
+
+    def drop(self, *a, **k):
+        return _DerivedFrame(self).drop(*a, **k)
 
     def __getattr__(self, name):
         if name.startswith("_"):
@@ -610,6 +622,107 @@ class _TraceFrame:
         raise TraceError("branching on the group frame is not traceable")
 
 
+class _DerivedFrame:
+    """A row-local derivation of the input frame: ``pdf[mask]``,
+    ``pdf.assign(...)``, ``pdf[[cols]]`` / ``pdf.drop(columns=...)`` and
+    their compositions. Returning one of these from a traced transformer
+    compiles the whole transform to native ``filter``/``select`` — a
+    map-shaped plan with NO exchange at all (a per-group row-local
+    operation is the same operation globally)."""
+
+    def __init__(
+        self,
+        base: _TraceFrame,
+        cond: "Column | None" = None,
+        assigned: "dict[str, Any] | None" = None,
+        proj: "list[str] | None" = None,
+    ):
+        self._base = base
+        self._cond = cond
+        self._assigned = dict(assigned or {})
+        self._proj = proj
+
+    @property
+    def columns(self) -> list[str]:
+        if self._proj is not None:
+            return list(self._proj)
+        base_cols = self._base.columns
+        return base_cols + [c for c in self._assigned if c not in base_cols]
+
+    def _col(self, name: str) -> _Vec:
+        if self._proj is not None and name not in self._proj:
+            raise TraceError(f"column {name!r} was projected away")
+        v = self._assigned.get(name)
+        if v is not None:
+            return v if isinstance(v, _Vec) else _Vec(F.lit(v), frame=self._base)
+        return self._base._col(name)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._col(key)
+        if isinstance(key, list) and all(isinstance(c, str) for c in key):
+            missing = [c for c in key if c not in self.columns]
+            if missing:
+                raise TraceError(f"projection of unknown columns {missing}")
+            return _DerivedFrame(self._base, self._cond, self._assigned, list(key))
+        if isinstance(key, _Vec):
+            if not key.boolish:
+                raise TraceError("pdf[...] mask must be a boolean expression")
+            if key.frame is not self._base:
+                raise TraceError("mask must be built from this frame's columns")
+            cond = key.col if self._cond is None else (self._cond & key.col)
+            return _DerivedFrame(self._base, cond, self._assigned, self._proj)
+        raise TraceError(f"untraceable frame indexing with {type(key).__name__}")
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self._col(name)
+        except TraceError as ex:
+            raise AttributeError(str(ex)) from None
+
+    def assign(self, **kw):
+        assigned = dict(self._assigned)
+        for k, v in kw.items():
+            if callable(v):
+                raise TraceError("assign with a callable is not traceable")
+            if isinstance(v, _Scalar):
+                raise TraceError(
+                    f"assign({k}=...) from a reduction needs a window — not traceable"
+                )
+            if isinstance(v, _Vec):
+                if v.frame is not self._base:
+                    raise TraceError("assigned expression from a different frame")
+            elif not isinstance(v, (int, float, bool, str)):
+                raise TraceError(f"assign({k}=...) with {type(v).__name__} is not traceable")
+            assigned[k] = v
+        proj = self._proj
+        if proj is not None:
+            proj = proj + [k for k in kw if k not in proj]
+        return _DerivedFrame(self._base, self._cond, assigned, proj)
+
+    def drop(self, labels=None, columns=None, axis=None):
+        if columns is None:
+            if axis in (1, "columns"):
+                columns = labels
+            else:
+                raise TraceError("only drop(columns=[...]) is traceable")
+        if isinstance(columns, str):
+            columns = [columns]
+        missing = [c for c in columns if c not in self.columns]
+        if missing:
+            raise TraceError(f"drop of unknown columns {missing}")
+        keep = [c for c in self.columns if c not in set(columns)]
+        return _DerivedFrame(self._base, self._cond, self._assigned, keep)
+
+    def __len__(self):
+        raise TraceError("len() of a filtered frame is data-dependent — not traceable")
+
+    def __bool__(self):
+        raise TraceError("branching on the group frame is not traceable")
+
+
 class _TraceCursor:
     """cursor stand-in: key access returns the (constant) key column."""
 
@@ -628,7 +741,7 @@ class _TraceCursor:
         return {k: self._frame._col(k)._first(0) for k in self._frame.keys}
 
 
-def _trace(fn, frames, kwargs, wants_cursor) -> dict:
+def _trace(fn, frames, kwargs, wants_cursor) -> Any:
     args = list(frames)
     try:
         if wants_cursor:
@@ -639,9 +752,14 @@ def _trace(fn, frames, kwargs, wants_cursor) -> dict:
         raise
     except Exception as ex:
         raise TraceError(f"tracing raised {type(ex).__name__}: {ex}") from ex
+    return res
+
+
+def _require_dict(res: Any) -> dict:
     if not isinstance(res, dict):
         raise TraceError(
-            f"compiled transforms must return a dict of scalars, got {type(res).__name__}"
+            f"compiled transforms must return a dict of scalars or a derived "
+            f"frame, got {type(res).__name__}"
         )
     return res
 
@@ -724,6 +842,59 @@ def _widen_nullable(out: DataFrame) -> DataFrame:
     return out
 
 
+def _compile_map_shape(
+    df: DataFrame,
+    res: "Any",
+    res2: "Any",
+    ctx: _TraceCtx,
+    ctx2: _TraceCtx,
+    out_schema: T.StructType,
+) -> DataFrame:
+    """Compile a transformer that RETURNS a row-local derivation of its
+    input (``pdf[mask]`` / ``pdf.assign(...)`` / projections) to a native
+    ``filter``/``select`` plan — no Python workers and, unlike the
+    aggregation shape, no exchange at all: a per-group row-local operation
+    is the same operation applied globally, so any declared partitioning
+    is a semantic no-op and is elided from the plan."""
+    if ctx.leaves or ctx2.leaves:
+        raise TraceError(
+            "the function mixes reductions with a row-shaped output — "
+            "only pure row-local filter/assign/projection compiles"
+        )
+    a = res if isinstance(res, _DerivedFrame) else _DerivedFrame(res)
+    b = res2 if isinstance(res2, _DerivedFrame) else _DerivedFrame(res2)
+    # len()-sentinel invariance: the derivation must be identical across
+    # both traces (a filter threshold or assigned constant built from
+    # len(pdf) would differ here)
+    if (
+        (a._cond is None) != (b._cond is None)
+        or (a._cond is not None and str(a._cond) != str(b._cond))
+        or list(a._assigned) != list(b._assigned)
+        or a.columns != b.columns
+        or any(
+            str(x.col) != str(y.col)
+            if isinstance(x, _Vec)
+            else (type(x) is not type(y) or x != y)
+            for x, y in zip(a._assigned.values(), b._assigned.values())
+        )
+    ):
+        raise TraceError(
+            "the returned frame depends on len(pdf) — not row-local"
+        )
+    available = set(a.columns)
+    missing = [f.name for f in out_schema.fields if f.name not in available]
+    if missing:
+        raise TraceError(
+            f"output schema columns {missing} absent from the returned frame "
+            f"(has {a.columns})"
+        )
+    outs = []
+    for f in out_schema.fields:
+        outs.append(a._col(f.name).col.cast(f.dataType).alias(f.name))
+    plan = df if a._cond is None else df.filter(a._cond)
+    return _widen_nullable(plan.select(*outs))
+
+
 def try_compile_aggregation(
     df: DataFrame,
     fn: Callable,
@@ -758,6 +929,9 @@ def try_compile_aggregation(
     res, ctx, frame = run_trace(0)
     res2, ctx2, _ = run_trace(1)
     out_cols = [f.name for f in out_schema.fields]
+    if isinstance(res, (_TraceFrame, _DerivedFrame)):
+        return _compile_map_shape(df, res, res2, ctx, ctx2, out_schema)
+    res, res2 = _require_dict(res), _require_dict(res2)
     _check_invariant(res, res2, ctx, ctx2, out_cols, 1)
 
     safe = frame.safe
@@ -810,7 +984,7 @@ def try_compile_cotransform(
             )
             for i in range(n)
         ]
-        return _trace(fn, frames, kwargs, wants_cursor), ctx
+        return _require_dict(_trace(fn, frames, kwargs, wants_cursor)), ctx
 
     res, ctx = run_trace(0)
     res2, ctx2 = run_trace(1)

@@ -855,3 +855,53 @@ def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded fraction sample — engine-specific RNG, rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
     return fa.sample(li, frac=0.1, seed=42)
+
+
+@register(
+    "q25_transform_filter_compiled",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_e2,
+           l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount > 0.02
+    """,
+    tags=("transform", "map", "compile", "filter"),
+    bench=True,
+)
+def q25_transform_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-shape trace-compilation: a transformer that RETURNS a filtered+
+    assigned frame (``pdf[mask].assign(...)``-style) compiles to a native
+    filter/select — no Python workers AND no exchange (row-local per-group
+    work ≡ global work, so the partitioning is elided). The filter reaches
+    the scan as a pushed predicate; benchmarked beside the identical
+    pandas-path q-shape this is the difference between scan speed and a
+    python-bounded stage."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def keep_heavy(pdf):
+        import numpy as np
+
+        # integer-scaled money (FLOOR of the identically-associated double
+        # product) — the cross-engine float discipline; a round(x, 2) here
+        # would flip the last cent on binary .xx5 boundaries between
+        # engines (compile.py "Rounding caveat")
+        big = pdf[(pdf.l_quantity >= 30) & (pdf.l_discount > 0.02)]
+        out = big.assign(
+            net_e2=np.floor(
+                big.l_extendedprice.values * (1 - big.l_discount.values) * 100
+            ).astype("int64")
+        )
+        return out[["l_orderkey", "l_linenumber", "net_e2", "l_quantity"]]
+
+    return transform(
+        li,
+        keep_heavy,
+        schema="l_orderkey:long,l_linenumber:int,net_e2:long,l_quantity:double",
+        compile="strict",
+    )

@@ -424,3 +424,79 @@ def test_compiled_with_exotic_input_names(spark):
         df, f, schema="k:long,s:double", partition={"by": ["the key"]}, compile="strict"
     )
     assert sorted_rows(out) == [(1, 30.0), (2, 30.0)]
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_map_shape_filter_compiles_without_python(spark):
+    """A transformer returning pdf[mask] compiles to a native filter: no
+    MapInArrow, no exchange (row-local ops make partitioning a no-op)."""
+    pdf = pd.DataFrame({"id": range(100), "qty": [float(i % 50) for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[(pdf.qty > 30) & (pdf.id % 2 == 0)]
+
+    out = transform(df, keep, schema="id:long,qty:double", compile="strict")
+    plan = _plan(out)
+    assert "MapInArrow" not in plan and "Exchange" not in plan
+    want = transform(df, keep, schema="id:long,qty:double")
+    assert sorted_rows(out) == sorted_rows(want)
+
+
+def test_map_shape_assign_filter_projection(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "qty": [10.0, 35.0, 50.0, 5.0], "tag": list("abca")}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def enrich(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf2 = pdf.assign(dq=pdf.qty * 2, flag=1)
+        return pdf2[pdf2.dq >= 70][["id", "dq", "flag"]]
+
+    out = transform(df, enrich, schema="id:long,dq:double,flag:int", compile="strict")
+    assert sorted_rows(out) == [(2, 70.0, 1), (3, 100.0, 1)]
+    want = transform(df, enrich, schema="id:long,dq:double,flag:int")
+    assert sorted_rows(out) == sorted_rows(want)
+    # identity and drop shapes
+    out_id = transform(df, lambda p: p, schema="id:long,qty:double,tag:str", compile="strict")
+    assert out_id.count() == 4
+    out_drop = transform(
+        df, lambda p: p.drop(columns=["tag"]), schema="id:long,qty:double", compile="strict"
+    )
+    assert out_drop.columns == ["id", "qty"]
+
+
+def test_map_shape_refusals(spark):
+    from fugue_spark.compile import TraceError
+
+    pdf = pd.DataFrame({"id": [1, 2], "qty": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+
+    def mixes_reduction(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf.qty > pdf.qty.mean()]
+
+    with pytest.raises(TraceError):
+        transform(df, mixes_reduction, schema="id:long,qty:double", compile="strict")
+
+    def len_dependent(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(n=len(pdf))
+
+    with pytest.raises(TraceError):
+        transform(df, len_dependent, schema="id:long,qty:double,n:long", compile="strict")
+
+    def non_bool_mask(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf.qty * 2]
+
+    with pytest.raises(TraceError):
+        transform(df, non_bool_mask, schema="id:long,qty:double", compile="strict")
+
+    # non-strict: an untraceable-but-row-local function falls back to the
+    # pandas path and still answers
+    def untraceable(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf.qty.apply(lambda v: v > 1.5)]
+
+    out = transform(df, untraceable, schema="id:long,qty:double", compile=True)
+    assert sorted_rows(out) == [(2, 2.0)]
