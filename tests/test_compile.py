@@ -500,3 +500,58 @@ def test_map_shape_refusals(spark):
 
     out = transform(df, untraceable, schema="id:long,qty:double", compile=True)
     assert sorted_rows(out) == [(2, 2.0)]
+
+
+def test_map_shape_randomized_differential(spark):
+    """Random row-local filter/assign/projection compositions over random
+    data (with NULLs): the compiled filter/select plan must match the
+    pandas path row-for-row across seeds."""
+    import random
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = 200
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "v": rng.normal(0, 10, n),
+                "w": rng.uniform(-1, 1, n),
+                "i": rng.integers(0, 5, n).astype(np.int64),
+            }
+        )
+        pdf.loc[rng.choice(n, 20, replace=False), "v"] = np.nan
+        df = spark.createDataFrame(pdf)
+        r = random.Random(seed)
+        thr = round(r.uniform(-5, 5), 2)
+        mode = r.randrange(4)
+
+        if mode == 0:
+
+            def fn(pdf, thr=thr):
+                return pdf[pdf.v.fillna(0.0) > thr]
+
+            schema = "id:long,v:double,w:double,i:long"
+        elif mode == 1:
+
+            def fn(pdf, thr=thr):
+                big = pdf[(pdf.w > thr / 10) | (pdf.i == 2)]
+                return big.assign(score=big.w * 2 + 1)
+
+            schema = "id:long,v:double,w:double,i:long,score:double"
+        elif mode == 2:
+
+            def fn(pdf, thr=thr):
+                return pdf[pdf.v.notna()][["id", "i"]]
+
+            schema = "id:long,i:long"
+        else:
+
+            def fn(pdf, thr=thr):
+                keep = pdf[pdf.i.isin([0, 2, 4]) & pdf.w.between(-0.5, 0.5)]
+                return keep.drop(columns=["v"]).assign(half_w=keep.w / 2)
+
+            schema = "id:long,w:double,i:long,half_w:double"
+
+        got = transform(df, fn, schema=schema, compile="strict")
+        want = transform(df, fn, schema=schema)
+        assert sorted_rows(got) == sorted_rows(want), (seed, mode)
