@@ -18,6 +18,7 @@ __all__ = [
     "with_fingerprint",
     "ngram_topk",
     "ngram_overlap",
+    "tfidf_doc_scores",
     "LANG_MARKERS",
 ]
 
@@ -292,6 +293,51 @@ def ngram_overlap(
             "overlap_e4",
             F.floor(F.col("n_hit") * 10000 / F.col("n_ngrams")).cast("long"),
         )
+    )
+
+
+def tfidf_doc_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document TF-IDF score — the classic distinctiveness signal for
+    corpus curation (low score ≈ boilerplate made of corpus-common words).
+
+    Output per doc: ``id_col, n_words, n_terms`` (distinct words) and
+    ``tfidf_e6`` = FLOOR( Σ_terms tf(w)·idf_e6(w) / n_words ), where
+    ``idf_e6(w) = FLOOR(ln(N/df(w))·1e6)``. The idf is integer-scaled at
+    the WORD level and summed as exact integers, so the only float ops on
+    the cross-engine path are one ln per distinct word and one final
+    division — the established cosine_e6 discipline.
+
+    At 100 TB: explode → two keyed aggregations ((doc,word) then (word)),
+    one equi-join back on the word (hash-partitioned; map-side combine
+    collapses repeats before every exchange), and the corpus size N rides
+    a 1-row broadcast — no driver collect anywhere.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        F.floor(F.log(F.col("n_docs") / F.col("df")) * 1000000).alias("idf_e6"),
+    )
+    scored = tf.join(idf, "word")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("tf") * F.col("idf_e6")).alias("num_e6"),
+    )
+    return per_doc.join(doc_len, id_col).select(
+        id_col,
+        "n_words",
+        "n_terms",
+        F.floor(F.col("num_e6") / F.col("n_words")).cast("long").alias("tfidf_e6"),
     )
 
 

@@ -543,6 +543,44 @@ def p22_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p24_tfidf_scores",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+    dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT word, CAST(FLOOR(ln(n_docs / df) * 1000000) AS BIGINT) AS idf_e6
+      FROM dfq, nd
+    ),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_terms, SUM(t.tf * i.idf_e6) AS num_e6
+      FROM tf t JOIN idf i USING (word) GROUP BY t.doc_id
+    )
+    SELECT p.doc_id, d.n_words, p.n_terms,
+           CAST(FLOOR(p.num_e6 / d.n_words) AS BIGINT) AS tfidf_e6
+    FROM per_doc p JOIN dl d USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    tags=("text", "tfidf"),
+)
+def p24_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF distinctiveness score (tfidf_doc_scores):
+    explode → (doc,word) and (word) aggregations → one word-keyed join,
+    corpus size N on a 1-row broadcast. Integer-scaled idf (FLOOR of
+    ln·1e6 per distinct word) keeps the cross-engine path to one ln and
+    one division — value-checked against the same construction in DuckDB."""
+    from fugue_spark.pipeline import tfidf_doc_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_doc_scores(docs).orderBy("doc_id")
+
+
+@register(
     "p17_corpus_length_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total,

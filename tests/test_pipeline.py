@@ -449,3 +449,24 @@ def test_ngram_overlap_values(spark):
     assert {k: (v.n_ngrams, v.n_hit) for k, v in out.items()} == {
         k: (v.n_ngrams, v.n_hit) for k, v in out_h.items()
     }
+
+
+def test_tfidf_doc_scores_values(spark):
+    import math
+
+    from fugue_spark.pipeline import tfidf_doc_scores
+
+    df = spark.createDataFrame(
+        [
+            [1, "apple banana apple"],   # apple tf=2 df=2, banana tf=1 df=1
+            [2, "apple cherry"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    out = {r.doc_id: r for r in tfidf_doc_scores(df).collect()}
+    idf_apple = math.floor(math.log(2 / 2) * 1e6)   # 0
+    idf_banana = math.floor(math.log(2 / 1) * 1e6)  # 693147
+    assert (out[1].n_words, out[1].n_terms) == (3, 2)
+    assert out[1].tfidf_e6 == math.floor((2 * idf_apple + 1 * idf_banana) / 3)
+    assert (out[2].n_words, out[2].n_terms) == (2, 2)
+    assert out[2].tfidf_e6 == math.floor((idf_apple + idf_banana) / 2)
