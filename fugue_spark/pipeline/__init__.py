@@ -29,6 +29,7 @@ from fugue_spark.pipeline.text import (
     corpus_stats,
     ngram_overlap,
     ngram_topk,
+    scrub_text,
     tfidf_doc_scores,
     with_fingerprint,
     with_lang_id,

@@ -19,7 +19,18 @@ __all__ = [
     "ngram_topk",
     "ngram_overlap",
     "tfidf_doc_scores",
+    "scrub_text",
     "LANG_MARKERS",
+]
+
+# PII / boilerplate scrub patterns — deliberately engine-portable regex
+# (no lookaround, no \b): Java regex (Spark) and RE2 (DuckDB and most
+# scale-out engines) both accept these verbatim, so a scrubbed corpus is
+# reproducible across stacks.
+SCRUB_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("num", r"[0-9]{7,}", "<NUM>"),
 ]
 
 # A BPE-ish pre-tokenization: word pieces, numbers, or single non-space
@@ -294,6 +305,29 @@ def ngram_overlap(
             F.floor(F.col("n_hit") * 10000 / F.col("n_ngrams")).cast("long"),
         )
     )
+
+
+def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII / identifier scrubbing: mask URLs, email addresses and long
+    digit runs (phone numbers, account ids) with typed placeholder tokens,
+    and count each category — the standard pre-training redaction pass.
+
+    Adds ``scrubbed`` plus ``n_url``/``n_email``/``n_num`` count columns.
+    Order matters and is fixed (URL before email — an address inside a URL
+    is already masked; digits last). Pure JVM regexp_replace /
+    regexp_extract_all — map-only, scan speed at any corpus size, and the
+    patterns are Java-regex/RE2 portable so the scrub is reproducible on
+    any engine.
+    """
+    t = F.col(text_col)
+    out = df
+    scrubbed = t
+    for name, pat, token in SCRUB_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("scrubbed", scrubbed)
 
 
 def tfidf_doc_scores(

@@ -543,6 +543,50 @@ def p22_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p25_scrub_text",
+    oracle=r"""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_url,
+             len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_url, n_email,
+           len(regexp_extract_all(t2, '[0-9]{7,}')) AS n_num,
+           md5(regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
+    FROM s2 ORDER BY doc_id
+    """,
+    tags=("text", "scrub", "pii"),
+)
+def p25_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/identifier scrubbing (scrub_text): URLs, emails, long digit
+    runs masked with typed tokens, per-category counts — map-only JVM
+    regex at scan speed. The gate md5s the scrubbed text so the ENTIRE
+    masked corpus is value-checked byte-for-byte against DuckDB applying
+    the same RE2/Java-portable patterns in the same order."""
+    from fugue_spark.pipeline import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        scrub_text(docs)
+        .select(
+            "doc_id",
+            "n_url",
+            "n_email",
+            "n_num",
+            F.md5(F.col("scrubbed")).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "p24_tfidf_scores",
     oracle="""
     WITH w AS (

@@ -470,3 +470,25 @@ def test_tfidf_doc_scores_values(spark):
     assert out[1].tfidf_e6 == math.floor((2 * idf_apple + 1 * idf_banana) / 3)
     assert (out[2].n_words, out[2].n_terms) == (2, 2)
     assert out[2].tfidf_e6 == math.floor((idf_apple + idf_banana) / 2)
+
+
+def test_scrub_text_masks_and_counts(spark):
+    from fugue_spark.pipeline import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            [1, "contact me at bob@example.com or https://x.io/a?b=1 now"],
+            [2, "call 12345678 twice: 99887766 end"],
+            [3, "u@e.org inside https://h.com/u@e.org stays one URL"],
+            [4, "clean text"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    r = {x.doc_id: x for x in scrub_text(df).collect()}
+    assert (r[1].n_url, r[1].n_email, r[1].n_num) == (1, 1, 0)
+    assert r[1].scrubbed == "contact me at <EMAIL> or <URL> now"
+    assert (r[2].n_num, r[2].scrubbed) == (2, "call <NUM> twice: <NUM> end")
+    # URL masked FIRST: the address inside the URL never double-masks
+    assert r[3].n_url == 1 and r[3].n_email == 1
+    assert r[3].scrubbed == "<EMAIL> inside <URL> stays one URL"
+    assert r[4].scrubbed == "clean text"
