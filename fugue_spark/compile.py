@@ -28,6 +28,14 @@ Traceable surface (kept deliberately small and exact):
     group key (constant), or to ``min_by``/``max_by`` over the declared
     presort; without a presort a non-key first-row access fails the trace
     (it would be nondeterministic on the pandas path too)
+  * filtered-subset reductions ``pdf[mask].col.sum()`` → conditional
+    aggregates (``sum(CASE WHEN mask THEN col END)``) with pandas'
+    empty-subset contract (sum→0, mean/std/var/median→NaN, count→0;
+    min/max of an empty subset: SQL NULL where pandas gives NaN — the one
+    divergence). Columns read through DIFFERENT filters refuse to combine.
+  * row-shaped outputs: a function RETURNING ``pdf[mask]`` /
+    ``pdf.assign(...)`` / a projection compiles to native filter/select —
+    no exchange at all (see _compile_map_shape)
   * scalar arithmetic on reduced values — including across zip sides (each
     reduction is registered as a per-side aggregation leaf; composite
     expressions combine the leaves after the join); output must be a dict
@@ -295,9 +303,15 @@ class _Vec(_Base):
     ``boolish`` marks comparison/logical results: pandas reduces boolean
     Series numerically (sum counts Trues, mean is the True fraction), so
     boolean vectors cast to long inside sum/mean — SQL would reject
-    sum(boolean) outright."""
+    sum(boolean) outright.
 
-    __slots__ = ("frame", "name", "boolish")
+    ``cond`` carries the row filter of the _DerivedFrame a column was read
+    from (``pdf[mask].y``): reductions become conditional aggregates
+    (``sum(CASE WHEN cond THEN y END)``). Vectors from DIFFERENT filters
+    refuse to combine — pandas would align them by index, which has no
+    row-local SQL equivalent."""
+
+    __slots__ = ("frame", "name", "boolish", "cond")
 
     def __init__(
         self,
@@ -305,18 +319,20 @@ class _Vec(_Base):
         frame: "_TraceFrame | None" = None,
         name: "str | None" = None,
         boolish: bool = False,
+        cond: "Column | None" = None,
     ):
         super().__init__(col)
         self.frame = frame
         self.name = name
         self.boolish = boolish
+        self.cond = cond
 
     def _make(self, col: Column):
         # derived vectors lose key identity but keep the frame (side/presort)
-        return _Vec(col, frame=self.frame)
+        return _Vec(col, frame=self.frame, cond=self.cond)
 
     def _make_bool(self, col: Column):
-        return _Vec(col, frame=self.frame, boolish=True)
+        return _Vec(col, frame=self.frame, boolish=True, cond=self.cond)
 
     # comparisons / logical: boolean-typed results ------------------------
     def __eq__(self, o):  # type: ignore[override]
@@ -383,12 +399,24 @@ class _Vec(_Base):
         return self._make(c)
 
     def _lift(self, other: Any):
-        if isinstance(other, _Vec) and other.frame is not self.frame:
-            raise TraceError(
-                "cannot combine per-row expressions from different zip sides "
-                "(reduce each side first)"
-            )
+        if isinstance(other, _Vec):
+            if other.frame is not self.frame:
+                raise TraceError(
+                    "cannot combine per-row expressions from different zip sides "
+                    "(reduce each side first)"
+                )
+            if _cond_str(other.cond) != _cond_str(self.cond):
+                raise TraceError(
+                    "cannot combine columns read through different row filters "
+                    "(pandas would align them by index)"
+                )
         return _lift(other)
+
+    def _agg_arg(self, c: Column) -> Column:
+        # a column read through pdf[mask] reduces conditionally: rows
+        # outside the mask become NULL, which every SQL aggregate skips —
+        # exactly pandas' subset reduction
+        return F.when(self.cond, c) if self.cond is not None else c
 
     def _leaf(self, col: Column) -> _Scalar:
         f = self.frame
@@ -413,7 +441,7 @@ class _Vec(_Base):
 
     @property
     def size(self):
-        return self._leaf(F.count(F.lit(1)))
+        return self._leaf(F.count(self._agg_arg(F.lit(1))))
 
     # reductions -----------------------------------------------------------
     def _num(self) -> Column:
@@ -421,37 +449,49 @@ class _Vec(_Base):
         return self.col.cast("long") if self.boolish else self.col
 
     def sum(self, *a, **k):
-        return self._leaf(F.sum(self._num()))
+        c = F.sum(self._agg_arg(self._num()))
+        if self.cond is not None:
+            # pandas: sum over an EMPTY filtered subset is 0, not NULL
+            c = F.coalesce(c, F.lit(0))
+        return self._leaf(c)
 
     def min(self, *a, **k):
-        return self._leaf(F.min(self._num()))
+        # empty filtered subset: SQL NULL where pandas gives NaN — the one
+        # (documented) divergence; coalescing to NaN would break strings
+        return self._leaf(F.min(self._agg_arg(self._num())))
 
     def max(self, *a, **k):
-        return self._leaf(F.max(self._num()))
+        return self._leaf(F.max(self._agg_arg(self._num())))
+
+    def _nan_empty(self, c: Column) -> Column:
+        # pandas: mean/std/var/median over an empty subset is NaN, not NULL
+        if self.cond is not None:
+            c = F.coalesce(c, F.lit(float("nan")))
+        return c
 
     def mean(self, *a, **k):
-        return self._leaf(F.avg(self._num()))
+        return self._leaf(self._nan_empty(F.avg(self._agg_arg(self._num()))))
 
     def count(self, *a, **k):
-        return self._leaf(F.count(self.col))
+        return self._leaf(F.count(self._agg_arg(self.col)))
 
     def nunique(self, *a, **k):
-        return self._leaf(F.count_distinct(self.col))
+        return self._leaf(F.count_distinct(self._agg_arg(self.col)))
 
     def std(self, ddof: int = 1):
         if ddof not in (0, 1):
             raise TraceError("std(ddof) must be 0 or 1")
         fn = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._leaf(fn(self._num()))
+        return self._leaf(self._nan_empty(fn(self._agg_arg(self._num()))))
 
     def var(self, ddof: int = 1):
         if ddof not in (0, 1):
             raise TraceError("var(ddof) must be 0 or 1")
         fn = F.var_samp if ddof == 1 else F.var_pop
-        return self._leaf(fn(self._num()))
+        return self._leaf(self._nan_empty(fn(self._agg_arg(self._num()))))
 
     def median(self):
-        return self._leaf(F.median(self._num()))
+        return self._leaf(self._nan_empty(F.median(self._agg_arg(self._num()))))
 
     def _first(self, i: Any) -> _Scalar:
         if not isinstance(i, int) or i != 0:
@@ -460,8 +500,13 @@ class _Vec(_Base):
         if f is None:
             raise TraceError("first-row access on a derived expression is not traceable")
         if self.name is not None and self.name in f.keys:
-            # group key: constant within the group
+            # group key: constant within the group (filtered or not)
             return _KeyRef(self.col, frame=f, name=self.name)
+        if self.cond is not None:
+            raise TraceError(
+                "first-row access on a filtered frame is not traceable — "
+                "reduce with min()/max() instead"
+            )
         if not f.presort:
             raise TraceError(
                 "first-row access without a presort is nondeterministic; "
@@ -490,6 +535,10 @@ class _Vec(_Base):
         order = F.struct(*orderings) if len(orderings) > 1 else orderings[0]
         agg = F.max_by(self.col, order) if use_max else F.min_by(self.col, order)
         return self._leaf(agg)
+
+
+def _cond_str(c: "Column | None") -> "str | None":
+    return None if c is None else str(c)
 
 
 class _KeyRef(_Vec):
@@ -654,8 +703,15 @@ class _DerivedFrame:
             raise TraceError(f"column {name!r} was projected away")
         v = self._assigned.get(name)
         if v is not None:
-            return v if isinstance(v, _Vec) else _Vec(F.lit(v), frame=self._base)
-        return self._base._col(name)
+            if isinstance(v, _Vec):
+                # re-bind under THIS frame's filter (reads through pdf[mask]
+                # reduce conditionally)
+                return _Vec(v.col, frame=v.frame, boolish=v.boolish, cond=self._cond)
+            return _Vec(F.lit(v), frame=self._base, cond=self._cond)
+        base = self._base._col(name)
+        if self._cond is None:
+            return base
+        return _Vec(base.col, frame=base.frame, name=base.name, cond=self._cond)
 
     def __getitem__(self, key):
         if isinstance(key, str):
@@ -670,6 +726,11 @@ class _DerivedFrame:
                 raise TraceError("pdf[...] mask must be a boolean expression")
             if key.frame is not self._base:
                 raise TraceError("mask must be built from this frame's columns")
+            if key.cond is not None and _cond_str(key.cond) != _cond_str(self._cond):
+                raise TraceError(
+                    "mask was built through a different row filter — "
+                    "pandas would align it by index"
+                )
             cond = key.col if self._cond is None else (self._cond & key.col)
             return _DerivedFrame(self._base, cond, self._assigned, self._proj)
         raise TraceError(f"untraceable frame indexing with {type(key).__name__}")
@@ -694,6 +755,11 @@ class _DerivedFrame:
             if isinstance(v, _Vec):
                 if v.frame is not self._base:
                     raise TraceError("assigned expression from a different frame")
+                if v.cond is not None and _cond_str(v.cond) != _cond_str(self._cond):
+                    raise TraceError(
+                        "assigned expression read through a different row "
+                        "filter — pandas would align it by index"
+                    )
             elif not isinstance(v, (int, float, bool, str)):
                 raise TraceError(f"assign({k}=...) with {type(v).__name__} is not traceable")
             assigned[k] = v

@@ -555,3 +555,67 @@ def test_map_shape_randomized_differential(spark):
         got = transform(df, fn, schema=schema, compile="strict")
         want = transform(df, fn, schema=schema)
         assert sorted_rows(got) == sorted_rows(want), (seed, mode)
+
+
+def test_conditional_aggregation_compiles(spark):
+    """Reducers over FILTERED subsets (pdf[mask].col.sum()) compile to
+    conditional aggregates — including pandas' empty-subset contract
+    (sum->0, mean->NaN, count->0)."""
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 300).astype("int64"),
+            "v": rng.normal(0, 10, 300),
+            "q": rng.integers(0, 50, 300).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def cond_agg(pdf):
+        big = pdf[pdf.q >= 45]  # often empty per group
+        return {
+            "k": pdf.k.iloc[0],
+            "n_big": big.q.count(),
+            "sum_big_v": big.v.sum(),
+            "mean_big_v": big.v.mean(),
+            "n_all": len(pdf),
+        }
+
+    schema = "k:long,n_big:long,sum_big_v:double,mean_big_v:double,n_all:long"
+    got = transform(df, cond_agg, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, cond_agg, schema=schema, partition={"by": ["k"]})
+    g, w = sorted_rows(got), sorted_rows(want)
+    assert len(g) == len(w)
+    for a, b in zip(g, w):
+        for x, y in zip(a, b):
+            assert (x == y) or (x != x and y != y) or abs(x - y) < 1e-9, (a, b)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+
+    # refusal: mixing columns read through DIFFERENT filters
+    from fugue_spark.compile import TraceError
+
+    def mixes_filters(pdf):
+        a = pdf[pdf.q > 40]
+        b = pdf[pdf.q < 10]
+        return {"k": pdf.k.iloc[0], "bad": (a.v + b.v).sum()}
+
+    with pytest.raises(TraceError):
+        transform(
+            df, mixes_filters, schema="k:long,bad:double",
+            partition={"by": ["k"]}, compile="strict",
+        )
+
+    # chained masks AND together; key access through a filter stays the key
+    def chained(pdf):
+        sub = pdf[pdf.q > 10][pdf.v > 0]
+        return {"k": sub.k.iloc[0], "n": sub.q.count()}
+
+    got2 = transform(df, chained, schema="k:long,n:long", partition={"by": ["k"]}, compile="strict")
+    want2 = transform(
+        df,
+        lambda p: {"k": p.k.iloc[0], "n": int(((p.q > 10) & (p.v > 0)).sum())},
+        schema="k:long,n:long",
+        partition={"by": ["k"]},
+    )
+    assert sorted_rows(got2) == sorted_rows(want2)
