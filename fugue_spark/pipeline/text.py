@@ -20,6 +20,7 @@ __all__ = [
     "ngram_overlap",
     "tfidf_doc_scores",
     "scrub_text",
+    "chunk_documents",
     "LANG_MARKERS",
 ]
 
@@ -328,6 +329,61 @@ def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — the context-window chunking step of embedding/RAG and
+    fixed-length pretraining pipelines.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk may be short, and
+    a document shorter than one chunk yields exactly one chunk (empty
+    docs yield none). Tokens are whitespace-split (the engine's ``\\S+``
+    convention); chunks re-join with single spaces.
+
+    Output: ``id_col, chunk_id, n_chunk_tokens, chunk_text``.
+
+    At 100 TB: all in-row array ops (split, slice, posexplode) — map-only,
+    no shuffle; output parallelism = input parallelism and each row's
+    work is bounded by its own document length.
+    """
+    chunk_tokens = int(chunk_tokens)
+    overlap = int(overlap)
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    n = F.size(w)
+    # number of stride-starts covering [0, n): ceil((n - overlap)/stride),
+    # min 1 chunk for any non-empty doc
+    n_chunks = F.when(
+        n > chunk_tokens, F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    ).otherwise(F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, i * stride + 1, chunk_tokens),
+    )
+    chunks = F.when(n_chunks > 0, chunks).otherwise(
+        F.array().cast("array<array<string>>")
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__toks__")
+    )
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.size(F.col("__toks__")).alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__toks__")).alias("chunk_text"),
+    )
 
 
 def tfidf_doc_scores(

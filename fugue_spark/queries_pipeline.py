@@ -587,6 +587,47 @@ def p25_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p26_chunk_documents",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
+             len(regexp_extract_all(lower(text), '\S+')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws, n,
+             CASE WHEN n > 64 THEN CAST(CEIL((n - 16) / 48.0) AS INT)
+                  WHEN n > 0 THEN 1 ELSE 0 END AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(range(n_chunks)) AS chunk_id,
+             unnest(list_transform(range(n_chunks),
+               i -> list_slice(ws, i * 48 + 1, least(i * 48 + 64, n)))) AS toks
+      FROM c WHERE n_chunks > 0
+    )
+    SELECT doc_id, chunk_id, len(toks) AS n_chunk_tokens,
+           array_to_string(toks, ' ') AS chunk_text
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking"),
+)
+def p26_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (chunk_documents): 64-token windows with a
+    16-token overlap — the RAG/pretraining splitting step. All in-row
+    array ops (split → slice → posexplode), map-only and shuffle-free;
+    the whole chunked corpus value-checks against DuckDB's list-slice
+    construction."""
+    from fugue_spark.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
     "p24_tfidf_scores",
     oracle="""
     WITH w AS (

@@ -905,3 +905,56 @@ def q25_transform_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame
         schema="l_orderkey:long,l_linenumber:int,net_e2:long,l_quantity:double",
         compile="strict",
     )
+
+
+@register(
+    "q26_transform_condagg_compiled",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(CASE WHEN l_quantity >= 30 THEN 1 END) AS n_big,
+           CAST(COALESCE(SUM(CASE WHEN l_quantity >= 30
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                 END), 0) AS DOUBLE) / 10000 AS big_rev,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("transform", "compile", "conditional"),
+    bench=True,
+)
+def q26_transform_condagg_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation compile: a reducer over a FILTERED subset
+    (pdf[mask].col.sum()) traces to sum(CASE WHEN mask THEN col END) —
+    the 'aggregate the qualifying rows per group' shape with zero Python
+    in the plan and pandas' empty-subset contract (sum→0) preserved for
+    orders with no qualifying line."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def per_order(pdf):
+        import numpy as np
+
+        big = pdf[pdf.l_quantity >= 30]
+        rev_e4 = (
+            np.round(big.l_extendedprice.values * (1 - big.l_discount.values) * 10000)
+            .astype("int64")
+            .sum()
+        )
+        return {
+            "l_orderkey": pdf.l_orderkey.iloc[0],
+            "n_big": big.l_quantity.count(),
+            "big_rev": rev_e4.astype("float64") / 10000,
+            "n_lines": len(pdf),
+        }
+
+    return transform(
+        li,
+        per_order,
+        schema="l_orderkey:long,n_big:long,big_rev:double,n_lines:long",
+        partition={"by": ["l_orderkey"]},
+        compile="strict",
+    )

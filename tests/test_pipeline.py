@@ -492,3 +492,27 @@ def test_scrub_text_masks_and_counts(spark):
     assert r[3].n_url == 1 and r[3].n_email == 1
     assert r[3].scrubbed == "<EMAIL> inside <URL> stays one URL"
     assert r[4].scrubbed == "clean text"
+
+
+def test_chunk_documents_windows(spark):
+    from fugue_spark.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            [1, "a b c d e f g"],  # 7 tokens
+            [2, "x y"],            # shorter than one chunk
+            [3, ""],               # empty: no chunks
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    r = {(x.doc_id, x.chunk_id): x for x in out.collect()}
+    # doc 1: stride 3, ceil((7-1)/3) = 2 chunks covering every token
+    assert r[(1, 0)].chunk_text == "a b c d"
+    assert r[(1, 1)].chunk_text == "d e f g"
+    assert max(k[1] for k in r if k[0] == 1) == 1
+    assert r[(2, 0)].chunk_text == "x y"
+    assert all(k[0] != 3 for k in r)
+    # every token position is covered; overlap tokens duplicated
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
