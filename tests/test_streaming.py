@@ -321,3 +321,36 @@ def test_stream_dedup_file_sink_end_to_end(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_pipeline_text_ops_work_on_streams(spark, tmp_path):
+    """The text-pipeline operators are pure column expressions, so they
+    apply to a streaming frame unchanged — stream output must equal the
+    batch result on the same files (scrub + token stats + quality here)."""
+    import fugue_spark.streaming as fs
+    from fugue_spark.pipeline import scrub_text, with_token_stats
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me bob@x.io at https://a.b/c now",
+                "just words here",
+                "num 123456789 tail",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    def enrich(df):
+        return with_token_stats(scrub_text(df)).select(
+            "doc_id", "n_url", "n_email", "n_num", "n_ws_tokens", "scrubbed"
+        )
+
+    stream = fs.load_stream(spark, src, format_hint="parquet")
+    got = fs.run_to_memory(enrich(stream), "text_ops_stream", output_mode="append").toPandas()
+    want = enrich(spark.read.parquet(src)).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
