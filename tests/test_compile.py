@@ -619,3 +619,35 @@ def test_conditional_aggregation_compiles(spark):
         partition={"by": ["k"]},
     )
     assert sorted_rows(got2) == sorted_rows(want2)
+
+
+def test_cotransform_conditional_aggregation_compiles(spark):
+    """Filtered-subset reductions work through the zip compiler too — the
+    conditional leaf lands on the right side's aggregation."""
+    rng = np.random.default_rng(5)
+    o = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(50, dtype="int64"), "total": rng.uniform(10, 500, 50)})
+    )
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": rng.integers(0, 50, 300).astype("int64"), "v": rng.normal(5, 3, 300)})
+    )
+
+    def fn(cursor, o, l):
+        big = l[l.v > 5]
+        return {
+            "k": cursor["k"],
+            "n_big": big.v.count(),
+            "sum_big": big.v.sum(),
+            "tot": o.total.max(),
+        }
+
+    from fugue_spark.cotransform import cotransform
+
+    schema = "k:long,n_big:long,sum_big:double,tot:double"
+    got = cotransform([o, l], fn, schema=schema, compile="strict")
+    want = cotransform([o, l], fn, schema=schema)
+    g, w = sorted_rows(got), sorted_rows(want)
+    assert len(g) == len(w)
+    for a, b in zip(g, w):
+        for x, y in zip(a, b):
+            assert (x == y) or abs(x - y) < 1e-9, (a, b)
