@@ -179,7 +179,10 @@ def _union_cotransform(
         prefix: list[Any] = []  # side-local exclusive prefix count at tbl pos
         for i in range(n_inputs):
             mask = tags == i
-            stbl = tbl.filter(pa.array(mask)).select(side_src[i])
+            # select BEFORE filter: pa.Table.select is zero-copy, so the
+            # C++ filter kernel only touches this side's columns instead of
+            # also copying the other sides' NULL padding
+            stbl = tbl.select(side_src[i]).filter(pa.array(mask))
             stbl = stbl.rename_columns(in_columns[i])
             ex = np.zeros(npart + 1, dtype=np.int64)
             np.cumsum(mask, out=ex[1:])
