@@ -439,3 +439,31 @@ def test_transform_compiled_zipped(spark):
         functions={"merge": merge},
     )
     assert rows(res["out"]) == [(1, 3)]
+
+
+def test_transform_compiled_map_shape_in_sql(spark):
+    """TRANSFORM COMPILED with a filter/assign-shaped function compiles to
+    a native filter/select inside a FugueSQL script."""
+    import pandas as pd
+
+    from fugue_spark.sql import fsql
+
+    def keep_pos(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept = pdf[pdf.v > 0]
+        return kept.assign(double_v=kept.v * 2)
+
+    src = spark.createDataFrame(
+        [[1, -1.0], [2, 2.0], [3, 3.0]], parse_schema("id:long,v:double")
+    )
+    res = fsql(
+        """
+        out = TRANSFORM src USING keep_pos SCHEMA id:long,v:double,double_v:double
+        YIELD DATAFRAME AS out
+        """.replace("TRANSFORM", "TRANSFORM COMPILED"),
+        spark=spark,
+        src=src,
+        functions={"keep_pos": keep_pos},
+    )["out"]
+    assert sorted(tuple(r) for r in res.collect()) == [(2, 2.0, 4.0), (3, 3.0, 6.0)]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "Exchange" not in plan
