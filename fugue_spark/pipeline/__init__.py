@@ -27,6 +27,7 @@ from fugue_spark.pipeline.similarity import (
 from fugue_spark.pipeline.text import (
     assign_pack_bins,
     chunk_documents,
+    duplicate_spans,
     corpus_stats,
     ngram_overlap,
     ngram_topk,

@@ -21,6 +21,7 @@ __all__ = [
     "tfidf_doc_scores",
     "scrub_text",
     "chunk_documents",
+    "duplicate_spans",
     "LANG_MARKERS",
 ]
 
@@ -329,6 +330,69 @@ def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication spans: for every document, the maximal
+    token ranges covered by ``n``-gram windows that ALSO occur in at least
+    one other document — the signal behind exact-substring train-set
+    dedup (mask or cut the spans instead of dropping whole documents).
+
+    Output: ``id_col, span_start, span_end, n_windows`` — token positions
+    [span_start, span_end) of each merged duplicated run, 0-based, plus
+    how many duplicated windows the span merges.
+
+    At 100 TB, in order: (1) in-row n-gram window array + posexplode —
+    map-only; (2) window occurrence counting keyed on the n-gram text —
+    one shuffle carrying (gram, partial distinct-doc state); (3) the
+    positions of cross-doc grams come back via one hash equi-join; (4)
+    gaps-and-islands merge per doc — one shuffle on the doc id, windowed
+    prefix scan, no per-group sort larger than a document's own flagged
+    positions. Nothing is quadratic; every stage is keyed and combines
+    map-side.
+    """
+    grams = _word_ngrams(F.col(text_col), n)
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    # grams seen in >1 distinct document (cross-doc duplication only;
+    # in-doc repetition is with_repetition_stats' job)
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram").select(id_col, "pos")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    # island id in two steps (window exprs don't nest): a new island
+    # starts when this n-gram window does not overlap the previous one
+    # ([p, p+n) vs [prev, prev+n) merge iff p <= prev + n)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("pos").over(win), F.lit(-(10**9))) + n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    marked = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+    )
 
 
 def chunk_documents(

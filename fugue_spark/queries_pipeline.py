@@ -587,6 +587,52 @@ def p25_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p27_duplicate_spans",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(len(ws) - 7)) AS pos,
+             unnest(list_transform(range(1, len(ws) - 6),
+               i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS gram
+      FROM w WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                      -1000000000) + 8 THEN 1 ELSE 0 END AS new_island
+      FROM h
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+           COUNT(*) AS n_windows
+    FROM m GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+    tags=("text", "dedup", "spans"),
+)
+def p27_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (duplicate_spans): maximal token
+    ranges covered by 8-gram windows that also occur in another document —
+    the exact-substring dedup signal (mask/cut spans instead of dropping
+    documents). posexplode → distinct-doc census on the gram → one hash
+    join back → gaps-and-islands merge per doc; value-checked against the
+    identical windowed-SQL construction."""
+    from fugue_spark.pipeline import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=8).orderBy("doc_id", "span_start")
+
+
+@register(
     "p26_chunk_documents",
     oracle=r"""
     WITH w AS (

@@ -516,3 +516,27 @@ def test_chunk_documents_windows(spark):
     # every token position is covered; overlap tokens duplicated
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_duplicate_spans_detects_shared_runs(spark):
+    from fugue_spark.pipeline import duplicate_spans
+
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            [1, f"start {shared} middle unique words here {shared} tail"],
+            [2, f"prefix {shared} suffix"],
+            [3, "completely different content with no duplicated run at all"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    out = duplicate_spans(df, n=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1: shared run appears at tokens 1-6 and again later; two islands
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    assert (1, 7) in by_doc[1]  # 6-gram at pos 1 covers [1, 7)
+    assert (1, 7) in by_doc[2]
+    # doc 1's second occurrence starts at token 11
+    assert any(s == 11 for s, _ in by_doc[1])
