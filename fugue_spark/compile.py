@@ -36,6 +36,9 @@ Traceable surface (kept deliberately small and exact):
   * row-shaped outputs: a function RETURNING ``pdf[mask]`` /
     ``pdf.assign(...)`` / a projection compiles to native filter/select —
     no exchange at all (see _compile_map_shape)
+  * ``.str`` accessor: contains (literal or regex) / startswith /
+    endswith / len / lower / upper / strip / replace with constant
+    patterns (_StrOps) — text filters stay JVM-side
   * scalar arithmetic on reduced values — including across zip sides (each
     reduction is registered as a per-side aggregation leaf; composite
     expressions combine the leaves after the join); output must be a dict
@@ -426,6 +429,10 @@ class _Vec(_Base):
 
     # array-like surface ---------------------------------------------------
     @property
+    def str(self):
+        return _StrOps(self)
+
+    @property
     def values(self):
         return self
 
@@ -539,6 +546,64 @@ class _Vec(_Base):
 
 def _cond_str(c: "Column | None") -> "str | None":
     return None if c is None else str(c)
+
+
+class _StrOps:
+    """pandas ``.str`` accessor surface over a traced vector — the common
+    text-filter predicates, compiled to native string expressions. Methods
+    that take a pattern accept only constant strings; ``contains`` is
+    literal by default (``regex=True`` opts into Java-regex semantics,
+    which the pandas path evaluates with Python ``re`` — portable for the
+    common subset)."""
+
+    __slots__ = ("vec",)
+
+    def __init__(self, vec: "_Vec"):
+        self.vec = vec
+
+    def _req_const(self, pat: Any) -> str:
+        if not isinstance(pat, str):
+            raise TraceError(".str pattern must be a constant string")
+        return pat
+
+    def contains(self, pat, case: bool = True, regex: bool = True, na: Any = None):
+        if na is not None:
+            raise TraceError(".str.contains(na=...) is not traceable")
+        pat = self._req_const(pat)
+        col = self.vec.col
+        if not case:
+            col = F.lower(col)
+            pat = pat.lower()
+        c = col.rlike(pat) if regex else col.contains(pat)
+        return self.vec._make_bool(c)
+
+    def startswith(self, pat):
+        return self.vec._make_bool(self.vec.col.startswith(self._req_const(pat)))
+
+    def endswith(self, pat):
+        return self.vec._make_bool(self.vec.col.endswith(self._req_const(pat)))
+
+    def len(self):
+        return self.vec._make(F.length(self.vec.col))
+
+    def lower(self):
+        return self.vec._make(F.lower(self.vec.col))
+
+    def upper(self):
+        return self.vec._make(F.upper(self.vec.col))
+
+    def strip(self):
+        return self.vec._make(F.trim(self.vec.col))
+
+    def replace(self, pat, repl, regex: bool = True):
+        pat, repl = self._req_const(pat), self._req_const(repl)
+        if regex:
+            return self.vec._make(F.regexp_replace(self.vec.col, pat, repl))
+        import re as _re
+
+        return self.vec._make(
+            F.regexp_replace(self.vec.col, _re.escape(pat), repl)
+        )
 
 
 class _KeyRef(_Vec):

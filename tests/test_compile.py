@@ -651,3 +651,43 @@ def test_cotransform_conditional_aggregation_compiles(spark):
     for a, b in zip(g, w):
         for x, y in zip(a, b):
             assert (x == y) or abs(x - y) < 1e-9, (a, b)
+
+
+def test_str_accessor_compiles(spark):
+    """.str predicates/transforms compile to native string expressions —
+    both in map-shaped filters and in reducers."""
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "tag": ["alpha", "beta", "ALPHA bravo", "gamma"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def keep_alpha(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept = pdf[pdf.tag.str.contains("alpha", case=False, regex=False)]
+        return kept.assign(up=kept.tag.str.upper(), n=kept.tag.str.len())
+
+    schema = "id:long,tag:str,up:str,n:int"
+    got = transform(df, keep_alpha, schema=schema, compile="strict")
+    want = transform(df, keep_alpha, schema=schema)
+    assert sorted_rows(got) == sorted_rows(want) == [
+        (1, "alpha", "ALPHA", 5),
+        (3, "ALPHA bravo", "ALPHA BRAVO", 11),
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+
+    def count_prefixed(pdf: pd.DataFrame):
+        return {"n_b": pdf.tag.str.startswith("b").sum(), "n_all": len(pdf)}
+
+    got2 = transform(df, count_prefixed, schema="n_b:long,n_all:long", compile="strict")
+    want2 = transform(df, count_prefixed, schema="n_b:long,n_all:long", partition=1)
+    assert sorted_rows(got2) == sorted_rows(want2) == [(1, 4)]
+
+    def regex_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf.tag.str.contains("^(a|g)")][["id"]]
+
+    got3 = transform(df, regex_filter, schema="id:long", compile="strict")
+    want3 = transform(df, regex_filter, schema="id:long")
+    assert sorted_rows(got3) == sorted_rows(want3) == [(1,), (4,)]
