@@ -231,6 +231,22 @@ class _Base:
         "power": "__pow__",
     }
 
+    def __array_function__(self, func, types, args, kwargs):
+        # NEP-18 protocol: numpy non-ufunc API over traced expressions.
+        # np.where(cond, a, b) is THE vectorized conditional in user
+        # transformers — compile it to CASE WHEN.
+        import numpy as np
+
+        if func is np.where:
+            if kwargs or len(args) != 3:
+                raise TraceError("only np.where(cond, a, b) is traceable")
+            cond, a, b = args
+            if not isinstance(cond, _Base):
+                raise TraceError("np.where condition must be a traced expression")
+            make = cond._make if isinstance(cond, _Vec) else _Scalar
+            return make(F.when(cond.col, cond._lift(a)).otherwise(cond._lift(b)))
+        raise TraceError(f"numpy function {getattr(func, '__name__', func)} is not traceable")
+
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         if method != "__call__" or kwargs.get("out") is not None:
             raise TraceError(f"unsupported ufunc call {ufunc.__name__}.{method}")

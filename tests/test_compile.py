@@ -691,3 +691,27 @@ def test_str_accessor_compiles(spark):
     got3 = transform(df, regex_filter, schema="id:long", compile="strict")
     want3 = transform(df, regex_filter, schema="id:long")
     assert sorted_rows(got3) == sorted_rows(want3) == [(1,), (4,)]
+
+
+def test_np_where_compiles(spark):
+    """np.where(cond, a, b) traces to CASE WHEN via the NEP-18 protocol —
+    in assigns, reducers, and nested forms."""
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2], "v": [1.0, -2.0, 3.0, -4.0]})
+    df = spark.createDataFrame(pdf)
+
+    def f(pdf):
+        pos = np.where(pdf.v > 0, pdf.v, 0.0)
+        return {"k": pdf.k.iloc[0], "s_pos": pos.sum(),
+                "n_neg": np.where(pdf.v < 0, 1, 0).sum()}
+
+    schema = "k:long,s_pos:double,n_neg:long"
+    got = transform(df, f, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, f, schema=schema, partition={"by": ["k"]})
+    assert sorted_rows(got) == sorted_rows(want) == [(1, 1.0, 1), (2, 3.0, 1)]
+
+    def g(pdf):
+        return pdf.assign(sign=np.where(pdf.v > 0, 1, -1))
+
+    got2 = transform(df, g, schema="k:long,v:double,sign:int", compile="strict")
+    want2 = transform(df, g, schema="k:long,v:double,sign:int")
+    assert sorted_rows(got2) == sorted_rows(want2)
