@@ -21,7 +21,8 @@ Traceable surface (kept deliberately small and exact):
   * elementwise arithmetic ``+ - * / // % **``, unary ``-``/``abs``,
     comparisons, ``& | ~``; ``np.round``/``.round(n)``, ``np.sqrt``,
     ``np.log``, ``np.log1p``, ``np.exp``, ``np.abs``, ``np.floor``,
-    ``np.ceil`` (ufunc protocol); ``.astype(dtype)``; ``.fillna(const)``
+    ``np.ceil`` (ufunc protocol); ``np.where(cond, a, b)`` → CASE WHEN
+    (NEP-18); ``.astype(dtype)``; ``.fillna(const)``
   * reductions: ``.sum() .min() .max() .mean() .count() .nunique()``,
     ``len(pdf)`` (returned directly), ``pdf.shape[0]``, ``series.size``
   * first-row access ``col.iloc[0]`` / ``col.values[0]`` — compiled to the
