@@ -40,6 +40,10 @@ Traceable surface (kept deliberately small and exact):
   * ``.str`` accessor: contains (literal or regex) / startswith /
     endswith / len / lower / upper / strip / replace with constant
     patterns (_StrOps) — text filters stay JVM-side
+  * per-group top-k: ``sort_values(...).head(k)`` (or ``head(k)`` under a
+    declared presort) → native ``row_number`` window ≤ k; requires
+    partition keys (ties at the k boundary are engine-arbitrary, as on
+    the pandas path whose input order is partition-dependent)
   * scalar arithmetic on reduced values — including across zip sides (each
     reduction is registered as a per-side aggregation leaf; composite
     expressions combine the leaves after the join); output must be a dict
@@ -722,6 +726,12 @@ class _TraceFrame:
     def drop(self, *a, **k):
         return _DerivedFrame(self).drop(*a, **k)
 
+    def sort_values(self, *a, **k):
+        return _DerivedFrame(self).sort_values(*a, **k)
+
+    def head(self, *a, **k):
+        return _DerivedFrame(self).head(*a, **k)
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
@@ -767,11 +777,19 @@ class _DerivedFrame:
         cond: "Column | None" = None,
         assigned: "dict[str, Any] | None" = None,
         proj: "list[str] | None" = None,
+        sort: "list | None" = None,
+        limit: "int | None" = None,
     ):
         self._base = base
         self._cond = cond
         self._assigned = dict(assigned or {})
         self._proj = proj
+        self._sort = sort  # [(name, ascending)] from sort_values
+        self._limit = limit  # head(n) — terminal: per-group top-k
+
+    def _no_limit(self, op: str) -> None:
+        if self._limit is not None:
+            raise TraceError(f"{op} after head() is not traceable — head is terminal")
 
     @property
     def columns(self) -> list[str]:
@@ -781,6 +799,11 @@ class _DerivedFrame:
         return base_cols + [c for c in self._assigned if c not in base_cols]
 
     def _col(self, name: str) -> _Vec:
+        if self._limit is not None:
+            raise TraceError(
+                "reading columns from a head() result is not traceable — "
+                "return the top-k frame directly"
+            )
         if self._proj is not None and name not in self._proj:
             raise TraceError(f"column {name!r} was projected away")
         v = self._assigned.get(name)
@@ -799,11 +822,22 @@ class _DerivedFrame:
         if isinstance(key, str):
             return self._col(key)
         if isinstance(key, list) and all(isinstance(c, str) for c in key):
-            missing = [c for c in key if c not in self.columns]
+            if self._proj is not None:
+                avail = self._proj
+            else:
+                avail = self.columns if self._limit is None else (
+                    list(self._base.columns)
+                    + [c for c in self._assigned if c not in self._base.columns]
+                )
+            missing = [c for c in key if c not in avail]
             if missing:
                 raise TraceError(f"projection of unknown columns {missing}")
-            return _DerivedFrame(self._base, self._cond, self._assigned, list(key))
+            return _DerivedFrame(
+                self._base, self._cond, self._assigned, list(key),
+                sort=self._sort, limit=self._limit,
+            )
         if isinstance(key, _Vec):
+            self._no_limit("filtering")
             if not key.boolish:
                 raise TraceError("pdf[...] mask must be a boolean expression")
             if key.frame is not self._base:
@@ -814,7 +848,9 @@ class _DerivedFrame:
                     "pandas would align it by index"
                 )
             cond = key.col if self._cond is None else (self._cond & key.col)
-            return _DerivedFrame(self._base, cond, self._assigned, self._proj)
+            return _DerivedFrame(
+                self._base, cond, self._assigned, self._proj, sort=self._sort
+            )
         raise TraceError(f"untraceable frame indexing with {type(key).__name__}")
 
     def __getattr__(self, name):
@@ -825,7 +861,45 @@ class _DerivedFrame:
         except TraceError as ex:
             raise AttributeError(str(ex)) from None
 
+    def sort_values(
+        self, by, ascending: "bool | list" = True, na_position: str = "last", kind=None
+    ):
+        self._no_limit("sort_values")
+        if na_position != "last":
+            raise TraceError("sort_values(na_position != 'last') is not traceable")
+        cols = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(cols) if isinstance(ascending, bool) else list(ascending)
+        if len(asc) != len(cols) or not all(isinstance(a, (bool,)) for a in asc):
+            raise TraceError("sort_values ascending must be bool(s)")
+        for c in cols:
+            if not isinstance(c, str) or c not in self.columns:
+                raise TraceError(f"sort_values by unknown column {c!r}")
+        return _DerivedFrame(
+            self._base, self._cond, self._assigned, self._proj,
+            sort=list(zip(cols, asc)), limit=None,
+        )
+
+    def head(self, n: int = 5):
+        self._no_limit("head")
+        if not isinstance(n, int) or n <= 0:
+            raise TraceError("head(n) needs a positive constant int")
+        sort = self._sort
+        if sort is None:
+            # fall back to the declared engine presort — same order the
+            # pandas path would see its group rows in
+            if not self._base.presort:
+                raise TraceError(
+                    "head() without sort_values or a declared presort is "
+                    "input-order-dependent — not traceable"
+                )
+            sort = list(self._base.presort)
+        return _DerivedFrame(
+            self._base, self._cond, self._assigned, self._proj,
+            sort=sort, limit=n,
+        )
+
     def assign(self, **kw):
+        self._no_limit("assign")
         assigned = dict(self._assigned)
         for k, v in kw.items():
             if callable(v):
@@ -848,7 +922,9 @@ class _DerivedFrame:
         proj = self._proj
         if proj is not None:
             proj = proj + [k for k in kw if k not in proj]
-        return _DerivedFrame(self._base, self._cond, assigned, proj)
+        return _DerivedFrame(
+            self._base, self._cond, assigned, proj, sort=self._sort
+        )
 
     def drop(self, labels=None, columns=None, axis=None):
         if columns is None:
@@ -862,7 +938,10 @@ class _DerivedFrame:
         if missing:
             raise TraceError(f"drop of unknown columns {missing}")
         keep = [c for c in self.columns if c not in set(columns)]
-        return _DerivedFrame(self._base, self._cond, self._assigned, keep)
+        return _DerivedFrame(
+            self._base, self._cond, self._assigned, keep,
+            sort=self._sort, limit=self._limit,
+        )
 
     def __len__(self):
         raise TraceError("len() of a filtered frame is data-dependent — not traceable")
@@ -997,6 +1076,7 @@ def _compile_map_shape(
     ctx: _TraceCtx,
     ctx2: _TraceCtx,
     out_schema: T.StructType,
+    keys: "list[str] | None" = None,
 ) -> DataFrame:
     """Compile a transformer that RETURNS a row-local derivation of its
     input (``pdf[mask]`` / ``pdf.assign(...)`` / projections) to a native
@@ -1019,6 +1099,8 @@ def _compile_map_shape(
         or (a._cond is not None and str(a._cond) != str(b._cond))
         or list(a._assigned) != list(b._assigned)
         or a.columns != b.columns
+        or a._sort != b._sort
+        or a._limit != b._limit
         or any(
             str(x.col) != str(y.col)
             if isinstance(x, _Vec)
@@ -1036,10 +1118,40 @@ def _compile_map_shape(
             f"output schema columns {missing} absent from the returned frame "
             f"(has {a.columns})"
         )
-    outs = []
-    for f in out_schema.fields:
-        outs.append(a._col(f.name).col.cast(f.dataType).alias(f.name))
+
+    def resolve(name: str) -> Column:
+        v = a._assigned.get(name)
+        if isinstance(v, _Vec):
+            return v.col
+        if v is not None:
+            return F.lit(v)
+        return a._base._col(name).col
+
+    outs = [resolve(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
     plan = df if a._cond is None else df.filter(a._cond)
+    if a._limit is not None:
+        # per-group top-k: sort_values(...).head(k) → row_number window.
+        # Only with partition keys — a head over a PHYSICAL partition on
+        # the pandas path is input-order-dependent, so no keys = no compile.
+        if not keys:
+            raise TraceError(
+                "head() compiles only with partition keys (a physical-"
+                "partition head is input-order-dependent)"
+            )
+        from pyspark.sql import Window
+
+        order = []
+        for name, asc in a._sort:
+            c = resolve(name)
+            # nulls-last = pandas sort_values(na_position='last')
+            order.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+        w = Window.partitionBy(
+            *[a._base._col(k).col for k in keys]
+        ).orderBy(*order)
+        plan = (
+            plan.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= a._limit)
+        )
     return _widen_nullable(plan.select(*outs))
 
 
@@ -1078,7 +1190,7 @@ def try_compile_aggregation(
     res2, ctx2, _ = run_trace(1)
     out_cols = [f.name for f in out_schema.fields]
     if isinstance(res, (_TraceFrame, _DerivedFrame)):
-        return _compile_map_shape(df, res, res2, ctx, ctx2, out_schema)
+        return _compile_map_shape(df, res, res2, ctx, ctx2, out_schema, keys=keys)
     res, res2 = _require_dict(res), _require_dict(res2)
     _check_invariant(res, res2, ctx, ctx2, out_cols, 1)
 

@@ -715,3 +715,50 @@ def test_np_where_compiles(spark):
     got2 = transform(df, g, schema="k:long,v:double,sign:int", compile="strict")
     want2 = transform(df, g, schema="k:long,v:double,sign:int")
     assert sorted_rows(got2) == sorted_rows(want2)
+
+
+def test_topk_shape_compiles_to_window(spark):
+    """sort_values(...).head(k) — per-group top-k — compiles to a native
+    row_number window; filter/projection compose; head() without
+    sort_values falls back to the declared presort; ungrouped head
+    refuses (physical-partition order dependence)."""
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 200).astype("int64"),
+            "v": rng.uniform(0, 100, 200).round(3),
+            "id": np.arange(200, dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    schema = "k:long,v:double,id:long"
+
+    def top2(pdf):
+        return pdf.sort_values("v", ascending=False).head(2)
+
+    got = transform(df, top2, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, top2, schema=schema, partition={"by": ["k"]})
+    assert sorted_rows(got) == sorted_rows(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "Window" in plan
+
+    def ftop(pdf):
+        big = pdf[pdf.v > 20]
+        return big.sort_values("v").head(3)[["k", "id"]]
+
+    got2 = transform(df, ftop, schema="k:long,id:long", partition={"by": ["k"]}, compile="strict")
+    want2 = transform(df, ftop, schema="k:long,id:long", partition={"by": ["k"]})
+    assert sorted_rows(got2) == sorted_rows(want2)
+
+    def first2(pdf):
+        return pdf.head(2)
+
+    part = {"by": ["k"], "presort": "v ASC"}
+    got3 = transform(df, first2, schema=schema, partition=part, compile="strict")
+    want3 = transform(df, first2, schema=schema, partition=part)
+    assert sorted_rows(got3) == sorted_rows(want3)
+
+    from fugue_spark.compile import TraceError
+
+    with pytest.raises(TraceError):
+        transform(df, first2, schema=schema, compile="strict")
