@@ -958,3 +958,44 @@ def q26_transform_condagg_compiled(spark: SparkSession, sf_dir: str) -> DataFram
         partition={"by": ["l_orderkey"]},
         compile="strict",
     )
+
+
+@register(
+    "q27_transform_topk_compiled",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+    tags=("transform", "compile", "topk"),
+    bench=True,
+)
+def q27_transform_topk_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k through the trace-compiler: a transformer returning
+    sort_values(...).head(2) compiles to a native row_number window — the
+    take-operator plan with the transformer's ergonomics, zero Python.
+    The sort is total (quantity DESC, linenumber ASC) so the k-cut is
+    engine-deterministic."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    def top_lines(pdf):
+        return pdf.sort_values(
+            ["l_quantity", "l_linenumber"], ascending=[False, True]
+        ).head(2)
+
+    return transform(
+        li,
+        top_lines,
+        schema="l_orderkey:long,l_linenumber:int,l_quantity:double",
+        partition={"by": ["l_orderkey"]},
+        compile="strict",
+    )
