@@ -238,8 +238,9 @@ class _Base:
 
     def __array_function__(self, func, types, args, kwargs):
         # NEP-18 protocol: numpy non-ufunc API over traced expressions.
-        # np.where(cond, a, b) is THE vectorized conditional in user
-        # transformers — compile it to CASE WHEN.
+        # Defining this makes numpy dispatch EVERY array function here
+        # (np.round no longer falls through to the .round method), so the
+        # common ones are mapped explicitly.
         import numpy as np
 
         if func is np.where:
@@ -250,7 +251,22 @@ class _Base:
                 raise TraceError("np.where condition must be a traced expression")
             make = cond._make if isinstance(cond, _Vec) else _Scalar
             return make(F.when(cond.col, cond._lift(a)).otherwise(cond._lift(b)))
-        raise TraceError(f"numpy function {getattr(func, '__name__', func)} is not traceable")
+        if func in (np.round, np.around):
+            a = args[0]
+            decimals = args[1] if len(args) > 1 else kwargs.get("decimals", 0)
+            return a.round(decimals)
+        if func is np.clip:
+            a = args[0]
+            lo = args[1] if len(args) > 1 else kwargs.get("a_min")
+            hi = args[2] if len(args) > 2 else kwargs.get("a_max")
+            return a.clip(lo, hi)
+        _REDUCERS = {np.sum: "sum", np.min: "min", np.max: "max",
+                     np.mean: "mean", np.median: "median"}
+        if func in _REDUCERS and len(args) == 1 and not kwargs:
+            return getattr(args[0], _REDUCERS[func])()
+        raise TraceError(
+            f"numpy function {getattr(func, '__name__', func)} is not traceable"
+        )
 
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         if method != "__call__" or kwargs.get("out") is not None:

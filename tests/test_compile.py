@@ -762,3 +762,27 @@ def test_topk_shape_compiles_to_window(spark):
 
     with pytest.raises(TraceError):
         transform(df, first2, schema=schema, compile="strict")
+
+
+def test_np_round_dispatch_still_traces(spark):
+    """Regression: defining __array_function__ makes numpy route np.round/
+    np.clip/np.sum through it instead of the .round method — they must
+    stay traceable."""
+    pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.234, 5.678, 9.012]})
+    df = spark.createDataFrame(pdf)
+
+    def f(pdf):
+        vals = np.round(pdf.v.values * 10, 1)
+        return {
+            "k": pdf.k.iloc[0],
+            "s": np.sum(vals),
+            "c": np.sum(np.clip(pdf.v.values, 2.0, 8.0)),
+            "mx": np.max(pdf.v.values),
+        }
+
+    schema = "k:long,s:double,c:double,mx:double"
+    got = transform(df, f, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, f, schema=schema, partition={"by": ["k"]})
+    for a, b in zip(sorted_rows(got), sorted_rows(want)):
+        for x, y in zip(a, b):
+            assert abs(x - y) < 1e-9, (a, b)
