@@ -38,5 +38,6 @@ from fugue_spark.pipeline.text import (
     with_quality_score,
     with_repetition_stats,
     with_token_stats,
+    with_word_entropy,
 )
 from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401

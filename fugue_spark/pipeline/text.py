@@ -22,6 +22,7 @@ __all__ = [
     "scrub_text",
     "chunk_documents",
     "duplicate_spans",
+    "with_word_entropy",
     "LANG_MARKERS",
 ]
 
@@ -330,6 +331,50 @@ def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def with_word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the document's word distribution — the
+    degenerate-text detector (keyword stuffing and template spam score
+    near 0; diverse prose scores high). Adds ``n_words`` and
+    ``entropy_e6`` (Σ (c/N)·ln(N/c), integer-scaled).
+
+    Entirely in-row: one ``array_sort`` then a single O(w) fold that
+    closes a run whenever the word changes, adding that word's entropy
+    term — the same sorted-run pattern as with_repetition_stats, never
+    the O(w²) count-per-distinct form. Each term is FLOOR-scaled to e6
+    BEFORE summation, so the sum is an exact integer in any engine and
+    any evaluation order (float Σ would be order-dependent). Map-only,
+    scan speed; docs with no words get entropy 0.
+    """
+    t = F.col(text_col)
+    words = F.array_sort(F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0))
+    n = F.size(words)
+
+    def term(run):
+        # FLOOR(c * ln(N/c) / N * 1e6) — association mirrored verbatim in
+        # the differential oracle; ln is the only inexact op (≤1 ulp)
+        return F.floor(run * F.log(n / run) / n * 1000000).cast("long")
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+    folded = F.aggregate(
+        words,
+        acc0,
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(
+                (w != acc["prev"]) & (acc["run"] > 0), acc["acc"] + term(acc["run"])
+            ).otherwise(acc["acc"]).alias("acc"),
+        ),
+        lambda acc: F.when(acc["run"] > 0, acc["acc"] + term(acc["run"])).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return df.withColumns({"n_words": n, "entropy_e6": folded})
 
 
 def duplicate_spans(

@@ -587,6 +587,40 @@ def p25_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p28_word_entropy",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id)
+    SELECT c.doc_id, MAX(n.n) AS n_words,
+           CAST(SUM(CAST(FLOOR(c.c * ln(n.n / c.c) / n.n * 1000000) AS BIGINT)) AS BIGINT) AS entropy_e6
+    FROM c JOIN n USING (doc_id)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def p28_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution Shannon entropy (with_word_entropy): the
+    degenerate-text detector, computed in-row via one array_sort + an
+    O(w) run-closing fold with per-term integer scaling (sum is an exact
+    integer in any engine/order). The oracle computes the same entropy a
+    genuinely different way — unnest + GROUP BY counts — and must agree
+    term for term."""
+    from fugue_spark.pipeline import with_word_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_word_entropy(docs)
+        .filter(F.col("n_words") > 0)
+        .select("doc_id", "n_words", "entropy_e6")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "p27_duplicate_spans",
     oracle=r"""
     WITH w AS (

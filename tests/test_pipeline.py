@@ -540,3 +540,27 @@ def test_duplicate_spans_detects_shared_runs(spark):
     assert (1, 7) in by_doc[2]
     # doc 1's second occurrence starts at token 11
     assert any(s == 11 for s, _ in by_doc[1])
+
+
+def test_word_entropy_values(spark):
+    import math
+
+    from fugue_spark.pipeline import with_word_entropy
+
+    df = spark.createDataFrame(
+        [
+            [1, "a a a a"],        # degenerate: entropy 0
+            [2, "a b c d"],        # uniform over 4: ln(4)
+            [3, "a a b"],          # 2/3 ln(3/2) + 1/3 ln(3)
+            [4, ""],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    r = {x.doc_id: x for x in with_word_entropy(df).collect()}
+    assert r[1].entropy_e6 == math.floor(4 * math.log(4 / 4) / 4 * 1e6)  # 0
+    assert r[2].entropy_e6 == 4 * math.floor(1 * math.log(4 / 1) / 4 * 1e6)
+    expect3 = math.floor(2 * math.log(3 / 2) / 3 * 1e6) + math.floor(
+        1 * math.log(3 / 1) / 3 * 1e6
+    )
+    assert r[3].entropy_e6 == expect3
+    assert r[4].entropy_e6 == 0 and r[4].n_words == 0
