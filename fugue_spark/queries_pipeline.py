@@ -992,3 +992,51 @@ def p13_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "s2_streaming_text_pipeline",
+    oracle=r"""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_url,
+             regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_url,
+           len(regexp_extract_all(t2, '\S+')) AS n_ws_tokens,
+           md5(regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
+    FROM s2 ORDER BY doc_id
+    """,
+    tags=("streaming", "text", "scrub"),
+)
+def s2_streaming_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the text-curation operators applied to a FILE
+    STREAM (scrub → token count over the scrubbed text), driven to
+    completion — the oracle is the equivalent batch SQL, so stream/batch
+    agreement is value-checked including the md5 of every scrubbed
+    document. The same pure-column operators run unchanged on bounded and
+    unbounded inputs; at scale this is the continuous-ingest curation
+    path (file source → map-only transforms → sink, no state)."""
+    from fugue_spark import streaming as fs
+    from fugue_spark.pipeline import scrub_text, with_token_stats
+
+    stream = fs.load_stream(
+        spark, f"{sf_dir}/documents.parquet", format_hint="parquet"
+    )
+    enriched = with_token_stats(
+        scrub_text(stream).withColumn("text", F.col("scrubbed"))
+    ).select(
+        "doc_id",
+        "n_url",
+        "n_ws_tokens",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    )
+    out = fs.run_to_memory(enriched, "s2_text", output_mode="append")
+    return out.orderBy("doc_id")
