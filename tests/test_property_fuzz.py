@@ -154,3 +154,62 @@ def test_aggregate_matches_pandas(spark, seed):
         .reset_index()
     )
     assert got == pandas_rows(agg)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_cotransform_matches_pandas_reference(spark, seed):
+    """Randomized zip differential: for every how, cotransform's group
+    delivery (which sides present, row contents, empty-side frames) must
+    match a driver-side pandas reference built from the same inputs."""
+    import numpy as np
+    import pandas as pd
+
+    from fugue_spark.cotransform import cotransform
+    from fugue_spark.schema import parse_schema
+
+    rng = np.random.default_rng(seed)
+    ka = rng.choice(20, size=30)
+    kb = rng.choice(20, size=40)
+    a = pd.DataFrame({"k": ka.astype("int64"), "va": rng.integers(0, 100, 30).astype("int64")})
+    b = pd.DataFrame({"k": kb.astype("int64"), "vb": rng.integers(0, 100, 40).astype("int64")})
+    dfa = spark.createDataFrame(a)
+    dfb = spark.createDataFrame(b)
+
+    how = ["inner", "left_outer", "right_outer", "full_outer"][seed % 4]
+
+    def summarize(cursor, fa_, fb_):
+        return {
+            "k": cursor["k"],
+            "na": len(fa_),
+            "nb": len(fb_),
+            "sa": int(fa_.va.sum()) if len(fa_) else -1,
+            "sb": int(fb_.vb.sum()) if len(fb_) else -1,
+        }
+
+    got = {
+        r.k: (r.na, r.nb, r.sa, r.sb)
+        for r in cotransform(
+            [dfa, dfb], summarize, schema="k:long,na:long,nb:long,sa:long,sb:long", how=how
+        ).collect()
+    }
+
+    # pandas reference
+    keys_a, keys_b = set(a.k), set(b.k)
+    if how == "inner":
+        keys = keys_a & keys_b
+    elif how == "left_outer":
+        keys = keys_a
+    elif how == "right_outer":
+        keys = keys_b
+    else:
+        keys = keys_a | keys_b
+    want = {}
+    for k in keys:
+        ga, gb = a[a.k == k], b[b.k == k]
+        want[k] = (
+            len(ga),
+            len(gb),
+            int(ga.va.sum()) if len(ga) else -1,
+            int(gb.vb.sum()) if len(gb) else -1,
+        )
+    assert got == want, (seed, how)
