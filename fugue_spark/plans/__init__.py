@@ -18,6 +18,7 @@ __all__ = [
     "has_exchange",
     "broadcast_join_count",
     "wholestage_codegen_spans",
+    "plan_summary",
 ]
 
 
@@ -63,3 +64,41 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids)
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """One-call scale audit of a plan — the checklist every operator is
+    reviewed against before it is trusted at 100 TB:
+
+    * ``n_exchanges`` — shuffles; each is a full network materialization.
+    * ``n_python_stages`` — MapInArrow/MapInPandas/etc; Python-bounded.
+    * ``n_broadcast_joins`` / ``n_sortmerge_joins`` — join strategies.
+    * ``cartesian`` — True if any CartesianProduct/BroadcastNestedLoopJoin
+      survived (almost always a scale bug).
+    * ``pushed_filters`` / ``read_columns`` — what reached the scan.
+    * ``codegen_spans`` — whole-stage-codegen region count.
+
+    Usage: ``assert not plan_summary(out)["cartesian"]`` in tests, or
+    print it while iterating on an operator instead of eyeballing the
+    full explain output.
+    """
+    simple = physical_plan(df, "simple")
+    return {
+        # shuffle exchanges only — BroadcastExchange is not a shuffle and
+        # is reported via n_broadcast_joins instead
+        "n_exchanges": len(
+            re.findall(r"Exchange (?:hash|range|Single|RoundRobin)", simple)
+        ),
+        "n_python_stages": sum(
+            simple.count(k)
+            for k in ("MapInArrow", "MapInPandas", "FlatMapGroupsInPandas",
+                      "ArrowEvalPython", "BatchEvalPython")
+        ),
+        "n_broadcast_joins": simple.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": simple.count("SortMergeJoin"),
+        "cartesian": ("CartesianProduct" in simple)
+        or ("BroadcastNestedLoopJoin" in simple),
+        "pushed_filters": pushed_filters(df),
+        "read_columns": read_schema_columns(df),
+        "codegen_spans": wholestage_codegen_spans(df),
+    }

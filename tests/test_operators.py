@@ -440,3 +440,32 @@ def test_hash_sample_stratified(spark):
     kept = {r.src for r in grp.collect()}
     for s in kept:
         assert len([r for r in grp.collect() if r.src == s]) == 100
+
+
+def test_plan_summary_scale_audit(spark):
+    """plan_summary reports the scale checklist: exchanges, python stages,
+    join strategies, cartesian flag, pushdown."""
+    from fugue_spark.plans import plan_summary
+    from fugue_spark.schema import parse_schema
+
+    a = spark.createDataFrame([[1, "x"], [2, "y"]], parse_schema("k:long,s:str"))
+    b = spark.createDataFrame([[1, 10.0], [3, 30.0]], parse_schema("k:long,v:double"))
+
+    s = plan_summary(a.filter(a.k > 1))
+    assert s["n_exchanges"] == 0 and s["n_python_stages"] == 0 and not s["cartesian"]
+
+    import fugue_spark.api as fa
+
+    j = plan_summary(fa.join(a, fa.broadcast(b), "inner"))
+    assert j["n_broadcast_joins"] == 1 and not j["cartesian"]
+
+    x = plan_summary(a.crossJoin(b))
+    assert x["cartesian"]
+
+    from fugue_spark.transform import transform
+
+    t = transform(
+        a, lambda pdf: pdf, schema="k:long,s:str", partition={"by": ["k"]}
+    )
+    ts = plan_summary(t)
+    assert ts["n_exchanges"] == 1 and ts["n_python_stages"] == 1
