@@ -455,7 +455,15 @@ def simhash_pairs(
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
     sim_udf = F.pandas_udf(_simhash_batch, "long")
-    s = df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh"))
+    # materialize the signatures ONCE (lazy localCheckpoint): the plan
+    # references them from the bucket-size census, the left and the right
+    # side of the candidate join — without the checkpoint Catalyst
+    # re-runs the python hashing UDF on every branch (3-4× the corpus
+    # hash work; the plan audit showed it as stacked python stages). Same
+    # pattern as the jaccard inverted index.
+    s = df.select(
+        F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)
     chunks = s.select(
         "id",
         "sh",
