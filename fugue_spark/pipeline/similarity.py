@@ -240,9 +240,13 @@ def near_duplicates_lsh(
         keys = buckets + (np.arange(n_t, dtype=np.int64) * (1 << n_p))[None, :]
         return pd.Series(list(keys.astype("int64")))
 
+    # materialize the bucket keys ONCE (lazy localCheckpoint): both sides
+    # of the candidate self-join reference them, and without the
+    # checkpoint Catalyst re-runs the python sketch UDF per branch —
+    # 2× the corpus projection work (same fix as simhash_pairs)
     keys = df.select(
         F.col(id_col).alias("_id"), F.explode(bucket_udf(F.col(vec_col))).alias("bk")
-    )
+    ).localCheckpoint(eager=False)
     a = keys.select(F.col("_id").alias("id_a"), "bk")
     b = keys.select(F.col("_id").alias("id_b"), "bk")
     cand = (
