@@ -44,6 +44,9 @@ Traceable surface (kept deliberately small and exact):
     declared presort) → native ``row_number`` window ≤ k; requires
     partition keys (ties at the k boundary are engine-arbitrary, as on
     the pandas path whose input order is partition-dependent)
+  * ordered dedup: ``sort_values(...).drop_duplicates(subset, keep=...)``
+    → ``row_number()==1`` over (keys + subset); unordered dedup refuses
+    (pandas keep='first' would be input-order-dependent)
   * scalar arithmetic on reduced values — including across zip sides (each
     reduction is registered as a per-side aggregation leaf; composite
     expressions combine the leaves after the join); output must be a dict
@@ -748,6 +751,9 @@ class _TraceFrame:
     def head(self, *a, **k):
         return _DerivedFrame(self).head(*a, **k)
 
+    def drop_duplicates(self, *a, **k):
+        return _DerivedFrame(self).drop_duplicates(*a, **k)
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
@@ -795,6 +801,7 @@ class _DerivedFrame:
         proj: "list[str] | None" = None,
         sort: "list | None" = None,
         limit: "int | None" = None,
+        dedup_subset: "list[str] | None" = None,
     ):
         self._base = base
         self._cond = cond
@@ -802,6 +809,9 @@ class _DerivedFrame:
         self._proj = proj
         self._sort = sort  # [(name, ascending)] from sort_values
         self._limit = limit  # head(n) — terminal: per-group top-k
+        # drop_duplicates: the row_number window partitions on
+        # (keys + dedup_subset) instead of the keys alone
+        self._dedup_subset = dedup_subset
 
     def _no_limit(self, op: str) -> None:
         if self._limit is not None:
@@ -850,7 +860,7 @@ class _DerivedFrame:
                 raise TraceError(f"projection of unknown columns {missing}")
             return _DerivedFrame(
                 self._base, self._cond, self._assigned, list(key),
-                sort=self._sort, limit=self._limit,
+                sort=self._sort, limit=self._limit, dedup_subset=self._dedup_subset,
             )
         if isinstance(key, _Vec):
             self._no_limit("filtering")
@@ -893,6 +903,36 @@ class _DerivedFrame:
         return _DerivedFrame(
             self._base, self._cond, self._assigned, self._proj,
             sort=list(zip(cols, asc)), limit=None,
+        )
+
+    def drop_duplicates(self, subset=None, keep: str = "first"):
+        """Per-group dedup under a deterministic order: compiles to
+        row_number() == 1 over (partition keys + subset) ordered by the
+        current sort_values (or the declared presort). Without an order
+        pandas' keep='first' is input-order-dependent — refused."""
+        self._no_limit("drop_duplicates")
+        if keep not in ("first", "last"):
+            raise TraceError("drop_duplicates keep must be 'first' or 'last'")
+        if subset is None:
+            subset = [c for c in self.columns]
+        elif isinstance(subset, str):
+            subset = [subset]
+        missing = [c for c in subset if c not in self.columns]
+        if missing:
+            raise TraceError(f"drop_duplicates subset has unknown columns {missing}")
+        sort = self._sort
+        if sort is None:
+            if not self._base.presort:
+                raise TraceError(
+                    "drop_duplicates without sort_values or a declared presort "
+                    "is input-order-dependent — not traceable"
+                )
+            sort = list(self._base.presort)
+        if keep == "last":
+            sort = [(c, not asc) for c, asc in sort]
+        return _DerivedFrame(
+            self._base, self._cond, self._assigned, self._proj,
+            sort=sort, limit=1, dedup_subset=list(subset),
         )
 
     def head(self, n: int = 5):
@@ -956,7 +996,7 @@ class _DerivedFrame:
         keep = [c for c in self.columns if c not in set(columns)]
         return _DerivedFrame(
             self._base, self._cond, self._assigned, keep,
-            sort=self._sort, limit=self._limit,
+            sort=self._sort, limit=self._limit, dedup_subset=self._dedup_subset,
         )
 
     def __len__(self):
@@ -1117,6 +1157,7 @@ def _compile_map_shape(
         or a.columns != b.columns
         or a._sort != b._sort
         or a._limit != b._limit
+        or a._dedup_subset != b._dedup_subset
         or any(
             str(x.col) != str(y.col)
             if isinstance(x, _Vec)
@@ -1150,9 +1191,11 @@ def _compile_map_shape(
         # Only with partition keys — a head over a PHYSICAL partition on
         # the pandas path is input-order-dependent, so no keys = no compile.
         if not keys:
+            # a head()/drop_duplicates() over a PHYSICAL partition on the
+            # pandas path is partitioning-dependent — no keys, no compile
             raise TraceError(
-                "head() compiles only with partition keys (a physical-"
-                "partition head is input-order-dependent)"
+                "head()/drop_duplicates() compile only with partition keys "
+                "(the ungrouped pandas result is physical-partition-dependent)"
             )
         from pyspark.sql import Window
 
@@ -1161,9 +1204,11 @@ def _compile_map_shape(
             c = resolve(name)
             # nulls-last = pandas sort_values(na_position='last')
             order.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
-        w = Window.partitionBy(
-            *[a._base._col(k).col for k in keys]
-        ).orderBy(*order)
+        part_cols = [a._base._col(k).col for k in (keys or [])]
+        if a._dedup_subset is not None:
+            # drop_duplicates: one row per (keys + subset) combination
+            part_cols += [resolve(c) for c in a._dedup_subset]
+        w = Window.partitionBy(*part_cols).orderBy(*order)
         plan = (
             plan.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= a._limit)

@@ -786,3 +786,45 @@ def test_np_round_dispatch_still_traces(spark):
     for a, b in zip(sorted_rows(got), sorted_rows(want)):
         for x, y in zip(a, b):
             assert abs(x - y) < 1e-9, (a, b)
+
+
+def test_drop_duplicates_shape_compiles(spark):
+    """sort_values(...).drop_duplicates(subset) — best-row-per-subkey —
+    compiles to row_number()==1 over (keys + subset); keep='last' flips
+    the order; unordered dedup refuses (input-order-dependent)."""
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 100).astype("int64"),
+            "cat": rng.choice(["x", "y", "z"], 100),
+            "v": rng.uniform(0, 100, 100).round(3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    schema = "k:long,cat:str,v:double"
+
+    def best_per_cat(pdf):
+        return pdf.sort_values("v", ascending=False).drop_duplicates("cat")
+
+    got = transform(df, best_per_cat, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, best_per_cat, schema=schema, partition={"by": ["k"]})
+    assert sorted_rows(got) == sorted_rows(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "Window" in plan
+
+    def worst_per_cat(pdf):
+        return pdf.sort_values("v").drop_duplicates("cat", keep="last")
+
+    got2 = transform(df, worst_per_cat, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want2 = transform(df, worst_per_cat, schema=schema, partition={"by": ["k"]})
+    assert sorted_rows(got2) == sorted_rows(want2)
+
+    from fugue_spark.compile import TraceError
+
+    with pytest.raises(TraceError):
+        transform(
+            df, lambda p: p.drop_duplicates("cat"), schema=schema,
+            partition={"by": ["k"]}, compile="strict",
+        )
+    with pytest.raises(TraceError):  # ungrouped: physical-partition-dependent
+        transform(df, best_per_cat, schema=schema, compile="strict")
