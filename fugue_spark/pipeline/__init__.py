@@ -40,4 +40,5 @@ from fugue_spark.pipeline.text import (
     with_token_stats,
     with_word_entropy,
 )
+from fugue_spark.pipeline.sessions import session_stats, sessionize  # noqa: E402,F401
 from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401

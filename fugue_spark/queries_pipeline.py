@@ -995,6 +995,56 @@ def p13_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p29_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, us,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM f
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(FLOOR((MAX(us) - MIN(us)) / 1000000.0) AS BIGINT) AS duration_sec
+    FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+    """,
+    tags=("events", "sessionize"),
+)
+def p29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (session_stats): per-user sessions split at 30
+    minutes of silence — gaps-and-islands over event time, one keyed
+    window exchange, O(1) state per row. The batch twin of the streaming
+    session windows; value-checked against DuckDB's windowed-SQL
+    construction (deterministic (ts, event_id) order)."""
+    from fugue_spark.pipeline import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, ts_col="ts", gap_seconds=1800, by="user_id")
+    us_start = F.unix_micros(F.col("session_start").cast("timestamp"))
+    us_end = F.unix_micros(F.col("session_end").cast("timestamp"))
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        us_start.alias("start_us"),
+        us_end.alias("end_us"),
+        "duration_sec",
+    ).orderBy("user_id", "session_idx")
+
+
+@register(
     "s2_streaming_text_pipeline",
     oracle=r"""
     WITH s1 AS (

@@ -564,3 +564,30 @@ def test_word_entropy_values(spark):
     )
     assert r[3].entropy_e6 == expect3
     assert r[4].entropy_e6 == 0 and r[4].n_words == 0
+
+
+def test_sessionize_gaps_and_islands(spark):
+    import datetime as dt
+
+    from fugue_spark.pipeline import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2-hour gap
+        [1, 1, t0],
+        [2, 1, t0 + dt.timedelta(minutes=10)],
+        [3, 1, t0 + dt.timedelta(hours=3)],
+        # user 2: one session, events 1 min apart
+        [4, 2, t0],
+        [5, 2, t0 + dt.timedelta(minutes=1)],
+    ]
+    df = spark.createDataFrame(rows, parse_schema("event_id:long,user_id:long,ts:datetime"))
+    s = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=1800).collect()}
+    assert s == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+    st = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_sec)
+        for r in session_stats(df, gap_seconds=1800).collect()
+    }
+    assert st[(1, 0)] == (2, 600)
+    assert st[(1, 1)] == (1, 0)
+    assert st[(2, 0)] == (2, 60)
