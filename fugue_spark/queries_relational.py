@@ -999,3 +999,43 @@ def q27_transform_topk_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition={"by": ["l_orderkey"]},
         compile="strict",
     )
+
+
+@register(
+    "q28_transform_dedup_compiled",
+    oracle="""
+    SELECT l_orderkey, l_returnflag, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_returnflag, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_returnflag
+                                ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=("transform", "compile", "dedup"),
+)
+def q28_transform_dedup_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered drop_duplicates through the trace-compiler: the best line
+    per (order, returnflag) — sort_values().drop_duplicates(subset)
+    compiles to row_number()==1 over (keys + subset), zero Python. Total
+    sort order (quantity DESC, linenumber ASC) makes the survivor
+    engine-deterministic."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_returnflag", "l_linenumber", "l_quantity"],
+    )
+
+    def best_line_per_flag(pdf):
+        return pdf.sort_values(
+            ["l_quantity", "l_linenumber"], ascending=[False, True]
+        ).drop_duplicates("l_returnflag")
+
+    return transform(
+        li,
+        best_line_per_flag,
+        schema="l_orderkey:long,l_returnflag:str,l_linenumber:int,l_quantity:double",
+        partition={"by": ["l_orderkey"]},
+        compile="strict",
+    )
