@@ -384,7 +384,7 @@ def p19_sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p20_repetition_stats",
-    oracle="""
+    oracle=r"""
     WITH w AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
       FROM documents
@@ -1011,8 +1011,8 @@ def p13_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts, us,
-             SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
       FROM f
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
