@@ -124,3 +124,31 @@ def register(
 # Import modules that populate the registry (order = display order).
 from fugue_spark import queries_relational  # noqa: E402,F401
 from fugue_spark import queries_pipeline  # noqa: E402,F401
+
+# Gate-order priority: the driver's correctness checker walks ``queries()``
+# in dict order under a budget, so queries that have not yet earned a
+# CORRECTNESS row in a prior round run FIRST (newest operators are exactly
+# the ones that most need a fresh oracle check). Everything else keeps its
+# registration order.
+_GATE_FIRST = (
+    "p29_sessionize",
+    "s2_streaming_text_pipeline",
+    "p8_embedding_neardup",
+    "p9_cosine_topk",
+    "p10_media_meta",
+    "p11_media_features",
+    "p12_embedding_norm_stats",
+    "p13_training_data_pipeline",
+    "s1_streaming_windowed_agg",
+)
+
+
+def _reorder() -> None:
+    front = {n: QUERIES.pop(n) for n in _GATE_FIRST if n in QUERIES}
+    rest = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
+
+
+_reorder()

@@ -591,10 +591,11 @@ def _cond_str(c: "Column | None") -> "str | None":
 class _StrOps:
     """pandas ``.str`` accessor surface over a traced vector — the common
     text-filter predicates, compiled to native string expressions. Methods
-    that take a pattern accept only constant strings; ``contains`` is
-    literal by default (``regex=True`` opts into Java-regex semantics,
-    which the pandas path evaluates with Python ``re`` — portable for the
-    common subset)."""
+    that take a pattern accept only constant strings. Defaults mirror
+    pandas >= 2.0: ``contains`` is regex by default, ``replace`` is literal
+    by default (``regex=True`` opts into Java-regex semantics, which the
+    pandas path evaluates with Python ``re`` — portable for the common
+    subset)."""
 
     __slots__ = ("vec",)
 
@@ -611,10 +612,15 @@ class _StrOps:
             raise TraceError(".str.contains(na=...) is not traceable")
         pat = self._req_const(pat)
         col = self.vec.col
-        if not case:
-            col = F.lower(col)
-            pat = pat.lower()
-        c = col.rlike(pat) if regex else col.contains(pat)
+        if regex:
+            # case-insensitivity via the (?i) flag (valid in Java regex and
+            # Python re) — lowercasing the pattern would corrupt escape
+            # classes (\S -> \s) and character classes ([A-Z] -> [a-z])
+            c = col.rlike(("(?i)" + pat) if not case else pat)
+        else:
+            if not case:
+                col, pat = F.lower(col), pat.lower()
+            c = col.contains(pat)
         return self.vec._make_bool(c)
 
     def startswith(self, pat):
@@ -633,16 +639,25 @@ class _StrOps:
         return self.vec._make(F.upper(self.vec.col))
 
     def strip(self):
-        return self.vec._make(F.trim(self.vec.col))
+        # pandas .str.strip() strips ALL whitespace (tabs, newlines), not
+        # just ASCII spaces as F.trim would
+        return self.vec._make(
+            F.regexp_replace(self.vec.col, r"^\s+|\s+$", "")
+        )
 
-    def replace(self, pat, repl, regex: bool = True):
+    def replace(self, pat, repl, regex: bool = False):
+        # default regex=False matches pandas >= 2.0 (.str.replace is literal
+        # unless regex=True is passed explicitly)
         pat, repl = self._req_const(pat), self._req_const(repl)
         if regex:
             return self.vec._make(F.regexp_replace(self.vec.col, pat, repl))
         import re as _re
 
+        # literal mode: escape regex metachars in the pattern AND the
+        # replacement-string metachars (backslash, $ group refs) in repl
+        lit_repl = repl.replace("\\", "\\\\").replace("$", "\\$")
         return self.vec._make(
-            F.regexp_replace(self.vec.col, _re.escape(pat), repl)
+            F.regexp_replace(self.vec.col, _re.escape(pat), lit_repl)
         )
 
 
@@ -807,7 +822,7 @@ class _DerivedFrame:
         self._cond = cond
         self._assigned = dict(assigned or {})
         self._proj = proj
-        self._sort = sort  # [(name, ascending)] from sort_values
+        self._sort = sort  # [(name, ascending, nulls_last)] from sort_values
         self._limit = limit  # head(n) — terminal: per-group top-k
         # drop_duplicates: the row_number window partitions on
         # (keys + dedup_subset) instead of the keys alone
@@ -902,7 +917,8 @@ class _DerivedFrame:
                 raise TraceError(f"sort_values by unknown column {c!r}")
         return _DerivedFrame(
             self._base, self._cond, self._assigned, self._proj,
-            sort=list(zip(cols, asc)), limit=None,
+            # third element: nulls-last flag (na_position='last')
+            sort=[(c, a, True) for c, a in zip(cols, asc)], limit=None,
         )
 
     def drop_duplicates(self, subset=None, keep: str = "first"):
@@ -927,9 +943,13 @@ class _DerivedFrame:
                     "drop_duplicates without sort_values or a declared presort "
                     "is input-order-dependent — not traceable"
                 )
-            sort = list(self._base.presort)
+            sort = [(c, asc, True) for c, asc in self._base.presort]
         if keep == "last":
-            sort = [(c, not asc) for c, asc in sort]
+            # exact reversal of the pandas order: flip direction AND null
+            # placement (nulls-last ascending reverses to nulls-FIRST
+            # descending), so keep='last' with NaN in the sort column keeps
+            # the NaN row exactly as pandas does
+            sort = [(c, not asc, not nl) for c, asc, nl in sort]
         return _DerivedFrame(
             self._base, self._cond, self._assigned, self._proj,
             sort=sort, limit=1, dedup_subset=list(subset),
@@ -948,7 +968,7 @@ class _DerivedFrame:
                     "head() without sort_values or a declared presort is "
                     "input-order-dependent — not traceable"
                 )
-            sort = list(self._base.presort)
+            sort = [(c, asc, True) for c, asc in self._base.presort]
         return _DerivedFrame(
             self._base, self._cond, self._assigned, self._proj,
             sort=sort, limit=n,
@@ -1200,10 +1220,14 @@ def _compile_map_shape(
         from pyspark.sql import Window
 
         order = []
-        for name, asc in a._sort:
+        for name, asc, nulls_last in a._sort:
             c = resolve(name)
-            # nulls-last = pandas sort_values(na_position='last')
-            order.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+            # nulls_last=True = pandas sort_values(na_position='last');
+            # False = the exact reversal produced by drop_duplicates(keep='last')
+            if asc:
+                order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
+            else:
+                order.append(c.desc_nulls_last() if nulls_last else c.desc_nulls_first())
         part_cols = [a._base._col(k).col for k in (keys or [])]
         if a._dedup_subset is not None:
             # drop_duplicates: one row per (keys + subset) combination

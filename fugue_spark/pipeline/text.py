@@ -470,7 +470,10 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
-    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    # tokenize the ORIGINAL-case text: chunk_text is emitted content, not a
+    # counting/fingerprinting signal, so no case folding (the \S+ split does
+    # not need it)
+    w = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     n = F.size(w)
     # number of stride-starts covering [0, n): ceil((n - overlap)/stride),
     # min 1 chunk for any non-empty doc

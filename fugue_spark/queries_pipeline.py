@@ -670,8 +670,8 @@ def p27_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p26_chunk_documents",
     oracle=r"""
     WITH w AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
-             len(regexp_extract_all(lower(text), '\S+')) AS n
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
+             len(regexp_extract_all(text, '\S+')) AS n
       FROM documents
     ),
     c AS (

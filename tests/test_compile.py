@@ -828,3 +828,77 @@ def test_drop_duplicates_shape_compiles(spark):
         )
     with pytest.raises(TraceError):  # ungrouped: physical-partition-dependent
         transform(df, best_per_cat, schema=schema, compile="strict")
+
+def test_str_accessor_pandas2_semantics(spark):
+    """ADVICE round-5 repros: .str.replace defaults to LITERAL (pandas>=2),
+    contains(case=False, regex=True) must not corrupt escape/char classes,
+    and .str.strip() strips tabs/newlines — compiled ≡ pandas path."""
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "tag": ["a.b", "A-Z!", "\thi\n", r"x\S! end"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(
+            lit_rep=pdf.tag.str.replace(".", "-"),          # literal by default
+            re_rep=pdf.tag.str.replace("[a-z]", "_", regex=True),
+            stripped=pdf.tag.str.strip(),
+        )
+
+    schema = "id:long,tag:str,lit_rep:str,re_rep:str,stripped:str"
+    got = transform(df, f, schema=schema, compile="strict")
+    want = transform(df, f, schema=schema)
+    assert sorted_rows(got) == sorted_rows(want)
+    row = {r[0]: r for r in got.collect()}
+    assert row[1][2] == "a-b"          # NOT '---'
+    assert row[3][4] == "hi"           # tabs/newlines stripped
+
+    def g(pdf: pd.DataFrame) -> pd.DataFrame:
+        # case=False with a regex containing \S and [A-Z] — lowercasing the
+        # pattern would flip \S to \s and kill the match
+        return pdf[pdf.tag.str.contains(r"\S!", case=False)][["id"]]
+
+    got2 = transform(df, g, schema="id:long", compile="strict")
+    want2 = transform(df, g, schema="id:long")
+    assert sorted_rows(got2) == sorted_rows(want2) == [(2,), (4,)]
+
+    def h(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf.tag.str.contains("[A-Z]", case=False)][["id"]]
+
+    got3 = transform(df, h, schema="id:long", compile="strict")
+    want3 = transform(df, h, schema="id:long")
+    assert sorted_rows(got3) == sorted_rows(want3)
+
+
+def test_drop_duplicates_keep_last_nan_sort(spark):
+    """keep='last' with NaN in the sort column: the compiled reversal must
+    flip null placement too, so the NaN row is kept exactly as pandas
+    (na_position='last' + keep='last') keeps it."""
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "cat": ["x", "x", "x", "y", "y"],
+            "v": [1.0, 2.0, np.nan, np.nan, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    schema = "k:long,cat:str,v:double"
+
+    def worst(pdf):
+        return pdf.sort_values("v").drop_duplicates("cat", keep="last")
+
+    got = transform(df, worst, schema=schema, partition={"by": ["k"]}, compile="strict")
+    want = transform(df, worst, schema=schema, partition={"by": ["k"]})
+
+    def norm(rows):
+        # NaN arrives as SQL NULL on collect — fold both to a marker
+        return sorted(
+            (k, c, "NA" if (v is None or v != v) else v) for k, c, v in rows
+        )
+
+    assert norm(got.collect()) == norm(want.collect())
+    # pandas keeps the NaN row (it sorts last) — assert the actual value
+    assert norm(got.collect()) == [(1, "x", "NA"), (2, "y", "NA")]
