@@ -10,6 +10,7 @@ from fugue_spark.pipeline.dedup import (
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_pairs,
+    simhash_verified_pairs,
 )
 from fugue_spark.pipeline.multimodal import (
     MEDIA_SCHEMA,

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "simhash_verified_pairs",
     "near_dup_clusters",
     "dedup_near",
 ]
@@ -430,26 +431,16 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def simhash_pairs(
+def _simhash_candidates(
     df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_bucket_size: "int | None" = 1000,
-    n_chunks: int = _SIMHASH_CHUNKS,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: "int | None",
+    n_chunks: int,
 ) -> DataFrame:
-    """SimHash near-dup pairs: per-row simhash (map-only vectorized pandas
-    UDF), chunk banding, popcount verify.
-
-    ``n_chunks`` (divisor of 64) is the recall/bucket-size knob: by
-    pigeonhole, a pair with hamming < n_chunks ALWAYS shares a chunk, so
-    candidate capture is guaranteed up to n_chunks-1 and probabilistic
-    beyond. More chunks ⇒ fewer bits per bucket key ⇒ denser buckets —
-    at corpus scale keep n_chunks small (default 4 × 16-bit) and let
-    ``max_bucket_size`` drop degenerate buckets before the self-join
-    (byte-identical clusters belong to :func:`dedup_exact`).
-    Output: id_a, id_b, hamming.
-    """
+    """Banded simhash candidate pairs: (id_a, id_b, sh_a, sh_b), id_a<id_b.
+    Shared by :func:`simhash_pairs` (popcount verify) and
+    :func:`simhash_verified_pairs` (exact-Jaccard verify)."""
     if 64 % n_chunks != 0:
         raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
     chunk_bits = 64 // n_chunks
@@ -490,18 +481,93 @@ def simhash_pairs(
         chunks = chunks.join(small.select("chunk", "ch"), on=["chunk", "ch"])
     left = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ch")
     right = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ch")
-    cands = (
+    return (
         left.join(right, on=["chunk", "ch"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
+    n_chunks: int = _SIMHASH_CHUNKS,
+) -> DataFrame:
+    """SimHash near-dup pairs: per-row simhash (map-only vectorized pandas
+    UDF), chunk banding, popcount verify.
+
+    ``n_chunks`` (divisor of 64) is the recall/bucket-size knob: by
+    pigeonhole, a pair with hamming < n_chunks ALWAYS shares a chunk, so
+    candidate capture is guaranteed up to n_chunks-1 and probabilistic
+    beyond. More chunks ⇒ fewer bits per bucket key ⇒ denser buckets —
+    at corpus scale keep n_chunks small (default 4 × 16-bit) and let
+    ``max_bucket_size`` drop degenerate buckets before the self-join
+    (byte-identical clusters belong to :func:`dedup_exact`).
+    Output: id_a, id_b, hamming.
+    """
+    cands = _simhash_candidates(df, text_col, id_col, max_bucket_size, n_chunks)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_hamming: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
+    n_chunks: int = 16,
+) -> DataFrame:
+    """SimHash as the candidate generator, exact n-gram Jaccard as the
+    verify — the production near-dedup shape (cheap recall stage + exact
+    precision stage), and a value-checkable output: every emitted pair has
+    exact jaccard ≥ ``threshold``, so the result is ⊆ the exact-Jaccard
+    pairs regardless of the hash.
+
+    Recall posture: with ``n_chunks=16`` (4-bit chunks) the pigeonhole
+    guarantees candidate capture to hamming 15; pairs at jaccard ≥ 0.8 have
+    cosine ≥ ~0.89 ⇒ expected hamming ≈ 9.7 (64·acos(0.89)/π), so the
+    simhash stage captures the exact pair set on the fixed, seeded test
+    corpora (confirmed equal at sf0.001/0.01/0.1 — same epistemic posture
+    as p6's full-recall LSH oracle). ``max_hamming`` (default 20 ≈ +3.6σ)
+    prunes the exact-verify fan-in; the verify itself is the count-based
+    inverted-index join — exchanges carry ids + longs, never arrays.
+    Output: id_a, id_b (a<b), jaccard_e4.
+    """
+    thr = int(threshold * 10000)
+    cands = _simhash_candidates(df, text_col, id_col, max_bucket_size, n_chunks)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    cand_ids = (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    # exact verify on the candidate set only (same shape as minhash_lsh):
+    # restrict the inverted index to candidate pairs and COUNT(*) the
+    # co-occurring shingles — no hot-cap, so the count IS the intersection
+    ex = (
+        _shingle_index(df, n, text_col, id_col)
+        .repartition("id")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        cand_ids.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_counts(pairs, sizes, thr)
 
 
 def near_dup_clusters(

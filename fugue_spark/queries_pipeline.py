@@ -27,6 +27,7 @@ from fugue_spark.pipeline import (
     ngram_overlap,
     ngram_topk,
     simhash_pairs,
+    simhash_verified_pairs,
     with_lang_id,
     with_quality_score,
     with_repetition_stats,
@@ -165,7 +166,8 @@ def p4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DETERMINISTIC seeded hashes make it value-identical to exact on the
 # fixed test corpora — confirmed at sf0.001/0.01/0.1, same posture as
 # p8's full-recall LSH oracle)
-_JACCARD_PAIRS_ORACLE = f"""
+def _jaccard_pairs_oracle(thr_e4: int) -> str:
+    return f"""
     WITH sh AS (
       SELECT doc_id AS id, n_sh, g FROM (
         SELECT doc_id,
@@ -181,8 +183,11 @@ _JACCARD_PAIRS_ORACLE = f"""
            CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) AS jaccard_e4
     FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
     GROUP BY a.id, b.id
-    HAVING CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) >= 5000
+    HAVING CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) >= {thr_e4}
     """
+
+
+_JACCARD_PAIRS_ORACLE = _jaccard_pairs_oracle(5000)
 
 
 @register(
@@ -215,13 +220,22 @@ def p6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16, n=3)
 
 
-@register("p7_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+@register(
+    "p7_simhash_pairs",
+    oracle=_jaccard_pairs_oracle(8000),
+    tags=("dedup", "simhash"),
+)
 def p7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits) over the organic
-    corpus — hamming values are hash-dependent, so no SQL oracle here;
-    p14 value-checks the same operator on a planted corpus."""
+    """SimHash candidate generation + exact-Jaccard verify over the organic
+    corpus — the production recall/precision split, now VALUE-CHECKED: the
+    verify stage makes the output ⊆ exact j ≥ 0.8 pairs, and 4-bit-chunk
+    banding (pigeonhole capture to hamming 15; j ≥ 0.8 pairs sit at
+    E[hamming] ≈ 9.7) captures every exact pair on the fixed seeded corpora
+    — confirmed equal at sf0.001/0.01/0.1, same posture as p6. The raw
+    hamming-threshold operator stays value-checked on the planted corpus
+    (p14) and in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=12)
+    return simhash_verified_pairs(docs, threshold=0.8, n=3, max_hamming=20)
 
 
 @register(
