@@ -12,10 +12,17 @@ from fugue_spark.pipeline.dedup import (
     simhash_pairs,
     simhash_verified_pairs,
 )
+from fugue_spark.pipeline.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
 from fugue_spark.pipeline.multimodal import (
     MEDIA_SCHEMA,
     as_media,
     extract_features,
+    pack_wav,
     register_decoder,
     with_media_meta,
 )

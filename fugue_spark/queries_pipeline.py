@@ -873,13 +873,50 @@ def p10_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("p11_media_features", oracle=None, tags=("multimodal",))
+@register(
+    "p11_media_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, encode(text) AS blob, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (  -- 8-bit PCM samples = blob bytes centered at 128 (WAV spec)
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1),
+               i -> (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) - 128) AS sm
+      FROM (SELECT doc_id, n, lower(hex(blob)) AS h FROM b)
+    )
+    SELECT doc_id AS id, n + 44 AS n_bytes, n AS n_frames,
+           8000 AS sample_rate, 1 AS n_channels,
+           (n * 1000) // 8000 AS duration_ms,
+           list_max(list_transform(sm, x -> abs(x))) AS peak,
+           CAST(FLOOR(sqrt(
+             list_reduce(list_transform(sm, x -> CAST(x * x AS BIGINT)), (p, q) -> p + q)
+             / CAST(n AS DOUBLE)) * 100) AS BIGINT) AS rms_e2
+    FROM s WHERE n > 0
+    """,
+    tags=("multimodal",),
+)
 def p11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract via mapInPandas over binary blobs (decoder
-    stubbed deterministically — no media libs in this environment)."""
+    """REAL media decode, value-checked: each document's bytes are packed
+    as a spec-conformant 8-bit-PCM WAV (JVM-side RIFF assembly, pack_wav),
+    then extract_features dispatches to the pure-python WAV decoder
+    (codecs.decode_wav — chunk walk, fmt parse, PCM decode) via
+    mapInPandas. The oracle re-derives every reported feature independently
+    in DuckDB from the same source bytes (hex-parsed sample values for
+    peak/RMS), so a decoder that misparses the header or payload fails the
+    gate. PNG takes the same path (codecs.decode_png) — value-checked in
+    pytest with all five scanline filters."""
+    from fugue_spark.pipeline import pack_wav
+
     docs = load_table(spark, sf_dir, "documents")
-    media = as_media(docs, "text", mime="application/octet-stream")
-    return extract_features(media, id_col="doc_id", blob_col="blob")
+    media = pack_wav(docs, "text", sample_rate=8000)
+    feats = extract_features(media, id_col="doc_id", blob_col="blob", mime="audio/wav")
+    return feats.filter(F.col("n_frames") > 0).select(
+        "id", "n_bytes", "n_frames", "sample_rate", "n_channels",
+        "duration_ms", "peak", "rms_e2",
+    )
 
 
 @register(

@@ -14,6 +14,7 @@ from fugue_spark.pipeline import (
     extract_features,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pack_wav,
     simhash_pairs,
     with_fingerprint,
     with_lang_id,
@@ -147,6 +148,115 @@ def test_media_binary_passthrough(spark):
     row = media.collect()[0]
     assert bytes(row.blob) == b"\x89PNG1234"
     assert row.meta.n_bytes == 8 and row.meta.mime == "image/png"
+
+
+def test_wav_codec_real_decode(spark):
+    """pack_wav assembles a spec-conformant RIFF blob JVM-side — proven by
+    decoding it with Python's stdlib `wave` module (external reference
+    implementation) — and extract_features reports REAL decoded values."""
+    import io
+    import wave
+
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [[1, "hello world"], [2, "x" * 300], [3, ""]],
+        parse_schema("doc_id:long,text:str"),
+    )
+    media = pack_wav(df, "text", sample_rate=8000)
+    blobs = {r.doc_id: bytes(r.blob) for r in media.collect()}
+    with wave.open(io.BytesIO(blobs[1])) as w:  # stdlib conformance check
+        assert w.getnchannels() == 1
+        assert w.getframerate() == 8000
+        assert w.getsampwidth() == 1
+        assert w.getnframes() == len(b"hello world")
+        assert w.readframes(w.getnframes()) == b"hello world"
+
+    feats = {
+        r.id: r
+        for r in extract_features(
+            media, id_col="doc_id", blob_col="blob", mime="audio/wav"
+        ).collect()
+    }
+    s = np.frombuffer(b"hello world", dtype=np.uint8).astype(np.int64) - 128
+    assert feats[1].n_frames == 11 and feats[1].sample_rate == 8000
+    assert feats[1].peak == int(np.abs(s).max())
+    assert feats[1].rms_e2 == int(np.floor(np.sqrt((s**2).sum() / len(s)) * 100))
+    assert feats[1].width is None  # audio: no image fields
+    assert feats[3].n_frames == 0 and feats[3].peak == 0
+
+
+def test_png_codec_real_decode(spark):
+    """decode_png fully reconstructs pixels (zlib inflate + unfilter) —
+    round-trips encode_png and decodes an independently-built PNG that
+    uses ALL five scanline filters; extract_features dispatches by mime."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (12, 7, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    df = spark.createDataFrame(
+        [[1, bytearray(blob)]], parse_schema("doc_id:long,raw:bytes")
+    )
+    media = as_media(df, "raw", mime="image/png")
+    row = extract_features(
+        media, id_col="doc_id", blob_col="blob", mime="image/png"
+    ).collect()[0]
+    assert (row.width, row.height, row.n_channels, row.n_frames) == (7, 12, 3, 1)
+    assert row.mean_e2 == int(np.floor(px.astype(float).mean() * 100))
+    assert row.sample_rate is None  # image: no audio fields
+
+    # independently-constructed PNG exercising filters 0..4 (typical real
+    # encoders mix filters per row; ours always emits 0)
+    gray = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    raw, prev = b"", np.zeros(8, dtype=np.int64)
+    for y in range(6):
+        f, r = y % 5, gray[y].astype(np.int64)
+        filt = r.copy()
+        for i in range(8):
+            a = int(r[i - 1]) if i else 0
+            b, c = int(prev[i]), (int(prev[i - 1]) if i else 0)
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) // 2,
+                4: (
+                    a
+                    if abs(b - c) <= abs(a - c)
+                    and abs(b - c) <= abs(a + b - 2 * c)
+                    else (b if abs(a - c) <= abs(a + b - 2 * c) else c)
+                ),
+            }[f]
+            filt[i] = (r[i] - pred) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = r
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 6, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(png)
+    assert (d["width"], d["height"]) == (8, 6)
+    assert d["mean_e2"] == int(np.floor(gray.astype(float).mean() * 100))
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
 
 
 def test_ann_ivf_recall_on_planted_neighbors(spark):
