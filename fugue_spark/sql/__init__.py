@@ -381,11 +381,75 @@ class _Executor:
 
     # -- raw SQL --
 
+    def _run_nested(self, tokens: list[Token]) -> DataFrame:
+        """Execute one fugue statement appearing as a nested table source —
+        ``select * from (create using f)`` — and return its frame. Runs
+        against the same variable scope; ``last`` is restored afterwards
+        (the nested task is an expression, not a pipeline step — mirrors
+        ref fugue/sql/_visitors.py:398 visitFugueDataFrameNested)."""
+        c = _Cursor(tokens)
+        first = c.pop()
+        handler = getattr(self, f"_st_{first.upper.lower()}", None)
+        if handler is None:
+            raise FugueSQLError(f"unsupported nested statement {first.value!r}")
+        saved_last = self.last
+        try:
+            res = handler(c)
+        finally:
+            self.last = saved_last
+        if not isinstance(res, DataFrame):
+            raise FugueSQLError(
+                f"nested {first.value!r} does not produce a dataframe"
+            )
+        return res
+
+    def _substitute_nested(self, tokens: list[Token]) -> list[Token]:
+        """Replace ``( <fugue statement> )`` groups in table-source position
+        (after FROM/JOIN) with temp views over their executed results.
+        Plain ``(select …)`` subqueries are left for Spark SQL; a nested
+        fugue group INSIDE one of those is still found here (the scan is
+        positional, not recursive — ``from (select * from (create using
+        f))`` resolves the inner group, leaving valid SQL)."""
+        tokens = list(tokens)
+        serial = 0
+        while True:
+            idx = None
+            for i in range(1, len(tokens) - 1):
+                if (
+                    tokens[i].value == "("
+                    and tokens[i - 1].upper in ("FROM", "JOIN")
+                    and tokens[i + 1].kind == "word"
+                    and tokens[i + 1].upper in STATEMENT_KEYWORDS
+                    # plain (SELECT …) subqueries are Spark SQL's job
+                    and tokens[i + 1].upper not in ("SELECT", "WITH")
+                ):
+                    idx = i
+                    break
+            if idx is None:
+                return tokens
+            depth, j = 0, idx
+            while j < len(tokens):
+                if tokens[j].value == "(":
+                    depth += 1
+                elif tokens[j].value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise FugueSQLError("unbalanced parentheses in nested statement")
+            df = self._run_nested(tokens[idx + 1 : j])
+            view = f"__fugue_nested_{serial}__"
+            serial += 1
+            df.createOrReplaceTempView(view)
+            tokens[idx : j + 1] = [Token(view, "word", tokens[idx].line)]
+
     def _sql_select(self, tokens: list[Token]) -> DataFrame:
         # register in-scope frames as temp views named as their variables
         for name, df in self.vars.items():
             if isinstance(df, DataFrame):
                 df.createOrReplaceTempView(name)
+        tokens = self._substitute_nested(tokens)
         has_from = any(t.upper == "FROM" for t in tokens)
         sql = _sql_text(tokens)
         # member access on collection vars inside raw SQL: substitute each

@@ -467,3 +467,67 @@ def test_transform_compiled_map_shape_in_sql(spark):
     assert sorted(tuple(r) for r in res.collect()) == [(2, 2.0, 4.0), (3, 3.0, 6.0)]
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan and "Exchange" not in plan
+
+
+def test_select_nested_statements(spark):
+    """Nested fugue statements as table sources (reference
+    tests/fugue/sql/test_workflow_parse.py:337-357 test_select_nested):
+    (CREATE …) after FROM/JOIN, aliased, and inside a plain subquery."""
+
+    def mk(spark_, n=0):
+        return spark_.createDataFrame([[n]], "a long")
+
+    res = fsql(
+        """
+        out1 = SELECT * FROM (CREATE USING mk(n=7))
+        YIELD DATAFRAME AS o1
+        out2 = SELECT bb.a FROM (CREATE USING mk(n=8)) AS bb
+        YIELD DATAFRAME AS o2
+        out3 = SELECT * FROM (SELECT * FROM (CREATE USING mk(n=9)))
+        YIELD DATAFRAME AS o3
+        out4 = SELECT x.a, y.a AS b FROM (CREATE USING mk(n=1)) AS x
+               JOIN (CREATE USING mk(n=1)) AS y ON x.a = y.a
+        YIELD DATAFRAME AS o4
+        out5 = SELECT * FROM (CREATE [[1],[2],[3]] SCHEMA a:long) WHERE a > 1
+        YIELD DATAFRAME AS o5
+        """,
+        spark=spark,
+        functions={"mk": mk},
+    )
+    assert rows(res["o1"]) == [(7,)]
+    assert rows(res["o2"]) == [(8,)]
+    assert rows(res["o3"]) == [(9,)]
+    assert rows(res["o4"]) == [(1, 1)]
+    assert rows(res["o5"]) == [(2,), (3,)]
+
+
+def test_select_nested_does_not_touch_last_or_sql_words(spark):
+    """A nested task is an expression: `last` (the FROM-less source) is the
+    statement's own result chain, not the nested create; and parens NOT in
+    table-source position never trigger nested parsing even when the first
+    word is a statement keyword (WHERE (sample > 0) is plain SQL)."""
+    res = fsql(
+        """
+        base = SELECT 1 AS x, 2 AS sample FROM (CREATE [[1]] SCHEMA seed:long);
+        a = SELECT * FROM (CREATE [[5]] SCHEMA v:long);
+        b = SELECT v + 1 AS v
+        YIELD DATAFRAME AS b
+        c = SELECT x FROM base WHERE (sample > 0)
+        YIELD DATAFRAME AS c
+        """,
+        spark=spark,
+    )
+    assert rows(res["b"]) == [(6,)]  # FROM-less reads a, not the nested frame
+    assert rows(res["c"]) == [(1,)]
+
+
+def test_select_nested_errors(spark):
+    # PRINT produces no frame — a nested occurrence must be rejected
+    with pytest.raises(FugueSQLError, match="nested|dataframe"):
+        fsql(
+            """
+            base = CREATE [[1]] SCHEMA x:long
+            SELECT * FROM (PRINT base)
+            """,
+            spark=spark,
+        )
