@@ -188,7 +188,21 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - scaling point is best-effort
             print(f"# sf1 scaling run failed: {ex}", file=sys.stderr)
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # the driver captures stdout with a tail cap; a long run's JSON line can
+    # be truncated mid-object there (BENCH_r05.json had parsed=null). Write
+    # the full object to a sibling artifact so the result is always
+    # machine-readable regardless of how stdout was captured.
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        with open(path, "w") as f:
+            f.write(line + "\n")
+        print(f"# full result written to {path}", file=sys.stderr)
+    except OSError as ex:  # pragma: no cover - read-only checkout
+        print(f"# could not write BENCH_LAST.json: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

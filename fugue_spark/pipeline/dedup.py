@@ -615,6 +615,7 @@ def near_dup_clusters(
         )
         stepped = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
             F.col("id"),
+            F.col("cluster").alias("__old__"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("nbc"), F.col("cluster"))
             ).alias("cluster"),
@@ -624,21 +625,23 @@ def near_dup_clusters(
         parent = stepped.select(
             F.col("id").alias("__pid__"), F.col("cluster").alias("__pc__")
         )
+        # the convergence flag rides INSIDE the checkpointed round result
+        # (one materializing action per round); the probe below only has to
+        # find a single flagged row in the cached blocks (limit-1
+        # short-circuit), not re-join old vs new labels as a second full job
         new = (
             stepped.join(parent, stepped["cluster"] == parent["__pid__"], "left")
             .select(
                 F.col("id"),
                 F.coalesce(F.col("__pc__"), F.col("cluster")).alias("cluster"),
+                (
+                    F.coalesce(F.col("__pc__"), F.col("cluster")) != F.col("__old__")
+                ).alias("__chg__"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__chg__")).limit(1).count()
+        labels = new.drop("__chg__")
         if changed == 0:
             break
     if stats is not None:

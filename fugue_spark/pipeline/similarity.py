@@ -69,6 +69,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allow_quadratic: bool = False,
+    n_queries: "int | None" = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -76,13 +77,17 @@ def cosine_topk_bruteforce(
     window per query — one shuffle keyed on query_id. O(|Q|·|C|): refuses
     a large query side (corpus-sized |Q| makes it all-pairs) unless
     ``allow_quadratic=True``; use cosine_topk_lsh / cosine_topk_ivf there.
+    ``n_queries`` is a caller hint that skips the guard's count job when
+    |Q| is already known; otherwise the probe stops scanning at the guard
+    bound + 1 rows (limit-bounded, not a full count of the query side).
     Output: query_id, neighbor_id, cosine_e6, rank.
     """
+    _GUARD = 10_000
     if not allow_quadratic:
-        nq = queries.count()
-        if nq > 10_000:
+        nq = n_queries if n_queries is not None else queries.limit(_GUARD + 1).count()
+        if nq > _GUARD:
             raise ValueError(
-                f"brute-force top-k with {nq} query vectors is effectively "
+                f"brute-force top-k with >{_GUARD} query vectors is effectively "
                 "all-pairs; use cosine_topk_lsh/cosine_topk_ivf or pass "
                 "allow_quadratic=True"
             )

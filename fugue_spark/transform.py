@@ -27,6 +27,7 @@ from __future__ import annotations
 import inspect
 import itertools
 import re
+import types as _types
 import typing
 from collections.abc import Iterable
 from typing import Any, Callable
@@ -43,7 +44,60 @@ from fugue_spark.partition import (
 )
 from fugue_spark.schema import apply_schema_hint, is_schema_hint, parse_schema
 
-__all__ = ["transform", "out_transform", "PartitionCursor", "Transformer"]
+__all__ = [
+    "transform",
+    "out_transform",
+    "PartitionCursor",
+    "Transformer",
+    "EmptyAwareIterable",
+    "make_empty_aware",
+]
+
+
+class EmptyAwareIterable:
+    """Single-pass iterable that can answer emptiness — and show the first
+    element — WITHOUT consuming it (semantics of the reference's
+    triad ``EmptyAwareIterable``; dispatch form at ref
+    fugue/dataframe/function_wrapper.py:354). Annotate a transformer input
+    as ``EmptyAwareIterable[List[Any]]`` (or ``[Dict[str, Any]]``) to get
+    rows lazily while still being able to branch on ``.empty`` / ``peek()``
+    up front."""
+
+    def __init__(self, it: Iterable):
+        self._it = iter(it)
+        self._head: Any = None
+        self._has_head = False
+        self._advance()
+
+    def _advance(self) -> None:
+        try:
+            self._head = next(self._it)
+            self._has_head = True
+        except StopIteration:
+            self._head, self._has_head = None, False
+
+    @property
+    def empty(self) -> bool:
+        return not self._has_head
+
+    def peek(self) -> Any:
+        if not self._has_head:
+            raise StopIteration("the iterable is empty")
+        return self._head
+
+    def __iter__(self):
+        while self._has_head:
+            v = self._head
+            self._advance()
+            yield v
+
+    # EmptyAwareIterable[List[Any]] in annotations -> GenericAlias whose
+    # get_origin() is this class (what _classify dispatches on)
+    __class_getitem__ = classmethod(_types.GenericAlias)  # type: ignore[assignment]
+
+
+def make_empty_aware(it: Iterable) -> EmptyAwareIterable:
+    return it if isinstance(it, EmptyAwareIterable) else EmptyAwareIterable(it)
 
 
 class PartitionCursor:
@@ -123,6 +177,7 @@ def _schema_from_comment(fn: Callable) -> "str | None":
 
 _IN_PANDAS, _IN_ITER_PANDAS, _IN_ARROW, _IN_ITER_ARROW = "pd", "ipd", "pa", "ipa"
 _IN_LISTS, _IN_ITER_LISTS, _IN_DICTS, _IN_ITER_DICTS = "ll", "ill", "ld", "ild"
+_IN_EA_LISTS, _IN_EA_DICTS = "ell", "eld"
 
 
 _STR_ANN = {
@@ -146,8 +201,16 @@ def _classify(ann: Any, default: str) -> str:
         # imports): dispatch on the literal text, as the reference's
         # annotation registry does for its common forms
         ann = ann.strip()
+        # under PEP 563 a doubly-quoted annotation ("'X[Y]'") keeps its
+        # inner quotes in the source text — unwrap matched outer quotes
+        while len(ann) >= 2 and ann[0] in "\"'" and ann[-1] == ann[0]:
+            ann = ann[1:-1].strip()
         if ann in _STR_ANN:
             return _STR_ANN[ann]
+        m = re.fullmatch(r"(?:\w+\.)?EmptyAwareIterable\[(.+)\]", ann)
+        if m is not None:
+            inner = m.group(1).strip()
+            return _IN_EA_DICTS if inner.startswith(("Dict", "dict")) else _IN_EA_LISTS
         m = re.fullmatch(r"(?:typing\.)?(Iterable|Iterator|Generator)\[(.+)\]", ann)
         if m is not None:
             inner = m.group(2).strip()
@@ -169,6 +232,11 @@ def _classify(ann: Any, default: str) -> str:
         return _IN_PANDAS
     if ann is pa.Table:
         return _IN_ARROW
+    if origin is EmptyAwareIterable or ann is EmptyAwareIterable:
+        inner = args[0] if args else None
+        if typing.get_origin(inner) in (dict, typing.Dict) or inner is dict:
+            return _IN_EA_DICTS
+        return _IN_EA_LISTS
     if origin in (list, typing.List):
         if args and typing.get_origin(args[0]) in (list, typing.List):
             return _IN_LISTS
@@ -209,6 +277,10 @@ def _to_input(pdf: pd.DataFrame, form: str) -> Any:
         return pdf.to_dict("records")
     if form == _IN_ITER_DICTS:
         return iter(pdf.to_dict("records"))
+    if form == _IN_EA_LISTS:
+        return make_empty_aware(iter(pdf.values.tolist()))
+    if form == _IN_EA_DICTS:
+        return make_empty_aware(iter(pdf.to_dict("records")))
     raise AssertionError(form)
 
 

@@ -494,3 +494,56 @@ def test_cotransform_rejects_unsupported_side_annotation(spark):
 
     with pytest.raises(ValueError, match="pd.DataFrame or pa.Table"):
         fa.cotransform([a, b], f, schema="n:long")
+
+
+def test_empty_aware_iterable_dispatch(spark):
+    """EmptyAwareIterable[List]/[Dict] input forms (reference
+    fugue/dataframe/function_wrapper.py:354): rows arrive lazily but
+    .empty/.peek() answer without consuming; works per-group and with
+    PEP-563 string annotations."""
+    from typing import Any, Dict, List
+
+    from fugue_spark.transform import EmptyAwareIterable, make_empty_aware
+
+    # unit: peek does not consume, empty detected up-front
+    ea = make_empty_aware(iter([[1], [2]]))
+    assert not ea.empty and ea.peek() == [1]
+    assert list(ea) == [[1], [2]]
+    empty = make_empty_aware(iter([]))
+    assert empty.empty
+    with pytest.raises(StopIteration):
+        empty.peek()
+
+    df = spark.createDataFrame(
+        [[1, 10], [1, 20], [2, 30]], parse_schema("k:long,v:long")
+    )
+
+    def f(rows: EmptyAwareIterable[List[Any]]):
+        first = rows.peek()[1]  # look ahead without consuming
+        out = [[r[0], r[1], first] for r in rows]
+        return out
+
+    got = fa.transform(
+        df, f, schema="k:long,v:long,first:long",
+        partition={"by": ["k"], "presort": "v"},
+    )
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, 10, 10), (1, 20, 10), (2, 30, 30),
+    ]
+
+    def g(rows: EmptyAwareIterable[Dict[str, Any]]):
+        for r in rows:
+            r["v"] = r["v"] + 1
+            yield r
+
+    got2 = fa.transform(df, g, schema="k:long,v:long")
+    assert sorted(tuple(r) for r in got2.collect()) == [(1, 11), (1, 21), (2, 31)]
+
+    # string-annotation (PEP 563 / function-local import) form
+    def h(rows: "EmptyAwareIterable[List[Any]]"):
+        return [] if rows.empty else [[rows.peek()[0]]]
+
+    got3 = fa.transform(
+        df, h, schema="k:long", partition={"by": ["k"]},
+    )
+    assert sorted(tuple(r) for r in got3.collect()) == [(1,), (2,)]
