@@ -32,7 +32,7 @@ import struct
 import threading
 from typing import Any, Callable
 
-__all__ = ["RPCServer", "RPCClient", "start_callback_server"]
+__all__ = ["RPCServer", "RPCClient", "HTTPRPCServer", "HTTPRPCClient", "start_callback_server"]
 
 _MAC_LEN = hashlib.sha256().digest_size
 
@@ -157,11 +157,139 @@ class RPCClient:
         return payload
 
 
-_SERVERS: list[RPCServer] = []  # keep alive for the app's lifetime
+class HTTPRPCServer:
+    """HTTP transport variant (reference: fugue/rpc/flask.py
+    FlaskRPCServer) on stdlib http.server — for environments where only
+    HTTP traffic crosses the executor→driver boundary (proxies, service
+    meshes, strict egress rules).
+
+    Differences from the reference's Flask transport, both deliberate:
+    payloads are JSON-only (the reference also uses JSON — no pickle means
+    no deserialization RCE surface at all), and every request carries an
+    HMAC-SHA256 over the body with the per-server random key (the
+    reference transport is unauthenticated and warns about it; here a
+    forged request is rejected before dispatch)."""
+
+    def __init__(self, host: str = "0.0.0.0"):
+        import http.server
+        import json as _json
+
+        self._bind_host = host
+        handlers: dict[str, Callable] = {}
+        auth_key = secrets.token_bytes(32)
+
+        class _HTTPHandler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a: Any) -> None:  # quiet
+                pass
+
+            def do_POST(self) -> None:
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(n)
+                    name = self.headers.get("X-Fugue-Name", "")
+                    mac = self.headers.get("X-Fugue-MAC", "")
+                    want = hmac.new(
+                        auth_key, name.encode() + b"\0" + body, hashlib.sha256
+                    ).hexdigest()
+                    if not hmac.compare_digest(mac, want):
+                        self._reply(403, {"status": "error", "error": "bad mac"})
+                        return
+                    fn = handlers.get(name)
+                    if fn is None:
+                        self._reply(
+                            404, {"status": "error", "error": f"no handler {name!r}"}
+                        )
+                        return
+                    payload = _json.loads(body or b"{}")
+                    try:
+                        res = fn(*payload.get("args", []), **payload.get("kwargs", {}))
+                        self._reply(200, {"status": "ok", "result": res})
+                    except Exception as ex:  # noqa: BLE001 - ship to worker
+                        self._reply(200, {"status": "error", "error": repr(ex)})
+                except Exception:  # noqa: BLE001 - malformed request
+                    try:
+                        self._reply(400, {"status": "error", "error": "bad request"})
+                    except Exception:
+                        pass
+
+            def _reply(self, code: int, obj: dict) -> None:
+                data = _json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._srv = http.server.ThreadingHTTPServer((host, 0), _HTTPHandler)
+        self._srv.daemon_threads = True
+        self._handlers = handlers
+        self._auth_key = auth_key
+        self._thread: "threading.Thread | None" = None
+
+    def register(self, name: str, fn: Callable) -> "HTTPRPCServer":
+        self._handlers[name] = fn
+        return self
+
+    def start(self) -> "HTTPRPCServer":
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._srv.server_address  # type: ignore[return-value]
+
+    def client(self, name: str) -> "HTTPRPCClient":
+        _, port = self.address
+        return HTTPRPCClient(_driver_host(self._bind_host), port, name, self._auth_key)
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
 
 
-def start_callback_server(handler: Callable, name: str = "callback") -> RPCClient:
-    """One-liner used by transform(callback=...): returns the worker stub."""
-    srv = RPCServer().register(name, handler).start()
+class HTTPRPCClient:
+    """Picklable HTTP stub (stdlib urllib): JSON-serializable args only —
+    callbacks are control-plane messages, which is exactly JSON's fit."""
+
+    def __init__(self, host: str, port: int, name: str, key: bytes):
+        self.host, self.port, self.name, self.key = host, port, name, key
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        import json as _json
+        import urllib.request
+
+        body = _json.dumps({"args": list(args), "kwargs": kwargs}).encode()
+        mac = hmac.new(
+            self.key, self.name.encode() + b"\0" + body, hashlib.sha256
+        ).hexdigest()
+        req = urllib.request.Request(
+            f"http://{self.host}:{self.port}/invoke",
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "X-Fugue-Name": self.name,
+                "X-Fugue-MAC": mac,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = _json.loads(resp.read())
+        if out.get("status") != "ok":
+            raise RuntimeError(f"rpc handler failed: {out.get('error')}")
+        return out.get("result")
+
+
+_SERVERS: list[Any] = []  # keep alive for the app's lifetime
+
+
+def start_callback_server(
+    handler: Callable, name: str = "callback", transport: str = "tcp"
+):
+    """One-liner used by transform(callback=...): returns the worker stub.
+    ``transport='http'`` selects the HTTP/JSON transport (off-box executors
+    behind HTTP-only network policies)."""
+    cls = HTTPRPCServer if transport == "http" else RPCServer
+    srv = cls().register(name, handler).start()
     _SERVERS.append(srv)
     return srv.client(name)

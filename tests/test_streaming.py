@@ -354,3 +354,49 @@ def test_pipeline_text_ops_work_on_streams(spark, tmp_path):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_http_rpc_transport(spark):
+    """HTTP/JSON RPC transport (reference fugue/rpc/flask.py semantics,
+    stdlib-only + HMAC-gated): driver handler invoked from real Spark
+    workers; forged MACs are rejected before dispatch."""
+    import urllib.error
+    import urllib.request
+
+    from fugue_spark.rpc import HTTPRPCClient, HTTPRPCServer
+
+    seen = []
+    srv = HTTPRPCServer(host="127.0.0.1").register(
+        "progress", lambda n, label="": (seen.append((n, label)), n * 2)[1]
+    ).start()
+    try:
+        client = srv.client("progress")
+        assert client(21, label="direct") == 42
+
+        # from real worker processes (the stub pickles into the closure)
+        df = spark.range(4).toDF("x")
+
+        def report(pdf):
+            pdf = pdf.assign(doubled=[client(int(v)) for v in pdf["x"]])
+            return pdf
+
+        import fugue_spark.api as fa
+
+        out = fa.transform(df, report, schema="x:long,doubled:long")
+        assert sorted(tuple(r) for r in out.collect()) == [
+            (0, 0), (1, 2), (2, 4), (3, 6),
+        ]
+        assert (21, "direct") in seen and len(seen) >= 5
+
+        # forged mac -> rejected before the handler runs
+        bad = HTTPRPCClient(*srv.address, "progress", b"wrong-key")
+        n_seen = len(seen)
+        with pytest.raises((RuntimeError, urllib.error.HTTPError)):
+            bad(1)
+        assert len(seen) == n_seen
+
+        # unknown handler name
+        with pytest.raises((RuntimeError, urllib.error.HTTPError)):
+            srv.client("nope")(1)
+    finally:
+        srv.stop()
