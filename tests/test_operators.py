@@ -469,3 +469,29 @@ def test_plan_summary_scale_audit(spark):
     )
     ts = plan_summary(t)
     assert ts["n_exchanges"] == 1 and ts["n_python_stages"] == 1
+
+
+def test_normalize_column_names_and_as_fugue_df(spark):
+    """normalize_column_names (reference fugue/dataframe/api.py:301):
+    exotic names -> safe identifiers + an undo map; as_fugue_df ingests
+    arbitrary data with an optional schema."""
+    import pandas as pd
+
+    import fugue_spark.api as fa
+
+    pdf = pd.DataFrame({"*a": [1], "-a": [2], "1c": [3], "ok": [4]})
+    df = spark.createDataFrame(pdf)
+    out, undo = fa.normalize_column_names(df)
+    assert set(out.columns) == {"_a", "_a_1", "_1c", "ok"}
+    assert undo == {"_a": "*a", "_a_1": "-a", "_1c": "1c"}
+    back = fa.rename(out, undo)
+    assert set(back.columns) == {"*a", "-a", "1c", "ok"}
+    # values follow their columns through the round trip
+    assert back.select("`-a`").collect()[0][0] == 2
+
+    clean, undo2 = fa.normalize_column_names(spark.createDataFrame([[1]], "x long"))
+    assert undo2 == {} and clean.columns == ["x"]
+
+    got = fa.as_fugue_df([[1, "a"]], schema="i:long,s:str", spark=spark)
+    assert got.schema.simpleString() == "struct<i:bigint,s:string>"
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]
