@@ -24,6 +24,7 @@ from fugue_spark.frame import (
 )
 from fugue_spark.operators import (
     aggregate,
+    asof_join,
     assign,
     broadcast,
     distinct,

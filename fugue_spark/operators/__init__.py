@@ -1,6 +1,7 @@
 """Engine primitives (SURVEY.md §2.1) — each a thin, well-specified wrapper
 whose physical execution is Catalyst's problem."""
 
+from fugue_spark.operators.asof import asof_join
 from fugue_spark.operators.joins import broadcast, join, salted_join
 from fugue_spark.operators.na import dropna, fillna
 from fugue_spark.operators.sampling import (
@@ -13,6 +14,7 @@ from fugue_spark.operators.select import aggregate, assign, filter, select
 from fugue_spark.operators.setops import distinct, intersect, subtract, union
 
 __all__ = [
+    "asof_join",
     "join",
     "broadcast",
     "salted_join",

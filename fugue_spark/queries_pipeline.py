@@ -1141,3 +1141,49 @@ def s2_streaming_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fs.run_to_memory(enriched, "s2_text", output_mode="append")
     return out.orderBy("doc_id")
+
+
+@register(
+    "p30_asof_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         vv AS (SELECT event_id AS v_event_id, ts AS v_ts, value AS v_value,
+                       user_id FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id,
+           vv.v_event_id AS r_event_id,
+           CAST(CASE WHEN vv.v_ts IS NULL THEN NULL
+                ELSE epoch_us(c.ts) - epoch_us(vv.v_ts) END AS BIGINT) AS delta_us,
+           CAST(FLOOR(COALESCE(vv.v_value, -1) * 100) AS BIGINT) AS r_value_e2
+    FROM c ASOF LEFT JOIN vv
+      ON c.user_id = vv.user_id AND c.ts >= vv.v_ts
+    ORDER BY c.event_id
+    """,
+    tags=("events", "asof"),
+)
+def p30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event picks up the most
+    recent preceding 'view' by the same user — pandas merge_asof / DuckDB
+    ASOF JOIN semantics, value-checked against DuckDB's NATIVE ASOF LEFT
+    JOIN. Plan: tagged union + ONE exchange keyed on user_id + a running
+    last(ignorenulls) window — no range join, so per-key event volume
+    never goes quadratic (SCALE.md)."""
+    from fugue_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, views, on="ts", by="user_id", direction="backward")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        ).cast("long").alias("delta_us"),
+        F.floor(F.coalesce(F.col("r_value"), F.lit(-1.0)) * 100).cast("long").alias("r_value_e2"),
+    ).orderBy("event_id")

@@ -495,3 +495,76 @@ def test_normalize_column_names_and_as_fugue_df(spark):
     got = fa.as_fugue_df([[1, "a"]], schema="i:long,s:str", spark=spark)
     assert got.schema.simpleString() == "struct<i:bigint,s:string>"
     assert [tuple(r) for r in got.collect()] == [(1, "a")]
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    """asof_join: pandas merge_asof semantics via the union-window plan —
+    backward/forward, inclusive equal-ts bound, tolerance, inner/left,
+    validated against pandas.merge_asof on the same data."""
+    import pandas as pd
+
+    import fugue_spark.api as fa
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "t": [10, 20, 30, 5, 50, 7],
+            "lv": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "d"],
+            "t": [8, 20, 40, 60, 1],
+            "rv": [100, 200, 300, 400, 500],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    got = {
+        (r.k, r.t): (r.r_rv, r.r_t)
+        for r in fa.asof_join(ldf, rdf, on="t", by="k").collect()
+    }
+    # pandas oracle (merge_asof needs global sort by time)
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k"
+    )
+    for _, row in want.iterrows():
+        rv = None if pd.isna(row.rv) else int(row.rv)
+        assert got[(row.k, row.t)][0] == rv, (row.k, row.t, got[(row.k, row.t)], rv)
+    # equal ts matches (inclusive): left (a, 20) -> right (a, 20)
+    assert got[("a", 20)] == (200, 20)
+    # no right rows for key c
+    assert got[("c", 7)] == (None, None)
+
+    fwd = {
+        (r.k, r.t): r.r_rv
+        for r in fa.asof_join(ldf, rdf, on="t", by="k", direction="forward").collect()
+    }
+    wantf = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        direction="forward",
+    )
+    for _, row in wantf.iterrows():
+        rv = None if pd.isna(row.rv) else int(row.rv)
+        assert fwd[(row.k, row.t)] == rv
+
+    tol = {
+        (r.k, r.t): r.r_rv
+        for r in fa.asof_join(ldf, rdf, on="t", by="k", tolerance_s=5).collect()
+    }
+    wantt = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        tolerance=5,
+    )
+    for _, row in wantt.iterrows():
+        rv = None if pd.isna(row.rv) else int(row.rv)
+        assert tol[(row.k, row.t)] == rv
+
+    inner = fa.asof_join(ldf, rdf, on="t", by="k", how="inner")
+    assert inner.count() == 4  # c and b@5 drop
+
+    with pytest.raises(ValueError, match="direction"):
+        fa.asof_join(ldf, rdf, on="t", by="k", direction="nearest")
+    with pytest.raises(ValueError, match="must exist"):
+        fa.asof_join(ldf, rdf, on="nope", by="k")
