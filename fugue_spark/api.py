@@ -35,6 +35,7 @@ from fugue_spark.operators import (
     hash_sample_stratified,
     intersect,
     join,
+    range_join,
     sample,
     select,
     subtract,

@@ -2,6 +2,7 @@
 whose physical execution is Catalyst's problem."""
 
 from fugue_spark.operators.asof import asof_join
+from fugue_spark.operators.rangejoin import range_join
 from fugue_spark.operators.joins import broadcast, join, salted_join
 from fugue_spark.operators.na import dropna, fillna
 from fugue_spark.operators.sampling import (
@@ -15,6 +16,7 @@ from fugue_spark.operators.setops import distinct, intersect, subtract, union
 
 __all__ = [
     "asof_join",
+    "range_join",
     "join",
     "broadcast",
     "salted_join",

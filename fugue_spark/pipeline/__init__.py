@@ -26,6 +26,7 @@ from fugue_spark.pipeline.multimodal import (
     register_decoder,
     with_media_meta,
 )
+from fugue_spark.pipeline.rollup import time_rollup
 from fugue_spark.pipeline.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,

@@ -1187,3 +1187,89 @@ def p30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("delta_us"),
         F.floor(F.coalesce(F.col("r_value"), F.lit(-1.0)) * 100).cast("long").alias("r_value_e2"),
     ).orderBy("event_id")
+
+
+@register(
+    "p31_range_join",
+    oracle="""
+    SELECT c.event_id, e.event_id AS err_id,
+           CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS offset_us
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    ORDER BY c.event_id, err_id
+    """,
+    tags=("events", "rangejoin"),
+)
+def p31_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): clicks landing inside any
+    10-minute post-error window of the same user. Value-checked against
+    DuckDB's plain BETWEEN join. Plan: bin timestamps (600 s bins), explode
+    each interval over its ~2 covered bins, equi-join on (user_id, bin),
+    exact re-check — co-binned pairs only, where Spark's own plan for a
+    keyless/low-key range predicate is a nested-loop over all pairs
+    (SCALE.md)."""
+    from fugue_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    j = range_join(
+        clicks, errors, point_col="ts", lo_col="lo", hi_col="hi",
+        by="user_id", bin_width=600.0,
+    )
+    return j.select(
+        "event_id",
+        "err_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("lo").cast("timestamp"))
+        ).cast("long").alias("offset_us"),
+    ).orderBy("event_id", "err_id")
+
+
+@register(
+    "p32_time_rollup",
+    oracle="""
+    WITH lv AS (
+      SELECT 'hour' AS granularity,
+             strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+             CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_max_cents
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day',
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S'),
+             event_type, COUNT(*),
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT),
+             CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+      FROM events GROUP BY 2, 3
+    )
+    SELECT * FROM lv ORDER BY granularity, bucket_start, event_type
+    """,
+    tags=("events", "rollup"),
+)
+def p32_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (pipeline/rollup.py): hour + day continuous
+    aggregates per event_type, with the day level RE-AGGREGATED from the
+    hour level (from_finest=True — raw events scanned once, the
+    continuous-aggregate maintenance trade). Value-checked against DuckDB
+    computing every level directly from the raw events, which proves the
+    re-aggregation is lossless."""
+    from fugue_spark.pipeline import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_rollup(
+        ev, "ts", ["hour", "day"], by="event_type", value_col="value",
+        from_finest=True,
+    )
+    return out.orderBy("granularity", "bucket_start", "event_type")

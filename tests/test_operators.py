@@ -568,3 +568,73 @@ def test_asof_join_backward_forward_tolerance(spark):
         fa.asof_join(ldf, rdf, on="t", by="k", direction="nearest")
     with pytest.raises(ValueError, match="must exist"):
         fa.asof_join(ldf, rdf, on="nope", by="k")
+
+
+def test_range_join_modes_and_guard(spark):
+    """range_join: bucketed interval containment — inner/left, key groups,
+    auto bin-width probe, degenerate-interval guard."""
+    import fugue_spark.api as fa
+
+    pts = spark.createDataFrame(
+        [[1, "a", 5.0], [2, "a", 15.0], [3, "a", 50.0], [4, "b", 5.0]],
+        parse_schema("pid:long,k:str,x:double"),
+    )
+    iv = spark.createDataFrame(
+        [[10, "a", 0.0, 10.0], [11, "a", 12.0, 20.0], [12, "a", 14.0, 30.0], [13, "b", 100.0, 110.0]],
+        parse_schema("iid:long,k:str,lo:double,hi:double"),
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in fa.range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi", by="k").collect()
+    )
+    assert got == [(1, 10), (2, 11), (2, 12)]  # point 2 matches BOTH intervals
+
+    # auto bin width (median-span probe) gives the same result
+    got2 = sorted(
+        (r.pid, r.iid)
+        for r in fa.range_join(
+            pts, iv, point_col="x", lo_col="lo", hi_col="hi", by="k", bin_width=3.0
+        ).collect()
+    )
+    assert got2 == got
+
+    left = fa.range_join(
+        pts, iv, point_col="x", lo_col="lo", hi_col="hi", by="k", how="left"
+    )
+    rows = {(r.pid): r.iid for r in left.collect() if r.iid is None}
+    assert set(rows) == {3, 4}  # unmatched points kept, null-extended
+
+    # degenerate interval (covers > max bins) fails loudly inside the plan
+    import pyspark.errors
+
+    wide = spark.createDataFrame(
+        [[99, "a", 0.0, 1e9]], parse_schema("iid:long,k:str,lo:double,hi:double")
+    )
+    with pytest.raises(Exception, match="bins|raise_error|USER_RAISED"):
+        fa.range_join(
+            pts, wide, point_col="x", lo_col="lo", hi_col="hi", by="k",
+            bin_width=1.0, max_bins_per_interval=100,
+        ).collect()
+
+    with pytest.raises(ValueError, match="collision"):
+        fa.range_join(pts, pts, point_col="x", lo_col="x", hi_col="x")
+
+
+def test_time_rollup_from_finest_lossless(spark):
+    """time_rollup: from_finest=True (day re-aggregated from hour) equals
+    computing each level directly from the raw events."""
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.pipeline import time_rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    direct = time_rollup(ev, "ts", ["hour", "day"], by="event_type", value_col="value")
+    derived = time_rollup(
+        ev, "ts", ["hour", "day"], by="event_type", value_col="value", from_finest=True
+    )
+    key = lambda r: (r.granularity, r.bucket_start, r.event_type)  # noqa: E731
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, derived.collect()))
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="granularities"):
+        time_rollup(ev, "ts", ["fortnight"])
