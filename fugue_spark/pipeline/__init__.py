@@ -24,6 +24,9 @@ from fugue_spark.pipeline.multimodal import (
     extract_features,
     pack_wav,
     register_decoder,
+    resample_audio,
+    resize_images,
+    sample_frames,
     with_media_meta,
 )
 from fugue_spark.pipeline.rollup import time_rollup

@@ -1273,3 +1273,44 @@ def p32_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from_finest=True,
     )
     return out.orderBy("granularity", "bucket_start", "event_type")
+
+
+@register(
+    "p33_audio_resample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    s AS (  -- every 4th byte of the original = the decimated PCM, centered
+      SELECT doc_id, n,
+             list_transform(range(0, (n + 3) // 4),
+               j -> (strpos('0123456789abcdef', substr(h, 8*j + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 8*j + 2, 1)) - 1) - 128) AS sm
+      FROM b
+    )
+    SELECT doc_id AS id, (n + 3) // 4 AS n_frames, 2000 AS sample_rate,
+           list_max(list_transform(sm, x -> abs(x))) AS peak,
+           CAST(FLOOR(sqrt(
+             list_reduce(list_transform(sm, x -> CAST(x * x AS BIGINT)), (p, q) -> p + q)
+             / CAST((n + 3) // 4 AS DOUBLE)) * 100) AS BIGINT) AS rms_e2
+    FROM s
+    """,
+    tags=("multimodal", "audio"),
+)
+def p33_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling for audio, fully value-checked: pack bytes as WAV →
+    resample_audio(factor=4) decodes the PCM, keeps every 4th frame, and
+    re-encodes at 2 kHz → extract_features re-decodes the NEW blob. The
+    oracle re-derives n_frames/peak/RMS of the decimated signal directly
+    from every 4th source byte in DuckDB — a resampler that mangled the
+    header, offset, or stride fails the gate."""
+    from fugue_spark.pipeline import pack_wav, resample_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = pack_wav(docs, "text", sample_rate=8000)
+    res = resample_audio(media, factor=4, id_col="doc_id")
+    feats = extract_features(res, id_col="id", blob_col="blob", mime="audio/wav")
+    return feats.filter(F.col("n_frames") > 0).select(
+        "id", "n_frames", "sample_rate", "peak", "rms_e2"
+    )

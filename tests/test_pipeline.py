@@ -701,3 +701,75 @@ def test_sessionize_gaps_and_islands(spark):
     assert st[(1, 0)] == (2, 600)
     assert st[(1, 1)] == (1, 0)
     assert st[(2, 0)] == (2, 60)
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images: nearest-neighbor resample of decoded PNG pixels,
+    verified against the same index arithmetic applied to the source
+    array; output PNGs re-decode to the expected size and content."""
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_png, encode_png, resize_images
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (20, 14, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [[1, bytearray(encode_png(px))]], parse_schema("doc_id:long,raw:bytes")
+    )
+    out = resize_images(df.withColumnRenamed("raw", "blob"), width=7, height=5)
+    row = out.collect()[0]
+    assert (row.width, row.height, row.n_channels) == (7, 5, 3)
+    d = decode_png(bytes(row.blob))
+    assert (d["width"], d["height"]) == (7, 5)
+    ys = np.minimum(((np.arange(5) + 0.5) * 20 / 5).astype(int), 19)
+    xs = np.minimum(((np.arange(7) + 0.5) * 14 / 7).astype(int), 13)
+    want = px[ys][:, xs]
+    assert d["mean_e2"] == int(np.floor(want.astype(float).mean() * 100))
+
+    # upscale round-trips too
+    up = resize_images(df.withColumnRenamed("raw", "blob"), width=28, height=40)
+    r2 = up.collect()[0]
+    d2 = decode_png(bytes(r2.blob))
+    assert (d2["width"], d2["height"]) == (28, 40)
+
+
+def test_resample_audio_decimation(spark):
+    """resample_audio: every-kth-frame decimation of decoded PCM,
+    re-encoded at rate/k; stdlib wave reads the output."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from fugue_spark.pipeline import pack_wav, resample_audio
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10
+    df = spark.createDataFrame([[1, text]], parse_schema("doc_id:long,text:str"))
+    media = pack_wav(df, "text", sample_rate=8000)
+    out = resample_audio(media, factor=4)
+    row = out.collect()[0]
+    want = np.frombuffer(text.encode(), dtype=np.uint8)[::4].tobytes()
+    assert row.n_frames == len(want)
+    assert row.sample_rate == 2000
+    with wave.open(io.BytesIO(bytes(row.blob))) as w:
+        assert w.getframerate() == 2000
+        assert w.readframes(w.getnframes()) == want
+
+
+def test_sample_frames_plumbing(spark):
+    """sample_frames: real fan-out plumbing with an injected decoder; the
+    default decoder refuses honestly (no ffmpeg here)."""
+    from fugue_spark.pipeline import sample_frames
+
+    df = spark.createDataFrame(
+        [[1, bytearray(b"0123456789")]], parse_schema("doc_id:long,blob:bytes")
+    )
+    # injected decoder: each byte is a "frame"
+    out = sample_frames(
+        df, every_n=3, decoder=lambda raw: [bytes([b]) for b in raw]
+    )
+    rows = sorted((r.frame_idx, bytes(r.frame)) for r in out.collect())
+    assert rows == [(0, b"0"), (3, b"3"), (6, b"6"), (9, b"9")]
+
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_frames(df, every_n=2).collect()
