@@ -46,6 +46,8 @@ from fugue_spark.pipeline.text import (
     scrub_text,
     tfidf_doc_scores,
     with_fingerprint,
+    winnowing_fingerprints,
+    winnowing_pairs,
     with_lang_id,
     with_quality_score,
     with_repetition_stats,

@@ -23,6 +23,8 @@ __all__ = [
     "chunk_documents",
     "duplicate_spans",
     "with_word_entropy",
+    "winnowing_fingerprints",
+    "winnowing_pairs",
     "LANG_MARKERS",
 ]
 
@@ -662,3 +664,87 @@ def corpus_stats(
         aggs.append(nd.alias("n_distinct"))
     g = df.groupBy(*by) if by else df.groupBy()
     return g.agg(*aggs)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash selection): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive hashes over the document, keep the MINIMUM
+    hash of each window, emit the distinct selected hashes. Guarantees at
+    least one fingerprint per ``w`` consecutive grams, so any shared run
+    of ≥ ``w+k-1`` words between two documents shares a fingerprint —
+    position-robust local similarity, unlike whole-document hashing.
+
+    Hashes are md5 STRINGS (engine-portable: lexicographic min is
+    identical everywhere); selection is in-row array HOFs (transform +
+    slice + array_min + array_distinct) — map-only, scan speed, no
+    shuffle. Output: ``id_col, fp`` (one row per selected fingerprint).
+
+    At 100 TB: fingerprints/doc ≈ 2·words/w (window minima repeat), so
+    the output is a small multiple of the corpus row count; downstream
+    joins key on the 32-char fp (or re-hash to a long for the wire).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    grams = _word_ngrams(F.col(text_col), k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n_win = F.size(hashes) - (w - 1)
+    sel = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            )
+        ),
+    ).otherwise(
+        # shorter than one window: whole doc is the window (standard edge)
+        F.when(F.size(hashes) >= 1, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sel).alias("fp"))
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Local-similarity candidate pairs via shared winnowing fingerprints —
+    the plagiarism/boilerplate detector: documents sharing ``min_shared``+
+    selected fingerprints share that many (near-)distinct ≥ w+k-1-word
+    runs. Inverted-index self-join on the fingerprint (the p5 shape):
+    only co-fingerprinted pairs materialize; fingerprints appearing in
+    more than ``max_fp_df`` docs are dropped first (boilerplate grams =
+    the quadratic hot keys). Output: id_a, id_b (a<b), n_shared.
+    """
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    fps = fps.repartition("fp").localCheckpoint(eager=False)
+    if max_fp_df is not None:
+        small = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") <= int(max_fp_df))
+            .select("fp")
+        )
+        fps = fps.join(small, on="fp")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -1314,3 +1314,48 @@ def p33_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("n_frames") > 0).select(
         "id", "n_frames", "sample_rate", "peak", "rms_e2"
     )
+
+
+@register(
+    "p34_winnowing_pairs",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) AS hs
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents)
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(hs) - 3),
+                      i -> list_min(list_slice(hs, i, i + 3))))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE [] END AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def p34_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash fingerprint selection): 3-gram md5
+    hashes, 4-hash sliding windows, keep each window's minimum, pair docs
+    sharing >= 2 selected fingerprints — position-robust local-similarity
+    detection (plagiarism / shared-boilerplate), value-checked against
+    DuckDB computing the identical selection. In-row HOFs for selection
+    (map-only) + the p5 inverted-index join shape for pairing (no
+    all-pairs). The production entry point keeps a hot-fingerprint df cap;
+    the gate disables it to mirror the oracle exactly."""
+    from fugue_spark.pipeline import winnowing_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        docs, min_shared=2, k=3, w=4, max_fp_df=None
+    ).orderBy("id_a", "id_b")

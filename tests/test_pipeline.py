@@ -773,3 +773,37 @@ def test_sample_frames_plumbing(spark):
 
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         sample_frames(df, every_n=2).collect()
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """Winnowing: any shared run of >= w+k-1 words yields a shared
+    fingerprint (the algorithm's coverage guarantee); unrelated docs
+    share none; the hot-fp cap drops boilerplate keys."""
+    from fugue_spark.pipeline import winnowing_fingerprints, winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= w+k-1 = 6
+    df = spark.createDataFrame(
+        [
+            [1, f"intro words here {shared} tail one"],
+            [2, f"{shared} completely different ending text"],
+            [3, "nothing in common with the others at all"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    fps = winnowing_fingerprints(df, k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # guarantee: shared 6-word run -> shared fp
+    assert not (by_doc[1] & by_doc[3] or by_doc[2] & by_doc[3])
+
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in winnowing_pairs(df, min_shared=1).collect()}
+    assert set(pairs) == {(1, 2)}
+
+    # short doc edge: fewer grams than one window still fingerprints
+    tiny = spark.createDataFrame(
+        [[9, "just three words"]], parse_schema("doc_id:long,text:str")
+    )
+    assert winnowing_fingerprints(tiny, k=3, w=4).count() == 1
+    empty = spark.createDataFrame([[8, "ab"]], parse_schema("doc_id:long,text:str"))
+    assert winnowing_fingerprints(empty, k=3, w=4).count() == 0
