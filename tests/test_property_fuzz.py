@@ -213,3 +213,92 @@ def test_cotransform_matches_pandas_reference(spark, seed):
             int(gb.vb.sum()) if len(gb) else -1,
         )
     assert got == want, (seed, how)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """asof_join ≡ pandas.merge_asof on random keyed time series — both
+    directions, with and without tolerance, including duplicate left
+    timestamps and keys with no right rows."""
+    rng = random.Random(500 + seed)
+    nl, nr = rng.randint(1, 25), rng.randint(0, 20)
+    left = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 3) for _ in range(nl)],
+            "t": [rng.randint(0, 60) for _ in range(nl)],
+            "lv": list(range(nl)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 4) for _ in range(nr)],
+            # unique right timestamps per key: merge_asof tie-breaks equal
+            # right ts by input order, which no distributed engine can see
+            "t": rng.sample(range(200), nr),
+            "rv": list(range(nr)),
+        }
+    )
+    direction = rng.choice(["backward", "forward"])
+    tol = rng.choice([None, 5, 15])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = {
+        (r.k, r.t, r.lv): r.r_rv
+        for r in fa.asof_join(
+            ldf, rdf, on="t", by="k", direction=direction, tolerance_s=tol
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction=direction,
+        **({"tolerance": tol} if tol is not None else {}),
+    )
+    assert len(got) == nl
+    for _, row in want_df.iterrows():
+        w = None if pd.isna(row.rv) else int(row.rv)
+        assert got[(row.k, row.t, row.lv)] == w, (seed, dict(row), got[(row.k, row.t, row.lv)])
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_range_join_matches_pandas_filter(spark, seed):
+    """range_join ≡ the brute-force pandas cross-filter on random points
+    and intervals (inner + left, random bin widths)."""
+    rng = random.Random(900 + seed)
+    np_, ni = rng.randint(1, 20), rng.randint(0, 15)
+    pts = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 3) for _ in range(np_)],
+            "x": [round(rng.uniform(0, 100), 1) for _ in range(np_)],
+            "pid": list(range(np_)),
+        }
+    )
+    lo = [round(rng.uniform(0, 90), 1) for _ in range(ni)]
+    iv = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 3) for _ in range(ni)],
+            "lo": lo,
+            "hi": [round(v + rng.uniform(0, 30), 1) for v in lo],
+            "iid": list(range(ni)),
+        }
+    )
+    how = rng.choice(["inner", "left"])
+    bw = rng.choice([None, 1.0, 7.3, 50.0])
+    got_rows = fa.range_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="x", lo_col="lo", hi_col="hi", by="k",
+        bin_width=bw, how=how,
+    ).collect()
+    key = lambda t: (t[0], t[1] is None, -1 if t[1] is None else t[1])  # noqa: E731
+    got = sorted(((r.pid, r.iid) for r in got_rows), key=key)
+
+    want = []
+    matched = set()
+    for _, p in pts.iterrows():
+        for _, i in iv.iterrows():
+            if p.k == i.k and i.lo <= p.x <= i.hi:
+                want.append((int(p.pid), int(i.iid)))
+                matched.add(int(p.pid))
+    if how == "left":
+        want += [(int(p.pid), None) for _, p in pts.iterrows() if int(p.pid) not in matched]
+    assert got == sorted(want, key=key), (seed, how, bw)
