@@ -613,10 +613,12 @@ class _StrOps:
         pat = self._req_const(pat)
         col = self.vec.col
         if regex:
-            # case-insensitivity via the (?i) flag (valid in Java regex and
-            # Python re) — lowercasing the pattern would corrupt escape
-            # classes (\S -> \s) and character classes ([A-Z] -> [a-z])
-            c = col.rlike(("(?i)" + pat) if not case else pat)
+            # case-insensitivity via flags, not pattern lowercasing (which
+            # corrupts escape classes: \S -> \s, [A-Z] -> [a-z]). The
+            # compiled pattern runs ONLY under Java regex, so (?iu) is safe
+            # — (?i) alone is ASCII-only in Java while Python re folds
+            # Unicode by default; (?u) adds UNICODE_CASE to match
+            c = col.rlike(("(?iu)" + pat) if not case else pat)
         else:
             if not case:
                 col, pat = F.lower(col), pat.lower()
@@ -638,11 +640,19 @@ class _StrOps:
     def upper(self):
         return self.vec._make(F.upper(self.vec.col))
 
+    # Python str.strip()'s whitespace set (str.isspace): Java \s is ASCII-
+    # only, so the class spells out the Unicode members Python also strips
+    _STRIP_WS = (
+        r"[\s\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+    )
+
     def strip(self):
-        # pandas .str.strip() strips ALL whitespace (tabs, newlines), not
-        # just ASCII spaces as F.trim would
+        # pandas .str.strip() strips ALL whitespace — tabs, newlines, AND
+        # Unicode spaces (NBSP, thin space, …) — not just ASCII spaces as
+        # F.trim would, nor only Java's ASCII \s
+        ws = self._STRIP_WS
         return self.vec._make(
-            F.regexp_replace(self.vec.col, r"^\s+|\s+$", "")
+            F.regexp_replace(self.vec.col, f"^{ws}+|{ws}+$", "")
         )
 
     def replace(self, pat, repl, regex: bool = False):

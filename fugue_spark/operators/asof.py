@@ -57,24 +57,32 @@ def asof_join(
     if overlap:
         raise ValueError(f"prefixed right columns collide with left: {overlap}")
 
-    # tagged union over the superset schema: left rows carry null right
-    # payload and vice versa. side orders right BEFORE left at equal ts so
-    # the inclusive (ts_r <= ts_l) bound holds.
+    # tagged union over the superset schema: left rows carry a null right-
+    # payload STRUCT and vice versa. The whole right row travels as ONE
+    # struct so the window picks an actual row — carrying each payload
+    # column independently would splice fields from different right rows
+    # whenever a payload value is NULL (last(ignorenulls) skips it but not
+    # the row's other columns). side orders right BEFORE left at equal ts
+    # so the inclusive (ts_r <= ts_l) bound holds.
     lcols = [c for c in left.columns]
+    r_struct = F.struct(
+        F.col(on).alias("__ts__"), *[F.col(c).alias(c) for c in payload]
+    )
+    r_struct_type = (
+        right.select(r_struct.alias("__r__")).schema["__r__"].dataType
+    )
     l_tag = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in payload],
-        F.lit(None).cast(right.schema[on].dataType).alias("__r_ts__"),
+        F.lit(None).cast(r_struct_type).alias("__r__"),
         F.lit(1).alias("__side__"),
     )
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys and c != on],
-        *[F.col(c).alias(f"__r_{c}__") for c in payload],
-        F.col(on).alias("__r_ts__"),
+        r_struct.alias("__r__"),
         F.lit(0).alias("__side__"),
-    ).select(*lcols, *[f"__r_{c}__" for c in payload], "__r_ts__", "__side__")
+    ).select(*lcols, "__r__", "__side__")
 
     u = l_tag.unionByName(r_tag)
     if direction == "backward":
@@ -83,40 +91,32 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__side__").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last("__r__", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col(on).asc(), F.col("__side__").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first("__r__", ignorenulls=True).over(w)
 
     matched = u.select(
-        *lcols,
-        "__side__",
-        *[pick(f"__r_{c}__").alias(f"__m_{c}__") for c in payload],
-        pick("__r_ts__").alias("__m_ts__"),
+        *lcols, "__side__", picked.alias("__m__")
     ).filter(F.col("__side__") == 1)
 
     if tolerance_s is not None:
         delta = F.abs(
-            F.col(on).cast("double") - F.col("__m_ts__").cast("double")
+            F.col(on).cast("double") - F.col("__m__")["__ts__"].cast("double")
         )
-        within = F.col("__m_ts__").isNotNull() & (delta <= float(tolerance_s))
+        within = F.col("__m__").isNotNull() & (delta <= float(tolerance_s))
         matched = matched.select(
-            *lcols,
-            *[
-                F.when(within, F.col(f"__m_{c}__")).alias(f"__m_{c}__")
-                for c in payload
-            ],
-            F.when(within, F.col("__m_ts__")).alias("__m_ts__"),
+            *lcols, F.when(within, F.col("__m__")).alias("__m__")
         )
 
     out = matched.select(
         *lcols,
-        *[F.col(f"__m_{c}__").alias(f"{right_prefix}{c}") for c in payload],
-        F.col("__m_ts__").alias(f"{right_prefix}{on}"),
+        *[F.col("__m__")[c].alias(f"{right_prefix}{c}") for c in payload],
+        F.col("__m__")["__ts__"].alias(f"{right_prefix}{on}"),
     )
     if how == "inner":
         out = out.filter(F.col(f"{right_prefix}{on}").isNotNull())

@@ -88,10 +88,16 @@ def range_join(
         ),
     )
     # fail loudly on degenerate intervals instead of silently dropping or
-    # exploding them — assert inside the plan, no extra driver action
+    # exploding them — assert inside the plan, no extra driver action.
+    # NULL lo/hi (open-ended/dirty interval rows) make __nb__ NULL: the
+    # BETWEEN predicate would match nothing for them, so they pass through
+    # to the __nb__ > 0 filter below and drop — NOT the error branch.
     checked = guarded.withColumn(
         "__bins__",
-        F.when(F.col("__nb__") <= max_bins_per_interval, F.col("__bins__")).otherwise(
+        F.when(
+            F.col("__nb__").isNull() | (F.col("__nb__") <= max_bins_per_interval),
+            F.col("__bins__"),
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -117,12 +123,20 @@ def range_join(
     joined = p.join(i, on=on, how="inner").filter(exact).drop("__bin__")
     if how == "inner":
         return joined
-    # left: anti-join the matched point ids back — points may legitimately
+    # left: anti-join the matched point rows back — points may legitimately
     # match several intervals, so a plain left join + filter can't express
-    # "keep unmatched"; re-derive them instead
+    # "keep unmatched"; re-derive them instead. NULL-SAFE equality on every
+    # column: plain `on=cols` compares NULL=NULL as unknown, which would
+    # emit a matched row carrying any NULL column a second time as
+    # "unmatched"
     icols = [c for c in intervals.columns if c not in keys]
     matched_keys = joined.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, on=list(points.columns), how="left_anti")
+    p_al, m_al = points.alias("__rjp__"), matched_keys.alias("__rjm__")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"__rjp__.{c}").eqNullSafe(F.col(f"__rjm__.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    unmatched = p_al.join(m_al, on=cond, how="left_anti")
     from pyspark.sql import types as T  # noqa: F401
 
     null_ext = unmatched.select(

@@ -22,6 +22,7 @@ import numpy as np
 
 __all__ = [
     "decode_wav",
+    "decode_png_pixels",
     "encode_wav",
     "decode_png",
     "encode_png",
@@ -102,6 +103,7 @@ def decode_wav(raw: bytes) -> dict:
         "n_frames": n_frames,
         "sample_rate": sample_rate,
         "n_channels": n_channels,
+        "bits": bits,
         "duration_ms": n_frames * 1000 // sample_rate if sample_rate else 0,
         "peak": peak,
         "rms_e2": rms_e2,
@@ -175,13 +177,16 @@ def _unfilter(kind: int, cur: "np.ndarray", prev: "np.ndarray", bpp: int) -> "np
     return res.astype(np.uint8)
 
 
-def decode_png(raw: bytes) -> dict:
+def decode_png_pixels(raw: bytes) -> "tuple[dict, np.ndarray]":
     """Parse PNG chunks, inflate IDAT, reverse the scanline filters, and
-    return real image properties plus pixel stats (``mean_e2`` = mean
-    sample value ×100, floored).
+    return ``(meta, pixels)`` where pixels is the reconstructed
+    ``(H, W, channels)`` uint8 array and meta carries
+    width/height/n_channels/color_type. One full decode — callers needing
+    both stats AND pixels (resize) pay the per-pixel unfilter loop once.
 
     Supports the common web subset: 8-bit depth, non-interlaced,
-    gray/RGB/RGBA/gray+alpha/palette-index. Raises on anything else —
+    gray/RGB/RGBA/gray+alpha/palette-index (palette pixels are the raw
+    INDICES — see meta['color_type'] == 3). Raises on anything else —
     honest failure, not a fake answer.
     """
     if raw[: len(_PNG_SIG)] != _PNG_SIG:
@@ -219,11 +224,23 @@ def decode_png(raw: bytes) -> dict:
     for y in range(h):
         prev = _unfilter(int(rows[y, 0]), rows[y, 1:], prev, ch)
         recon[y] = prev
-    mean_e2 = int(np.floor(recon.astype(np.float64).mean() * 100)) if recon.size else 0
-    return {
+    info = {
         "width": w,
         "height": h,
         "n_frames": 1,
         "n_channels": ch,
-        "mean_e2": mean_e2,
+        "color_type": color,
     }
+    return info, recon.reshape(h, w, ch)
+
+
+def decode_png(raw: bytes) -> dict:
+    """Stats-only PNG decode (the ``extract_features`` decoder): real
+    image properties plus ``mean_e2`` = mean sample value ×100, floored.
+    Full pixel reconstruction happens exactly once (decode_png_pixels)."""
+    info, px = decode_png_pixels(raw)
+    info = {k: v for k, v in info.items() if k != "color_type"}
+    info["mean_e2"] = (
+        int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
+    )
+    return info

@@ -526,7 +526,7 @@ def simhash_verified_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: "int | None" = 1000,
-    n_chunks: int = 16,
+    n_chunks: int = 8,
 ) -> DataFrame:
     """SimHash as the candidate generator, exact n-gram Jaccard as the
     verify — the production near-dedup shape (cheap recall stage + exact
@@ -534,13 +534,18 @@ def simhash_verified_pairs(
     exact jaccard ≥ ``threshold``, so the result is ⊆ the exact-Jaccard
     pairs regardless of the hash.
 
-    Recall posture: with ``n_chunks=16`` (4-bit chunks) the pigeonhole
-    guarantees candidate capture to hamming 15; pairs at jaccard ≥ 0.8 have
-    cosine ≥ ~0.89 ⇒ expected hamming ≈ 9.7 (64·acos(0.89)/π), so the
-    simhash stage captures the exact pair set on the fixed, seeded test
-    corpora (confirmed equal at sf0.001/0.01/0.1 — same epistemic posture
-    as p6's full-recall LSH oracle). ``max_hamming`` (default 20 ≈ +3.6σ)
-    prunes the exact-verify fan-in; the verify itself is the count-based
+    Recall/bucket-space trade (the simhash banding invariant): pigeonhole
+    guarantees candidate capture to hamming ``n_chunks - 1``, but the key
+    space is only ``n_chunks · 2^(64/n_chunks)`` buckets — n_chunks=16
+    (4-bit chunks) has 256 buckets TOTAL, so beyond ~10⁴ docs every bucket
+    exceeds any sane ``max_bucket_size`` and the cap silently voids the
+    guarantee. Defaults are therefore the corpus-scale setting (n_chunks=8:
+    capture to hamming 7, 2048 buckets of 8-bit keys — pairs at j ≥ 0.9
+    land under that); small fixed corpora that need deep-hamming capture
+    (the p7 gate) pass ``n_chunks=16, max_bucket_size=None`` explicitly.
+    Pairs at jaccard ≥ 0.8 have cosine ≥ ~0.89 ⇒ expected hamming ≈ 9.7
+    (64·acos(0.89)/π). ``max_hamming`` (default 20 ≈ +3.6σ) prunes the
+    exact-verify fan-in; the verify itself is the count-based
     inverted-index join — exchanges carry ids + longs, never arrays.
     Output: id_a, id_b (a<b), jaccard_e4.
     """

@@ -206,43 +206,31 @@ def resize_images(
     """
     import numpy as np
 
-    from fugue_spark.pipeline.codecs import decode_png, encode_png
+    from fugue_spark.pipeline.codecs import decode_png_pixels, encode_png
 
     w_out, h_out = int(width), int(height)
     if w_out <= 0 or h_out <= 0:
         raise ValueError(f"target size must be positive, got {width}x{height}")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        import struct
-        import zlib as _zlib
-
         for pdf in batches:
             ids, blobs, chans = [], [], []
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
                 raw = raw if isinstance(raw, bytes) else bytes(raw)
-                # decode to pixels: reuse the codec's parser but keep the
-                # reconstructed array (decode_png returns stats; re-run the
-                # reconstruction here for the pixel matrix)
-                meta = decode_png(raw)
+                # ONE full decode: meta + reconstructed pixels together
+                # (the per-pixel unfilter loop is the cost — never run twice)
+                meta, img = decode_png_pixels(raw)
                 w_in, h_in, ch = meta["width"], meta["height"], meta["n_channels"]
-                # re-inflate to pixels (codec keeps decode cheap/stateless)
-                pos, idat = 8, b""
-                while pos + 8 <= len(raw):
-                    (sz,) = struct.unpack(">I", raw[pos : pos + 4])
-                    cid = raw[pos + 4 : pos + 8]
-                    if cid == b"IDAT":
-                        idat += raw[pos + 8 : pos + 8 + sz]
-                    pos += 12 + sz
-                data = np.frombuffer(_zlib.decompress(idat), dtype=np.uint8)
-                rows = data.reshape(h_in, w_in * ch + 1)
-                from fugue_spark.pipeline.codecs import _unfilter
-
-                prev = np.zeros(w_in * ch, dtype=np.uint8)
-                px = np.empty((h_in, w_in * ch), dtype=np.uint8)
-                for y in range(h_in):
-                    prev = _unfilter(int(rows[y, 0]), rows[y, 1:], prev, ch)
-                    px[y] = prev
-                img = px.reshape(h_in, w_in, ch)
+                if meta["color_type"] == 3:
+                    raise ValueError(
+                        "palette PNG: pixels are palette indices — resizing "
+                        "them as luminance would corrupt the image (expand "
+                        "the palette first)"
+                    )
+                if ch == 2:
+                    raise ValueError(
+                        "gray+alpha PNG not supported by the re-encoder"
+                    )
                 # nearest-neighbor: source index = floor((i + 0.5) * in/out)
                 ys = np.minimum(((np.arange(h_out) + 0.5) * h_in / h_out).astype(int), h_in - 1)
                 xs = np.minimum(((np.arange(w_out) + 0.5) * w_in / w_out).astype(int), w_in - 1)
@@ -293,6 +281,18 @@ def resample_audio(
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
                 raw = raw if isinstance(raw, bytes) else bytes(raw)
                 meta = decode_wav(raw)
+                if meta["n_channels"] != 1:
+                    raise ValueError(
+                        f"resample_audio supports mono PCM; got "
+                        f"{meta['n_channels']} channels (deinterleave first)"
+                    )
+                # byte-wise decimation is only sample-wise for 8-bit PCM;
+                # a 16-bit stream sliced by bytes would split samples —
+                # refuse honestly (decode_wav's contract)
+                if meta["bits"] != 8:
+                    raise ValueError(
+                        f"resample_audio supports 8-bit PCM; got {meta['bits']}-bit"
+                    )
                 # pull the PCM back out (8-bit path: bytes ARE the samples)
                 pos, data = 12, b""
                 while pos + 8 <= len(raw):

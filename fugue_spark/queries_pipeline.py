@@ -235,7 +235,10 @@ def p7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming-threshold operator stays value-checked on the planted corpus
     (p14) and in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_verified_pairs(docs, threshold=0.8, n=3, max_hamming=20)
+    return simhash_verified_pairs(
+        docs, threshold=0.8, n=3, max_hamming=20, n_chunks=16,
+        max_bucket_size=None,
+    )
 
 
 @register(
