@@ -638,3 +638,54 @@ def test_time_rollup_from_finest_lossless(spark):
 
     with pytest.raises(ValueError, match="granularities"):
         time_rollup(ev, "ts", ["fortnight"])
+
+
+def test_asof_join_null_payload_keeps_row_integrity(spark):
+    """Review regression: a NULL in a right payload column must not splice
+    values from different right rows — the match is one actual row."""
+    import pandas as pd
+
+    import fugue_spark.api as fa
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [3], "lv": [0]}))
+    right = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, None)], "k string, t long, rv double"
+    )
+    r = fa.asof_join(left, right, on="t", by="k").collect()[0]
+    assert r.r_t == 2 and r.r_rv is None  # the ts=2 row, NOT rv from ts=1
+
+    # pandas agrees
+    want = pd.merge_asof(
+        left.toPandas().sort_values("t"),
+        right.toPandas().sort_values("t"),
+        on="t", by="k",
+    )
+    assert pd.isna(want.rv.iloc[0])
+
+
+def test_range_join_null_handling(spark):
+    """Review regressions: NULL point columns don't duplicate left-join
+    rows; NULL interval bounds match nothing (no in-plan error)."""
+    import fugue_spark.api as fa
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0, None)], "pid long, k string, x double, note string"
+    )
+    iv = spark.createDataFrame(
+        [(10, "a", 0.0, 10.0)], "iid long, k string, lo double, hi double"
+    )
+    rows = fa.range_join(
+        pts, iv, point_col="x", lo_col="lo", hi_col="hi", by="k",
+        how="left", bin_width=5.0,
+    ).collect()
+    assert len(rows) == 1 and rows[0].iid == 10
+
+    iv2 = spark.createDataFrame(
+        [(10, "a", 0.0, None), (11, "a", 0.0, 10.0)],
+        "iid long, k string, lo double, hi double",
+    )
+    rows2 = fa.range_join(
+        pts.select("pid", "k", "x"), iv2, point_col="x",
+        lo_col="lo", hi_col="hi", by="k", bin_width=5.0,
+    ).collect()
+    assert [r.iid for r in rows2] == [11]

@@ -807,3 +807,52 @@ def test_winnowing_guarantee_and_pairs(spark):
     assert winnowing_fingerprints(tiny, k=3, w=4).count() == 1
     empty = spark.createDataFrame([[8, "ab"]], parse_schema("doc_id:long,text:str"))
     assert winnowing_fingerprints(empty, k=3, w=4).count() == 0
+
+
+def test_media_ops_refuse_unsupported_shapes(spark):
+    """Review regressions: resample_audio refuses 16-bit PCM (byte-wise
+    decimation would split samples); resize_images refuses palette and
+    gray+alpha PNGs instead of silently corrupting pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fugue_spark.pipeline import resample_audio, resize_images
+    from fugue_spark.pipeline.codecs import encode_wav
+
+    w16 = encode_wav(np.arange(100, dtype="<i2").tobytes(), 8000, 1, 16)
+    df16 = spark.createDataFrame([(1, bytearray(w16))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="8-bit"):
+        resample_audio(df16, factor=2).collect()
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ga = np.zeros((4, 4, 2), dtype=np.uint8)
+    scan = b"".join(b"\x00" + ga[y].tobytes() for y in range(4))
+    png_ga = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    dfga = spark.createDataFrame([(1, bytearray(png_ga))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="gray\\+alpha"):
+        resize_images(dfga, 2, 2).collect()
+
+    pal = np.zeros((4, 4), dtype=np.uint8)
+    scan_p = b"".join(b"\x00" + pal[y].tobytes() for y in range(4))
+    png_pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(range(3)))
+        + chunk(b"IDAT", zlib.compress(scan_p))
+        + chunk(b"IEND", b"")
+    )
+    dfp = spark.createDataFrame([(1, bytearray(png_pal))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="palette"):
+        resize_images(dfp, 2, 2).collect()
