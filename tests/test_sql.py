@@ -531,3 +531,22 @@ def test_select_nested_errors(spark):
             """,
             spark=spark,
         )
+
+
+def test_process_with_timeseries_operators(spark):
+    """The engine's time-series operators plug into FugueSQL as PROCESS
+    extensions — asof_join straight from a script."""
+    from fugue_spark.operators import asof_join
+
+    res = fsql(
+        """
+        trades = CREATE [[1, 10, 100.0], [1, 25, 101.0]] SCHEMA k:long,t:long,px:double
+        quotes = CREATE [[1, 8, 99.5], [1, 20, 100.5], [1, 30, 102.0]] SCHEMA k:long,t:long,bid:double
+        j = PROCESS trades, quotes USING asof(on="t", by="k")
+        YIELD DATAFRAME AS j
+        """,
+        spark=spark,
+        functions={"asof": lambda a, b, **kw: asof_join(a, b, **kw)},
+    )
+    rows = {(r.k, r.t): (r.r_bid, r.r_t) for r in res["j"].collect()}
+    assert rows == {(1, 10): (99.5, 8), (1, 25): (100.5, 20)}
