@@ -131,6 +131,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # the ones that most need a fresh oracle check). Everything else keeps its
 # registration order.
 _GATE_FIRST = (
+    "p35_jpeg_features",
     "p34_winnowing_pairs",
     "p33_audio_resample",
     "p30_asof_join",

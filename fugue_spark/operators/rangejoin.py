@@ -40,10 +40,9 @@ def range_join(
     ``bin_width`` defaults to a probe of the median interval span (one
     bounded aggregation job) — intervals then cover ~2 bins each. Numeric
     or timestamp columns both work (timestamps are binned on epoch
-    seconds). ``how='left'`` keeps points with no interval, null-extended
-    (fully-duplicate point ROWS collapse to one in the unmatched branch —
-    distinct-based anti-join; give points a unique id column if that
-    matters).
+    seconds). ``how='left'`` keeps points with no interval, null-extended;
+    duplicate point rows are preserved in both branches (a matched
+    duplicate emits one output row per copy per matching interval).
 
     Output: all point columns + all interval columns (caller pre-renames
     collisions; colliding names raise).
@@ -58,6 +57,15 @@ def range_join(
     ]
     if clash:
         raise ValueError(f"column collision between sides: {clash} — rename first")
+    reserved = [
+        c
+        for c in ("__bin__", "__nb__", "__bins__")
+        if c in points.columns or c in intervals.columns
+    ]
+    if reserved:
+        raise ValueError(
+            f"columns {reserved} are reserved internal names of range_join — rename them first"
+        )
 
     def num(side: DataFrame, c: str) -> F.Column:
         from pyspark.sql import types as T

@@ -13,8 +13,12 @@ from fugue_spark.pipeline.dedup import (
     simhash_verified_pairs,
 )
 from fugue_spark.pipeline.codecs import (
+    decode_jpeg,
+    decode_jpeg_pixels,
     decode_png,
+    decode_png_pixels,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
 )
@@ -22,6 +26,7 @@ from fugue_spark.pipeline.multimodal import (
     MEDIA_SCHEMA,
     as_media,
     extract_features,
+    pack_jpeg_tiles,
     pack_wav,
     register_decoder,
     resample_audio,

@@ -2,13 +2,14 @@
 metadata structs, with decode/feature steps as Arrow-batched pandas UDFs.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning) is real and
-tested. Decoding is dispatched by mime via ``register_decoder``; WAV and
-PNG ship with REAL pure-python decoders (``codecs.py`` — RIFF chunk walk +
-PCM decode, zlib inflate + scanline unfilter), so features for those
-formats are actual decoded properties. Formats that need native libraries
-(JPEG/MP3/H.264 …) fall back to a clearly-documented deterministic stub —
-swapping in PIL/librosa/ffmpeg is one ``register_decoder`` call, not a plan
-change.
+tested. Decoding is dispatched by mime via ``register_decoder``; WAV, PNG
+and JPEG ship with REAL pure-python decoders (``codecs.py`` — RIFF chunk
+walk + PCM decode, zlib inflate + scanline unfilter, baseline JFIF entropy
+decode + IDCT), so features for those formats are actual decoded
+properties. Unregistered mimes (MP3, H.264 …) RAISE by default —
+``allow_stub=True`` opts into a clearly-documented deterministic stub for
+end-to-end plumbing tests; swapping in librosa/ffmpeg is one
+``register_decoder`` call, not a plan change.
 """
 
 from __future__ import annotations
@@ -23,12 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fugue_spark.pipeline.codecs import decode_png, decode_wav
+from fugue_spark.pipeline.codecs import decode_jpeg, decode_png, decode_wav
 
 __all__ = [
     "MEDIA_SCHEMA",
     "as_media",
     "pack_wav",
+    "pack_jpeg_tiles",
     "with_media_meta",
     "extract_features",
     "register_decoder",
@@ -73,6 +75,8 @@ def _fake_decode(raw: bytes) -> dict:
 register_decoder("audio/wav", decode_wav)
 register_decoder("audio/x-wav", decode_wav)
 register_decoder("image/png", decode_png)
+register_decoder("image/jpeg", decode_jpeg)
+register_decoder("image/jpg", decode_jpeg)
 
 
 def as_media(df: DataFrame, source_col: str, mime: str = "application/octet-stream") -> DataFrame:
@@ -126,6 +130,73 @@ def pack_wav(
     )
 
 
+def pack_jpeg_tiles(
+    df: DataFrame,
+    source_col: str,
+    grid: "tuple[int, int]" = (4, 4),
+    id_col: str = "doc_id",
+    quality: int = 100,
+) -> DataFrame:
+    """Render a column's bytes as a REAL baseline-JFIF grayscale image:
+    byte ``i`` (cycled if the value is shorter than ``grid_w*grid_h``)
+    becomes a constant 8x8 tile, so a ``grid=(4,4)`` value is a 32x32
+    JPEG. Constant tiles are DC-only blocks — at ``quality=100`` (DC
+    quant step 1) the decode round-trip is EXACT, which is what lets an
+    independent engine verify decoded features from the source bytes
+    (the p35 gate contract; same synthesis role as pack_wav for audio).
+
+    mapInPandas (encode is numpy-vectorized per image; one Arrow batch in
+    flight per core, map-only). Rows with empty source are dropped.
+    Output: ``id (from id_col), blob (binary), meta (MEDIA_SCHEMA)``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from fugue_spark.pipeline.codecs import encode_jpeg
+
+    gw, gh = int(grid[0]), int(grid[1])
+    if gw <= 0 or gh <= 0:
+        raise ValueError(f"grid must be positive, got {grid}")
+    src = F.col(source_col)
+    dt = df.schema[source_col].dataType
+    data = src if isinstance(dt, T.BinaryType) else F.encode(src.cast("string"), "utf-8")
+    packed = df.select(F.col(id_col).alias("id"), data.alias("__bytes__")).filter(
+        F.octet_length("__bytes__") > 0
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        n_tiles = gw * gh
+        for pdf in batches:
+            ids, blobs, nb, sha = [], [], [], []
+            for i, raw in zip(pdf["id"], pdf["__bytes__"]):
+                raw = raw if isinstance(raw, bytes) else bytes(raw)
+                b = np.frombuffer(raw, dtype=np.uint8)
+                tiles = b[np.arange(n_tiles) % len(b)].reshape(gh, gw)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                blob = encode_jpeg(img, quality=quality)
+                ids.append(i)
+                blobs.append(blob)
+                nb.append(len(blob))
+                sha.append(hashlib.sha1(blob).hexdigest())
+            yield pd.DataFrame(
+                {"id": ids, "blob": blobs, "n_bytes": nb, "sha1": sha}
+            )
+
+    flat = packed.mapInPandas(
+        run, "id long, blob binary, n_bytes long, sha1 string"
+    )
+    return flat.select(
+        "id",
+        "blob",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.col("n_bytes"),
+            F.col("sha1"),
+        ).alias("meta"),
+    )
+
+
 def with_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """Pure-JVM metadata: byte length + sha1 (no decode)."""
     return df.withColumn(
@@ -161,17 +232,28 @@ def extract_features(
     id_col: str = "doc_id",
     blob_col: str = "blob",
     mime: str = "application/octet-stream",
+    allow_stub: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of blobs;
     bounded memory — one batch of media in flight per core). Dispatches to
-    the registered decoder by longest mime prefix (WAV/PNG are real
-    decoders by default), else the deterministic fake. Fields a decoder
-    does not produce come back null."""
-    decoder = _fake_decode
-    best = -1
+    the registered decoder by longest mime prefix (WAV/PNG/JPEG are real
+    decoders by default). An UNREGISTERED mime raises up front — a decode
+    that silently produced pseudo-features would poison a pipeline;
+    ``allow_stub=True`` explicitly opts into the deterministic CRC stub for
+    end-to-end plumbing tests. Fields a decoder does not produce come back
+    null."""
+    decoder, best = None, -1
     for prefix, fn in _DECODERS.items():
         if mime.startswith(prefix) and len(prefix) > best:
             decoder, best = fn, len(prefix)
+    if decoder is None:
+        if not allow_stub:
+            raise ValueError(
+                f"no decoder registered for mime {mime!r} — register one via "
+                "register_decoder(), or pass allow_stub=True to use the "
+                "deterministic CRC pseudo-feature stub (plumbing tests only)"
+            )
+        decoder = _fake_decode
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -194,19 +276,25 @@ def resize_images(
     id_col: str = "doc_id",
     blob_col: str = "blob",
 ) -> DataFrame:
-    """REAL image resize over PNG blobs: decode (zlib inflate + unfilter),
-    nearest-neighbor resample to (width, height) with pure numpy index
-    arithmetic, re-encode as PNG. mapInPandas — one Arrow batch of images
-    in flight per core, map-only, no shuffle; output blobs are
-    spec-conformant PNGs any tool can open.
+    """REAL image resize over PNG and JPEG blobs (format sniffed from the
+    magic bytes): full decode — zlib inflate + unfilter for PNG, baseline
+    entropy decode + IDCT for JPEG — then nearest-neighbor resample to
+    (width, height) with pure numpy index arithmetic, re-encoded as PNG
+    (lossless output regardless of input format). mapInPandas — one Arrow
+    batch of images in flight per core, map-only, no shuffle; output blobs
+    are spec-conformant PNGs any tool can open.
 
-    Output: ``id_col, blob (binary), width, height, n_channels``. Formats
-    needing native decoders (JPEG…) raise per-row ValueError from the
-    codec — honest failure, not a silent skip.
+    Output: ``id_col, blob (binary), width, height, n_channels``. Unknown
+    formats raise per-row ValueError from the codec — honest failure, not
+    a silent skip.
     """
     import numpy as np
 
-    from fugue_spark.pipeline.codecs import decode_png_pixels, encode_png
+    from fugue_spark.pipeline.codecs import (
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        encode_png,
+    )
 
     w_out, h_out = int(width), int(height)
     if w_out <= 0 or h_out <= 0:
@@ -218,8 +306,12 @@ def resize_images(
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
                 raw = raw if isinstance(raw, bytes) else bytes(raw)
                 # ONE full decode: meta + reconstructed pixels together
-                # (the per-pixel unfilter loop is the cost — never run twice)
-                meta, img = decode_png_pixels(raw)
+                # (the per-pixel decode loop is the cost — never run twice)
+                if raw[:2] == b"\xff\xd8":
+                    meta, img = decode_jpeg_pixels(raw)
+                    meta = dict(meta, color_type=None)
+                else:
+                    meta, img = decode_png_pixels(raw)
                 w_in, h_in, ch = meta["width"], meta["height"], meta["n_channels"]
                 if meta["color_type"] == 3:
                     raise ValueError(

@@ -22,6 +22,20 @@ __all__ = ["time_rollup"]
 _UNITS = ["minute", "hour", "day", "week", "month", "year"]
 
 
+def _nests(coarse: str, fine: str) -> bool:
+    """True iff every ``fine`` bucket lies wholly inside one ``coarse``
+    bucket — i.e. re-aggregating ``coarse`` from ``fine`` rollups is exact.
+
+    ISO weeks straddle month/year boundaries, so 'week' only nests upward
+    into nothing: month/year derived from week buckets would misattribute
+    the straddling week's events to the month of its Monday. Every other
+    pair in _UNITS nests (minute⊂hour⊂day⊂{week,month⊂year}).
+    """
+    if fine == "week":
+        return False
+    return _UNITS.index(coarse) > _UNITS.index(fine)
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str,
@@ -78,9 +92,15 @@ def time_rollup(
     levels = [finest]
     if from_finest and len(gs) > 1:
         # re-aggregate the finest level: bucket_start is a string, so parse
-        # it back once — count/sum are summable, max is maxable
+        # it back once — count/sum are summable, max is maxable. Levels that
+        # do NOT nest in the finest bucket (month/year over a 'week' finest:
+        # ISO weeks straddle month boundaries) silently misattribute events
+        # if derived this way, so they fall back to a raw scan instead.
         base = finest.withColumn("__ts__", F.to_timestamp("bucket_start"))
         for g in gs[1:]:
+            if not _nests(g, gs[0]):
+                levels.append(level_from_raw(g))
+                continue
             b = F.date_trunc(g, F.col("__ts__"))
             gb = base.groupBy(b.alias("__b__"), *keys)
             agg = gb.agg(

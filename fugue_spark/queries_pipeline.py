@@ -1362,3 +1362,46 @@ def p34_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs(
         docs, min_shared=2, k=3, w=4, max_fp_df=None
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "p35_jpeg_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    t AS (  -- the 16 tile values = source bytes cycled over a 4x4 grid
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> (strpos('0123456789abcdef', substr(h, 2*(i % n) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2*(i % n) + 2, 1)) - 1)) AS tiles
+      FROM b
+    )
+    SELECT doc_id AS id, 32 AS width, 32 AS height, 1 AS n_channels,
+           1 AS n_frames,
+           (list_reduce(tiles, (p, q) -> p + q) * 100) // 16 AS mean_e2
+    FROM t
+    """,
+    tags=("multimodal", "image", "jpeg"),
+)
+def p35_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, value-checked: each document's bytes are rendered
+    as a baseline-JFIF grayscale image (pack_jpeg_tiles — 8x8 constant
+    tiles, quality 100, so the lossy format round-trips EXACTLY: constant
+    tiles are DC-only blocks and the DC quant step is 1), then
+    extract_features dispatches to the pure-python JPEG decoder
+    (codecs.decode_jpeg — marker walk, DQT/DHT build, per-MCU Huffman
+    entropy decode, dequantize + IDCT). The oracle re-derives the decoded
+    mean independently in DuckDB from the same source bytes, so a decoder
+    that misparses tables, mispredicts DC, or misplaces blocks fails the
+    gate. No reference counterpart (fugue has no media ops) — brief-driven
+    training-data-pipeline surface."""
+    from fugue_spark.pipeline import pack_jpeg_tiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = pack_jpeg_tiles(docs, "text", grid=(4, 4), id_col="doc_id")
+    feats = extract_features(media, id_col="id", blob_col="blob", mime="image/jpeg")
+    return feats.select(
+        "id", "width", "height", "n_channels", "n_frames", "mean_e2"
+    )

@@ -689,3 +689,111 @@ def test_range_join_null_handling(spark):
         lo_col="lo", hi_col="hi", by="k", bin_width=5.0,
     ).collect()
     assert [r.iid for r in rows2] == [11]
+
+
+def test_asof_join_null_timestamps(spark):
+    """ADVICE r06: right rows with NULL `on` must not become phantom
+    matches (asc nulls-first would sort them before every real event);
+    left rows with NULL `on` never match and survive how='left'."""
+    left = make_df(
+        spark, [[1, 5, 10], [1, None, 11]], "k:int,t:int,lv:int"
+    )
+    right = make_df(
+        spark, [[1, None, 100], [1, 3, 101]], "k:int,t:int,rv:int"
+    )
+    got = {r.lv: (r.r_rv, r.r_t) for r in fa.asof_join(left, right, on="t", by="k").collect()}
+    assert got[10] == (101, 3)  # real event matches; NULL right row ignored
+    assert got[11] == (None, None)  # NULL left ts: no match, row kept
+    gotf = {
+        r.lv: (r.r_rv, r.r_t)
+        for r in fa.asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert gotf[11] == (None, None)  # forward would otherwise grab first event
+    inner = fa.asof_join(left, right, on="t", by="k", how="inner").collect()
+    assert [r.lv for r in inner] == [10]
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    """Duplicate right (key, ts): tiebreak_col makes the pick
+    deterministic with pandas merge_asof semantics — backward keeps the
+    LAST row <= ts (max tiebreak), forward the FIRST row >= ts (min)."""
+    left = make_df(spark, [[1, 5, 0], [1, 2, 1]], "k:int,t:int,lv:int")
+    right = make_df(
+        spark,
+        [[1, 3, 7], [1, 3, 9], [1, 3, 8], [1, 6, 1], [1, 6, 2]],
+        "k:int,t:int,rv:int",
+    )
+    got = {
+        r.lv: r.r_rv
+        for r in fa.asof_join(left, right, on="t", by="k", tiebreak_col="rv").collect()
+    }
+    assert got[0] == 9  # max tiebreak among the t=3 ties
+    assert got[1] is None
+    gotf = {
+        r.lv: r.r_rv
+        for r in fa.asof_join(
+            left, right, on="t", by="k", direction="forward", tiebreak_col="rv"
+        ).collect()
+    }
+    assert gotf[1] == 7 and gotf[0] == 1  # min tiebreak among the ties
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        fa.asof_join(left, right, on="t", by="k", tiebreak_col="nope")
+
+
+def test_asof_range_join_reserved_names_raise(spark):
+    """ADVICE r06: internal helper columns must not silently eat user
+    columns of the same name."""
+    bad = make_df(spark, [[1, 2, 3]], "k:int,t:int,__r__:int")
+    ok = make_df(spark, [[1, 2, 4]], "k:int,t:int,rv:int")
+    with pytest.raises(ValueError, match="reserved"):
+        fa.asof_join(bad, ok, on="t", by="k")
+    with pytest.raises(ValueError, match="reserved"):
+        fa.asof_join(ok, bad.withColumnRenamed("__r__", "__side__"), on="t", by="k")
+    pts = make_df(spark, [[1, 5, 9]], "k:int,x:int,__bin__:int")
+    iv = make_df(spark, [[1, 0, 10]], "k:int,lo:int,hi:int")
+    with pytest.raises(ValueError, match="reserved"):
+        fa.range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi", by="k")
+    with pytest.raises(ValueError, match="reserved"):
+        fa.range_join(
+            pts.withColumnRenamed("__bin__", "p"),
+            iv.withColumnRenamed("lo", "__nb__"),
+            point_col="x", lo_col="__nb__", hi_col="hi", by="k",
+        )
+
+
+def test_time_rollup_week_non_nesting(spark):
+    """ADVICE r06 (medium): ISO weeks straddle month boundaries, so
+    month/year must NOT be re-aggregated from a 'week' finest level —
+    from_finest falls back to a raw scan for non-nesting levels and the
+    result equals the direct computation."""
+    from fugue_spark.pipeline import time_rollup
+
+    ev = spark.createDataFrame(
+        # 2024-01-29 (Mon) .. 2024-02-02 (Fri): one ISO week spanning the
+        # Jan/Feb boundary — the misattribution trap
+        [
+            ("2024-01-29 10:00:00", "a", 1.0),
+            ("2024-01-31 11:00:00", "a", 2.0),
+            ("2024-02-01 09:00:00", "a", 4.0),
+            ("2024-02-02 12:00:00", "a", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    direct = time_rollup(ev, "ts", ["week", "month"], by="event_type", value_col="value")
+    derived = time_rollup(
+        ev, "ts", ["week", "month"], by="event_type", value_col="value",
+        from_finest=True,
+    )
+    key = lambda r: (r["granularity"], r["bucket_start"], r["event_type"])  # noqa: E731
+    d = sorted(map(lambda r: r.asDict(), direct.collect()), key=key)
+    f = sorted(map(lambda r: r.asDict(), derived.collect()), key=key)
+    assert d == f
+    months = {r["bucket_start"]: r["value_cents"] for r in d if r["granularity"] == "month"}
+    assert months["2024-01-01 00:00:00"] == 300  # 1.0 + 2.0 — NOT the whole week
+    assert months["2024-02-01 00:00:00"] == 1200
+    # nesting levels still take the single-scan path and stay lossless
+    direct2 = time_rollup(ev, "ts", ["day", "week"], by="event_type", value_col="value")
+    derived2 = time_rollup(
+        ev, "ts", ["day", "week"], by="event_type", value_col="value", from_finest=True
+    )
+    assert sorted(map(tuple, direct2.collect())) == sorted(map(tuple, derived2.collect()))

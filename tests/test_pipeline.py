@@ -134,8 +134,13 @@ def test_ann_lsh_recall_on_planted_neighbors(spark):
 def test_media_features_deterministic(spark, docs):
     media = as_media(docs.limit(20), "text", mime="text/plain")
     assert media.schema["meta"].dataType.fieldNames() == ["mime", "n_bytes", "sha1"]
-    f1 = sorted(map(tuple, extract_features(media).collect()))
-    f2 = sorted(map(tuple, extract_features(media).collect()))
+    # unregistered mime: loud failure by default, stub only on explicit opt-in
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no decoder registered"):
+        extract_features(media)
+    f1 = sorted(map(tuple, extract_features(media, allow_stub=True).collect()))
+    f2 = sorted(map(tuple, extract_features(media, allow_stub=True).collect()))
     assert f1 == f2
     assert all(t[1] > 0 and t[2] >= 1 for t in f1)  # n_bytes, width
 
@@ -856,3 +861,110 @@ def test_media_ops_refuse_unsupported_shapes(spark):
     dfp = spark.createDataFrame([(1, bytearray(png_pal))], "doc_id long, blob binary")
     with pytest.raises(Exception, match="palette"):
         resize_images(dfp, 2, 2).collect()
+
+
+def test_jpeg_codec_real_decode(spark):
+    """Pure-python baseline JFIF: exact round-trip on constant 8x8 tiles
+    at quality 100 (DC-only blocks, unit DC quant), near-lossless on
+    smooth gradients, correct across subsampling modes and restart
+    markers, loud failure on progressive/truncated streams."""
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_jpeg, decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # exact: constant tiles, quality 100
+    tiles = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 24x40
+    blob = encode_jpeg(img, quality=100)
+    meta, px = decode_jpeg_pixels(blob)
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (40, 24, 1)
+    assert np.array_equal(px[:, :, 0], img)
+    stats = decode_jpeg(blob)
+    assert stats["mean_e2"] == int(np.floor(img.mean() * 100))
+
+    # near-lossless smooth gradient (non-multiple-of-8 size → edge padding)
+    x = np.linspace(0, 255, 37)
+    smooth = np.clip(np.add.outer(np.linspace(0, 255, 21), x) / 2, 0, 255).astype(np.uint8)
+    _, p2 = decode_jpeg_pixels(encode_jpeg(smooth, quality=95))
+    assert np.abs(p2[:, :, 0].astype(int) - smooth.astype(int)).max() <= 3
+
+    # RGB, every subsampling mode, restart markers
+    g = np.clip(np.add.outer(np.linspace(0, 255, 40), np.linspace(0, 255, 40)) / 2, 0, 255)
+    rgb = np.stack([g, g[::-1], g.T], axis=2).astype(np.uint8)
+    for sub, rst, tol in (("4:4:4", 0, 4), ("4:2:2", 3, 6), ("4:2:0", 2, 8)):
+        m, p = decode_jpeg_pixels(
+            encode_jpeg(rgb, quality=92, subsampling=sub, restart_interval=rst)
+        )
+        assert (m["width"], m["height"], m["n_channels"]) == (40, 40, 3)
+        assert np.abs(p.astype(int) - rgb.astype(int)).max() <= tol, sub
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    with _pytest.raises(ValueError, match="coding process"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9")
+    with _pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])  # truncated entropy stream
+
+
+def test_jpeg_extract_and_resize(spark):
+    """image/jpeg dispatches to the REAL decoder in extract_features, and
+    resize_images sniffs JPEG magic bytes, resizes, and re-encodes PNG."""
+    import numpy as np
+
+    from fugue_spark.pipeline import (
+        decode_png_pixels,
+        encode_jpeg,
+        extract_features,
+        resize_images,
+    )
+    from fugue_spark.schema import parse_schema
+
+    tiles = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 32x32
+    blob = encode_jpeg(img, quality=100)
+    df = spark.createDataFrame(
+        [[7, bytearray(blob)]], parse_schema("doc_id:long,raw:bytes")
+    )
+    media = as_media(df, "raw", mime="image/jpeg")
+    row = extract_features(
+        media, id_col="doc_id", blob_col="blob", mime="image/jpeg"
+    ).collect()[0]
+    assert (row.width, row.height, row.n_channels, row.n_frames) == (32, 32, 1, 1)
+    assert row.mean_e2 == int(np.floor(img.mean() * 100))
+
+    out = resize_images(media, 16, 16, id_col="doc_id").collect()[0]
+    assert (out.width, out.height, out.n_channels) == (16, 16, 1)
+    _, small = decode_png_pixels(bytes(out.blob))
+    # nearest-neighbor of a 2x-tiled constant grid = the 4x4 tiles at 4x4 px
+    want = np.repeat(np.repeat(tiles, 4, axis=0), 4, axis=1)
+    assert np.array_equal(small[:, :, 0], want)
+
+
+def test_pack_jpeg_tiles_round_trip(spark):
+    """pack_jpeg_tiles renders bytes as constant 8x8 tiles (cycled) whose
+    decode is EXACT at quality 100 — the p35 gate contract."""
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_jpeg_pixels, pack_jpeg_tiles
+    from fugue_spark.schema import parse_schema
+
+    df = spark.createDataFrame(
+        [[1, "abc"], [2, ""], [3, "0123456789abcdef!"]],
+        parse_schema("doc_id:long,text:str"),
+    )
+    media = pack_jpeg_tiles(df, "text", grid=(4, 4))
+    got = {r.id: (bytes(r.blob), r.meta) for r in media.collect()}
+    assert set(got) == {1, 3}  # empty source dropped
+    for i, src in ((1, b"abc"), (3, b"0123456789abcdef!")):
+        blob, meta = got[i]
+        assert meta.mime == "image/jpeg" and meta.n_bytes == len(blob)
+        m, px = decode_jpeg_pixels(blob)
+        assert (m["width"], m["height"]) == (32, 32)
+        want = np.frombuffer(src, dtype=np.uint8)[np.arange(16) % len(src)].reshape(4, 4)
+        tiles = px[::8, ::8, 0]
+        assert np.array_equal(tiles, want)
+        # every tile constant (exact round-trip, not just the corners)
+        assert np.array_equal(px[:, :, 0], np.repeat(np.repeat(want, 8, 0), 8, 1))

@@ -302,3 +302,44 @@ def test_range_join_matches_pandas_filter(spark, seed):
     if how == "left":
         want += [(int(p.pid), None) for _, p in pts.iterrows() if int(p.pid) not in matched]
     assert got == sorted(want, key=key), (seed, how, bw)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_asof_join_duplicate_right_ts_tiebreak(spark, seed):
+    """asof_join(tiebreak_col=) ≡ pandas.merge_asof keep-last on random
+    series with DUPLICATE right timestamps — the r06 nondeterminism case.
+    rv is the input-order index, so pandas' stable-sort keep-last equals
+    our max-tiebreak pick."""
+    rng = random.Random(1300 + seed)
+    nl, nr = rng.randint(1, 20), rng.randint(1, 25)
+    left = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 3) for _ in range(nl)],
+            "t": [rng.randint(0, 30) for _ in range(nl)],
+            "lv": list(range(nl)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [rng.randint(1, 3) for _ in range(nr)],
+            "t": [rng.randint(0, 30) for _ in range(nr)],  # heavy ties
+            "rv": list(range(nr)),
+        }
+    )
+    direction = rng.choice(["backward", "forward"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = {
+        (r.k, r.t, r.lv): r.r_rv
+        for r in fa.asof_join(
+            ldf, rdf, on="t", by="k", direction=direction, tiebreak_col="rv"
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction=direction,
+    )
+    assert len(got) == nl
+    for _, row in want_df.iterrows():
+        w = None if pd.isna(row.rv) else int(row.rv)
+        assert got[(row.k, row.t, row.lv)] == w, (seed, direction, dict(row))
