@@ -159,6 +159,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        # measured floor (r07 profile): a 1-row noop write is ~50 ms and AQE
+        # materializes 2-10 jobs/query, so every sub-second query carries
+        # 0.1-1 s of scale-INVARIANT scheduling cost that DuckDB's in-process
+        # morsels do not pay. The honest comparison point is the sf1 block
+        # below ("scaling"), where the same queries amortize the constant and
+        # the per-query ratios reflect data-proportional work.
+        "overhead_note": (
+            "sub-second sf0.1 ratios are dominated by Spark's fixed per-job "
+            "cost (~50-150ms/job, 2-10 jobs/query under AQE); these constants "
+            "do not grow with data — see scaling.sf1 for the amortized ratios"
+        ),
     }
     try:
         with_ratios(out, run_duckdb(bench_specs, sf_dir, cpus))

@@ -132,6 +132,8 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # registration order.
 _GATE_FIRST = (
     "p35_jpeg_features",
+    "q29_transform_window_compiled",
+    "q30_transform_running_compiled",
     "p34_winnowing_pairs",
     "p33_audio_resample",
     "p30_asof_join",

@@ -50,9 +50,24 @@ Traceable surface (kept deliberately small and exact):
   * scalar arithmetic on reduced values — including across zip sides (each
     reduction is registered as a per-side aggregation leaf; composite
     expressions combine the leaves after the join); output must be a dict
+  * dict-of-arrays outputs: a dict mixing PER-ROW vectors with reductions
+    (``{"id": pdf.id, "share": pdf.x / pdf.x.sum(), "n": len(pdf)}``)
+    compiles to a WINDOW plan — reductions become ``agg OVER (PARTITION BY
+    keys)``, every group row emits one output row (_compile_window_shape);
+    the same dict runs as a multi-row result on the pandas path
+  * ``assign`` from a reduction (``pdf.assign(share=pdf.x / pdf.x.sum())``)
+    — the row-shaped output gains window-aggregate columns; reductions are
+    computed over the WHOLE group before any returned-row filter, matching
+    the pandas read order
+  * ordered running transforms over the declared presort: ``.cumsum()``
+    ``.cummax()`` ``.cummin()`` ``.shift(n, fill_value=)`` ``.diff(n)`` →
+    ordered window functions (running agg / lag); require partition keys
+    AND a presort, refuse through row filters (pandas would align by index)
 
 Compiled plans:
   * transform  → ``df.groupBy(keys).agg(leaves)`` + output projection
+  * transform (per-row outputs) → window plan: leaves as ``agg OVER
+    (PARTITION BY keys)``, one exchange, no Python stage
   * cotransform (inner zip) → per-side ``groupBy(keys).agg(side leaves)``
     joined on the keys (inner join ≡ the zip engine's skip-empty-group
     rule), then the output projection combines sides' leaves
@@ -540,6 +555,76 @@ class _Vec(_Base):
     def median(self):
         return self._leaf(self._nan_empty(F.median(self._agg_arg(self._num()))))
 
+    # ordered (running) transforms — per-row outputs over the declared
+    # presort, compiled to ordered window functions over the partition keys.
+    # These make the window-shaped output compile (dict-of-arrays results):
+    # running totals, lag/lead deltas — one exchange, no Python.
+    def _ordered_window(self, op: str):
+        from pyspark.sql import Window
+
+        f = self.frame
+        if f is None:
+            raise TraceError(f"{op} on an unbound expression is not traceable")
+        if self.cond is not None:
+            raise TraceError(
+                f"{op} through a row filter is not traceable — pandas would "
+                "align the filtered result by index"
+            )
+        if not f.keys:
+            raise TraceError(
+                f"{op} compiles only with partition keys (a global running "
+                "window is a single-partition bottleneck at scale)"
+            )
+        if not f.presort:
+            raise TraceError(
+                f"{op} without a declared presort is input-order-dependent — "
+                "not traceable"
+            )
+        order = []
+        for name, asc in f.presort:
+            c = F.col(f.safe(name))
+            order.append(c.asc() if asc else c.desc())
+        return Window.partitionBy(*[F.col(f.safe(k)) for k in f.keys]).orderBy(
+            *order
+        )
+
+    def _running(self, op: str, agg) -> "_Vec":
+        from pyspark.sql import Window
+
+        w = self._ordered_window(op).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return _Vec(agg(self._num()).over(w), frame=self.frame)
+
+    def cumsum(self):
+        return self._running("cumsum", F.sum)
+
+    def cummax(self):
+        return self._running("cummax", F.max)
+
+    def cummin(self):
+        return self._running("cummin", F.min)
+
+    def shift(self, periods: int = 1, fill_value: Any = None):
+        """pandas Series.shift over the declared presort → lag/lead window.
+        Divergence note: the unfilled boundary is SQL NULL where pandas
+        gives NaN for numeric series — they normalize identically, but a
+        comparison on the boundary row is NULL (excluded from filters)
+        where pandas' NaN comparison is False (also excluded) — same
+        filter semantics, different tri-state path."""
+        if not isinstance(periods, int) or isinstance(periods, bool):
+            raise TraceError("shift(periods) must be a constant int")
+        w = self._ordered_window("shift")
+        c = F.lag(self.col, periods).over(w)
+        if fill_value is not None:
+            if not isinstance(fill_value, (int, float, bool, str)):
+                raise TraceError("shift fill_value must be a constant")
+            c = F.coalesce(c, F.lit(fill_value))
+        return _Vec(c, frame=self.frame)
+
+    def diff(self, periods: int = 1):
+        return self - self.shift(periods)
+
     def _first(self, i: Any) -> _Scalar:
         if not isinstance(i, int) or i != 0:
             raise TraceError("only first-row access ([0] / .iloc[0]) is traceable")
@@ -863,6 +948,11 @@ class _DerivedFrame:
                 # re-bind under THIS frame's filter (reads through pdf[mask]
                 # reduce conditionally)
                 return _Vec(v.col, frame=v.frame, boolish=v.boolish, cond=self._cond)
+            if isinstance(v, _Scalar):
+                # an assigned reduction read back as a (constant-per-group)
+                # vector — the __aggN__ reference resolves to the in-plan
+                # window column
+                return _Vec(v.col, frame=self._base, cond=self._cond)
             return _Vec(F.lit(v), frame=self._base, cond=self._cond)
         base = self._base._col(name)
         if self._cond is None:
@@ -990,11 +1080,14 @@ class _DerivedFrame:
         for k, v in kw.items():
             if callable(v):
                 raise TraceError("assign with a callable is not traceable")
-            if isinstance(v, _Scalar):
-                raise TraceError(
-                    f"assign({k}=...) from a reduction needs a window — not traceable"
-                )
-            if isinstance(v, _Vec):
+            if isinstance(v, _KeyRef):
+                pass  # group key: constant within the group, valid per-row
+            elif isinstance(v, _Scalar):
+                # a reduction broadcast onto every row — compiles as a
+                # window aggregate over the partition keys (the leaf's
+                # __aggN__ reference resolves to an in-plan window column)
+                pass
+            elif isinstance(v, _Vec):
                 if v.frame is not self._base:
                     raise TraceError("assigned expression from a different frame")
                 if v.cond is not None and _cond_str(v.cond) != _cond_str(self._cond):
@@ -1155,6 +1248,120 @@ def _widen_nullable(out: DataFrame) -> DataFrame:
     return out
 
 
+def _with_window_leaves(df: DataFrame, ctx: _TraceCtx, keys, safe) -> DataFrame:
+    """Materialize each aggregation leaf as ``__aggN__`` window columns
+    (agg OVER (PARTITION BY keys)) so per-row outputs can reference
+    reductions. One exchange on the keys; map-side nothing — Spark's
+    window exec sorts within partitions, which at 100 TB is the standard
+    'attach group aggregate to every row' plan."""
+    if not ctx.leaves:
+        return df
+    if not keys:
+        raise TraceError(
+            "per-row outputs mixing reductions compile only with partition "
+            "keys (a keyless window is a single-partition bottleneck)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(safe(k)) for k in keys])
+    try:
+        for i, (_, col) in enumerate(ctx.leaves):
+            df = df.withColumn(f"__agg{i}__", col.over(w))
+    except TraceError:
+        raise
+    except Exception as ex:  # e.g. count_distinct is not a window function
+        raise TraceError(f"reduction cannot run as a window function: {ex}") from ex
+    return df
+
+
+def _analyzed(out: DataFrame) -> DataFrame:
+    """Force plan analysis so unsupported constructs (e.g. count_distinct
+    as a window function) surface as TraceError — the fallback trigger —
+    instead of escaping as AnalysisException at action time."""
+    try:
+        out.schema
+    except TraceError:
+        raise
+    except Exception as ex:  # AnalysisException and friends
+        raise TraceError(f"compiled plan failed analysis: {ex}") from ex
+    return out
+
+
+def _compile_window_shape(
+    df: DataFrame,
+    res: dict,
+    res2: dict,
+    ctx: _TraceCtx,
+    out_schema: T.StructType,
+    keys: "list[str]",
+    frame: "_TraceFrame",
+) -> DataFrame:
+    """Compile a dict output that mixes per-row vectors with per-group
+    reductions (the dict-of-arrays result shape: every group row emits one
+    output row, reductions broadcast onto each row) to a native window
+    plan — ONE exchange on the keys, no Python stage.
+
+    Row-order note: within a group the pandas path emits rows in presort
+    order; the compiled plan's intra-group order is engine-arbitrary (same
+    contract as every other unordered output)."""
+    if not keys:
+        raise TraceError(
+            "per-row dict outputs compile only with partition keys"
+        )
+    plan = _with_window_leaves(df, ctx, keys, frame.safe)
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*[F.col(frame.safe(k)) for k in keys])
+    outs: list[Column] = []
+    for f in out_schema.fields:
+        v, w2 = res[f.name], res2[f.name]
+        if isinstance(v, _Base):
+            if type(w2) is not type(v) or str(w2.col) != str(v.col):
+                raise TraceError(
+                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                )
+        if isinstance(v, _KeyRef):
+            outs.append(F.col(frame.safe(v.name)).cast(f.dataType).alias(f.name))
+        elif isinstance(v, _Vec):
+            if v.cond is not None:
+                raise TraceError(
+                    f"output {f.name!r} was read through a row filter — its "
+                    "length differs from the group's (return the filtered "
+                    "frame itself instead)"
+                )
+            outs.append(v.col.cast(f.dataType).alias(f.name))
+        elif isinstance(v, _Scalar):
+            outs.append(v.col.cast(f.dataType).alias(f.name))
+        elif isinstance(v, bool) or v is None or isinstance(v, str):
+            if w2 != v:
+                raise TraceError(f"output {f.name!r} is not len()-invariant")
+            outs.append(F.lit(v).cast(f.dataType).alias(f.name))
+        elif isinstance(v, (int, float)):
+            dec = _decode_len_sum(v, 0, 1)
+            if dec is not None:
+                if _decode_len_sum(w2, 1, 1) != dec:
+                    raise TraceError(
+                        f"output {f.name!r} mixes len(pdf) with other "
+                        "arithmetic — use pdf.shape[0]"
+                    )
+                c = F.count(F.lit(1)).over(wk)
+                mult = dec.get(0, 1)
+                outs.append(
+                    (c if mult == 1 else c * F.lit(mult)).cast(f.dataType).alias(f.name)
+                )
+            elif v == w2 or (v != v and w2 != w2):
+                outs.append(F.lit(v).cast(f.dataType).alias(f.name))
+            else:
+                raise TraceError(
+                    f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
+                )
+        else:
+            raise TraceError(
+                f"output {f.name!r} has untraceable type {type(v).__name__}"
+            )
+    return _widen_nullable(_analyzed(plan.select(*outs)))
+
+
 def _compile_map_shape(
     df: DataFrame,
     res: "Any",
@@ -1169,12 +1376,10 @@ def _compile_map_shape(
     ``filter``/``select`` plan — no Python workers and, unlike the
     aggregation shape, no exchange at all: a per-group row-local operation
     is the same operation applied globally, so any declared partitioning
-    is a semantic no-op and is elided from the plan."""
-    if ctx.leaves or ctx2.leaves:
-        raise TraceError(
-            "the function mixes reductions with a row-shaped output — "
-            "only pure row-local filter/assign/projection compiles"
-        )
+    is a semantic no-op and is elided from the plan — UNLESS the derivation
+    embeds per-group reductions (``assign(share=pdf.x / pdf.x.sum())``),
+    which compile as window aggregates over the partition keys: one
+    exchange instead of a Python stage."""
     a = res if isinstance(res, _DerivedFrame) else _DerivedFrame(res)
     b = res2 if isinstance(res2, _DerivedFrame) else _DerivedFrame(res2)
     # len()-sentinel invariance: the derivation must be identical across
@@ -1190,13 +1395,20 @@ def _compile_map_shape(
         or a._dedup_subset != b._dedup_subset
         or any(
             str(x.col) != str(y.col)
-            if isinstance(x, _Vec)
+            if isinstance(x, _Base)
             else (type(x) is not type(y) or x != y)
             for x, y in zip(a._assigned.values(), b._assigned.values())
         )
     ):
         raise TraceError(
             "the returned frame depends on len(pdf) — not row-local"
+        )
+    if len(ctx.leaves) != len(ctx2.leaves) or any(
+        s1 != s2 or str(c1) != str(c2)
+        for (s1, c1), (s2, c2) in zip(ctx.leaves, ctx2.leaves)
+    ):
+        raise TraceError(
+            "the traced aggregations depend on len(pdf) — use pdf.shape[0]"
         )
     available = set(a.columns)
     missing = [f.name for f in out_schema.fields if f.name not in available]
@@ -1208,14 +1420,19 @@ def _compile_map_shape(
 
     def resolve(name: str) -> Column:
         v = a._assigned.get(name)
-        if isinstance(v, _Vec):
+        if isinstance(v, (_Vec, _Scalar)):
             return v.col
         if v is not None:
             return F.lit(v)
         return a._base._col(name).col
 
     outs = [resolve(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
-    plan = df if a._cond is None else df.filter(a._cond)
+    # reductions embedded in the derivation (assigned _Scalars) become
+    # window aggregates over the partition keys, computed over the WHOLE
+    # group (the leaf's CASE WHEN carries any read-time filter) BEFORE the
+    # frame's row filter applies — exactly the pandas-path order
+    plan = _with_window_leaves(df, ctx, keys, a._base.safe)
+    plan = plan if a._cond is None else plan.filter(a._cond)
     if a._limit is not None:
         # per-group top-k: sort_values(...).head(k) → row_number window.
         # Only with partition keys — a head over a PHYSICAL partition on
@@ -1247,7 +1464,7 @@ def _compile_map_shape(
             plan.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= a._limit)
         )
-    return _widen_nullable(plan.select(*outs))
+    return _widen_nullable(_analyzed(plan.select(*outs)))
 
 
 def try_compile_aggregation(
@@ -1288,6 +1505,12 @@ def try_compile_aggregation(
         return _compile_map_shape(df, res, res2, ctx, ctx2, out_schema, keys=keys)
     res, res2 = _require_dict(res), _require_dict(res2)
     _check_invariant(res, res2, ctx, ctx2, out_cols, 1)
+    if any(
+        isinstance(v, _Vec) and not isinstance(v, _KeyRef) for v in res.values()
+    ):
+        # dict-of-arrays shape: per-row vectors (possibly mixed with
+        # reductions) → window plan, one output row per group row
+        return _compile_window_shape(df, res, res2, ctx, out_schema, keys, frame)
 
     safe = frame.safe
     gk = {k: f"__gk_{i}__" for i, k in enumerate(keys)}
@@ -1304,7 +1527,7 @@ def try_compile_aggregation(
         )
     else:
         out = df.agg(*aggs) if aggs else df.agg(F.count(F.lit(1)).alias("__dummy__"))
-    return _widen_nullable(out.select(*outs))
+    return _widen_nullable(_analyzed(out.select(*outs)))
 
 
 def try_compile_cotransform(
@@ -1365,4 +1588,4 @@ def try_compile_cotransform(
     joined = sides[0]
     for g in sides[1:]:
         joined = joined.join(g, on=keys, how="inner")
-    return _widen_nullable(joined.select(*outs))
+    return _widen_nullable(_analyzed(joined.select(*outs)))

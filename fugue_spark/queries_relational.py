@@ -539,25 +539,31 @@ def q24_fuguesql_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(l_quantity AS INTEGER) AS l_quantity,
            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
-           CAST(l_returnflag = 'R' AS BOOLEAN) AS returned
+           CAST(l_returnflag = 'R' AS BOOLEAN) AS returned,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
     FROM lineitem WHERE l_linenumber = 1
     """,
-    tags=("alter_columns", "cast"),
+    tags=("alter_columns", "cast", "decimal"),
 )
 def q14_alter_columns_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alter_columns cast matrix over the engine op (float→int with the
-    NaN→NULL guard, timestamp→date, derived boolean)."""
+    NaN→NULL guard, timestamp→date, derived boolean, double→decimal(12,2)
+    — the SURVEY §1.2 decimal commitment, value-checked via the canonical
+    scale-2 string rendering both engines share)."""
     li = fa.filter(load_table(spark, sf_dir, "lineitem"), ff.col("l_linenumber") == 1)
     li = fa.assign(
         li,
         ship_day=ff.col("l_shipdate"),
         returned=ff.col("l_returnflag") == "R",
+        price_dec=ff.col("l_extendedprice"),
     )
-    li = fa.select_columns(li, ["l_orderkey", "l_quantity", "ship_day", "returned"])
-    out = fa.alter_columns(li, "l_quantity:int,ship_day:date")
-    # date→string for engine-neutral comparison (date objects round-trip
-    # differently through pandas in each engine)
-    return fa.alter_columns(out, "ship_day:str")
+    li = fa.select_columns(
+        li, ["l_orderkey", "l_quantity", "ship_day", "returned", "price_dec"]
+    )
+    out = fa.alter_columns(li, "l_quantity:int,ship_day:date,price_dec:decimal(12,2)")
+    # date/decimal→string for engine-neutral comparison (date objects and
+    # Decimal round-trip differently through pandas in each engine)
+    return fa.alter_columns(out, "ship_day:str,price_dec:str")
 
 
 @register(
@@ -1037,5 +1043,106 @@ def q28_transform_dedup_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         best_line_per_flag,
         schema="l_orderkey:long,l_returnflag:str,l_linenumber:int,l_quantity:double",
         partition={"by": ["l_orderkey"]},
+        compile="strict",
+    )
+
+
+@register(
+    "q29_transform_window_compiled",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(
+             CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS DOUBLE)
+             * 1000000
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                 OVER (PARTITION BY l_orderkey)
+           ) AS BIGINT) AS share_e6,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM lineitem
+    """,
+    tags=("transform", "compile", "window"),
+    bench=True,
+)
+def q29_transform_window_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-of-arrays through the trace-compiler: a per-group function that
+    RETURNS PER-ROW VECTORS mixed with reductions (each line's share of its
+    order's revenue) compiles to a native WINDOW plan — the reduction
+    becomes ``sum() OVER (PARTITION BY key)``, every group row emits one
+    output row, one exchange, no Python stage. The same function runs
+    unmodified on the pandas path (dict-of-arrays = multi-row result).
+    This is the r06-VERDICT 'dict-of-lists' compiler widening."""
+    from fugue_spark.transform import transform
+
+    li = fa.select_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"],
+    )
+
+    def per_line_share(pdf):
+        rev_e4 = (pdf.l_extendedprice * (1 - pdf.l_discount) * 10000).round().astype("int64")
+        tot = rev_e4.sum()
+        return {
+            "l_orderkey": pdf.l_orderkey.iloc[0],
+            "l_linenumber": pdf.l_linenumber,
+            # float-division + floor on BOTH paths (the compiled form is
+            # floor(a / b) over doubles): rev*1e6 < 2^53 so the double is
+            # exact and the floor is engine-identical
+            "share_e6": (rev_e4.astype("float64") * 1000000 / tot.astype("float64")).astype("float64").__floordiv__(1).astype("int64"),
+            "n_lines": len(pdf),
+        }
+
+    return transform(
+        li,
+        per_line_share,
+        schema="l_orderkey:long,l_linenumber:int,share_e6:long,n_lines:long",
+        partition={"by": ["l_orderkey"]},
+        compile="strict",
+    )
+
+
+@register(
+    "q30_transform_running_compiled",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_cents,
+           COALESCE(LAG(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ), 0) AS prev_cents
+    FROM events
+    """,
+    tags=("transform", "compile", "window", "running"),
+    bench=True,
+)
+def q30_transform_running_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (ordered-window) transforms through the trace-compiler:
+    ``cumsum()`` and ``shift()`` over the declared presort compile to
+    ordered window functions (running SUM / LAG over PARTITION BY user
+    ORDER BY ts, event_id). The presort carries event_id as a tiebreak so
+    both paths are deterministic under equal timestamps. Same function,
+    pandas path ≡ compiled path ≡ DuckDB window oracle."""
+    from fugue_spark.transform import transform
+
+    ev = fa.select_columns(
+        load_table(spark, sf_dir, "events"),
+        ["user_id", "event_id", "ts", "value"],
+    )
+
+    def running(pdf):
+        cents = (pdf.value * 100).round().astype("int64")
+        return {
+            "user_id": pdf.user_id.iloc[0],
+            "event_id": pdf.event_id,
+            "run_cents": cents.cumsum(),
+            "prev_cents": cents.shift(1, fill_value=0).astype("int64"),
+        }
+
+    return transform(
+        ev,
+        running,
+        schema="user_id:long,event_id:long,run_cents:long,prev_cents:long",
+        partition={"by": ["user_id"], "presort": "ts ASC, event_id ASC"},
         compile="strict",
     )

@@ -93,6 +93,14 @@ def save_df(
             raise ValueError("force_single and partition_by are mutually exclusive")
         _save_single_file(df, path, fmt, mode, **params)
         return
+    if partition_by:
+        # cluster rows by partition value before writing: without this every
+        # task writes a fragment into every partition directory — O(tasks ×
+        # values) small files, the classic hive-partitioning anti-pattern
+        # (at 1000 executors that is ~1000 files per value). One exchange on
+        # the partition keys gives O(1) files per value; AQE splits skewed
+        # values into parallel tasks when a single value is large.
+        df = df.repartition(*[df[c] for c in partition_by])
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", str(bool(params.pop("header", False))).lower())

@@ -256,6 +256,35 @@ class _Executor:
 
     def _maybe_df_ref(self, c: _Cursor) -> "str | None":
         t = c.peek()
+        nxt1 = c.peek(1)
+        if (
+            t is not None
+            and t.value == "("
+            and nxt1 is not None
+            and nxt1.kind == "word"
+            and nxt1.upper in STATEMENT_KEYWORDS
+        ):
+            # nested statement in dataframe-reference position:
+            # TRANSFORM (CREATE ... | SELECT ...) USING f — consume the
+            # balanced group, execute it as an expression, bind the frame
+            # to an internal variable (two-level compositions recurse
+            # naturally: the nested statement's own refs parse the same way)
+            c.pop()  # '('
+            depth, body = 1, []
+            while depth:
+                tok = c.pop()
+                if tok.value == "(":
+                    depth += 1
+                elif tok.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                body.append(tok)
+            df = self._run_nested(body)
+            self._nested_ref_serial = getattr(self, "_nested_ref_serial", 0) + 1
+            name = f"__fugue_nested_ref_{self._nested_ref_serial}__"
+            self.vars[name] = df
+            return name
         if t is not None and t.kind == "word" and self._is_df_word(t):
             c.pop()
             name = t.value

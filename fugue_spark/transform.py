@@ -32,6 +32,7 @@ import typing
 from collections.abc import Iterable
 from typing import Any, Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -677,6 +678,13 @@ class _ResultBatcher:
     def add(self, res: Any) -> "pd.DataFrame | None":
         if res is None:
             return None
+        if isinstance(res, dict) and any(
+            isinstance(v, (list, tuple, np.ndarray, pd.Series)) for v in res.values()
+        ):
+            # dict-of-arrays: one output row per array element, scalar
+            # values broadcast (pd.DataFrame semantics) — the multi-row
+            # sibling of the scalar-dict cheap path
+            res = pd.DataFrame(res)
         if isinstance(res, dict):
             self.dicts.append(res)
             self.rows += 1
@@ -760,6 +768,15 @@ class _ArrowResultBatcher:
     def add(self, res: Any) -> "list[pa.RecordBatch] | None":
         if res is None:
             return None
+        if isinstance(res, dict) and any(
+            isinstance(v, (list, tuple, np.ndarray, pd.Series, pa.Array, pa.ChunkedArray))
+            for v in res.values()
+        ):
+            # dict-of-arrays: one output row per element, scalars broadcast
+            res = pd.DataFrame(
+                {k: (v.to_pandas() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v)
+                 for k, v in res.items()}
+            )
         if isinstance(res, dict):
             self.dicts.append(res)
             self.rows += 1

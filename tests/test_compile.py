@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 
 import fugue_spark.api as fa
+from fugue_spark.compile import TraceError
 from fugue_spark.transform import transform
 
 
@@ -902,3 +903,160 @@ def test_drop_duplicates_keep_last_nan_sort(spark):
     assert norm(got.collect()) == norm(want.collect())
     # pandas keeps the NaN row (it sorts last) — assert the actual value
     assert norm(got.collect()) == [(1, "x", "NA"), (2, "y", "NA")]
+
+
+# ---------------- window-shape compile (dict-of-arrays, r07) ----------------
+
+
+def _win_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2, 3],
+                "x": [10.0, 30.0, 60.0, 5.0, 15.0, 7.0],
+                "i": [1, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+
+
+def _sorted_pdf(df):
+    return df.toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+
+
+def test_window_shape_dict_of_arrays(spark):
+    """A dict mixing per-row vectors with reductions compiles to a window
+    plan (agg OVER partition) with NO python stage, and matches the
+    pandas path value-for-value."""
+    df = _win_df(spark)
+
+    def share(pdf):
+        tot = pdf.x.values.sum()
+        return {
+            "k": pdf.k.values[0],
+            "i": pdf.i.values,
+            "share_e4": ((pdf.x.values / tot) * 10000).astype("int64"),
+            "n": len(pdf),
+        }
+
+    schema = "k:long,i:long,share_e4:long,n:long"
+    part = {"by": ["k"]}
+    compiled = transform(df, share, schema=schema, partition=part, compile="strict")
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # native window, no python workers
+    a = _sorted_pdf(transform(df, share, schema=schema, partition=part))
+    b = _sorted_pdf(compiled)
+    assert a.equals(b)
+    assert b.loc[b.k == 1, "share_e4"].tolist() == [1000, 3000, 6000]
+    assert b.n.tolist() == [3, 3, 3, 2, 2, 1]
+
+
+def test_window_shape_running_cumsum_shift(spark):
+    """cumsum/shift/diff over the declared presort compile to ordered
+    window functions; parity with the pandas path."""
+    df = _win_df(spark)
+
+    def running(pdf):
+        return {
+            "k": pdf.k.values[0],
+            "i": pdf.i.values,
+            "run": pdf.x.cumsum().values,
+            "prev": pdf.x.shift(1, fill_value=0.0).values,
+            "delta": pdf.x.diff().fillna(0.0).values,
+        }
+
+    schema = "k:long,i:long,run:double,prev:double,delta:double"
+    part = {"by": ["k"], "presort": "i ASC"}
+    a = _sorted_pdf(transform(df, running, schema=schema, partition=part))
+    b = _sorted_pdf(transform(df, running, schema=schema, partition=part, compile="strict"))
+    assert a.equals(b)
+    assert b.loc[b.k == 1, "run"].tolist() == [10.0, 40.0, 100.0]
+    assert b.loc[b.k == 1, "prev"].tolist() == [0.0, 10.0, 30.0]
+    assert b.loc[b.k == 2, "delta"].tolist() == [0.0, 10.0]
+
+
+def test_assign_from_reduction_compiles(spark):
+    """pdf.assign(z=(x - mean)/std) — a row-shaped output embedding
+    reductions — compiles to window aggregates; a later filter on the
+    assigned column works and sees the WHOLE-group reduction."""
+    df = _win_df(spark)
+
+    def zscore(pdf):
+        m = pdf.x.mean()
+        return pdf.assign(dev=pdf.x - m)[["k", "i", "dev"]]
+
+    schema = "k:long,i:long,dev:double"
+    a = _sorted_pdf(transform(df, zscore, schema=schema, partition={"by": ["k"]}))
+    b = _sorted_pdf(
+        transform(df, zscore, schema=schema, partition={"by": ["k"]}, compile="strict")
+    )
+    assert np.allclose(a.dev, b.dev) and a[["k", "i"]].equals(b[["k", "i"]])
+
+    def top_share(pdf):
+        out = pdf.assign(share=pdf.x / pdf.x.sum())
+        return out[out.share > 0.3][["k", "i", "share"]]
+
+    schema2 = "k:long,i:long,share:double"
+    a2 = _sorted_pdf(transform(df, top_share, schema=schema2, partition={"by": ["k"]}))
+    b2 = _sorted_pdf(
+        transform(df, top_share, schema=schema2, partition={"by": ["k"]}, compile="strict")
+    )
+    assert a2.shape == b2.shape and np.allclose(a2.share, b2.share)
+
+
+def test_window_shape_refusals_and_fallback(spark):
+    """Honest refusals: running ops need keys AND presort; filtered vector
+    outputs refuse (length mismatch); nunique-over-window is unsupported
+    by Spark and falls back to the pandas path under compile=True."""
+    df = _win_df(spark)
+
+    def run_no_presort(pdf):
+        return {"k": pdf.k.values[0], "i": pdf.i.values, "run": pdf.x.cumsum().values}
+
+    with pytest.raises(TraceError, match="presort"):
+        transform(
+            df, run_no_presort, schema="k:long,i:long,run:double",
+            partition={"by": ["k"]}, compile="strict",
+        )
+
+    def filtered_vec(pdf):
+        sub = pdf[pdf.x > 8.0]
+        return {"k": pdf.k.values[0], "i": sub.i.values, "n": len(pdf)}
+
+    with pytest.raises(TraceError, match="row filter"):
+        transform(
+            df, filtered_vec, schema="k:long,i:long,n:long",
+            partition={"by": ["k"]}, compile="strict",
+        )
+
+    def nun(pdf):
+        return {"k": pdf.k.values[0], "i": pdf.i.values, "u": pdf.x.nunique()}
+
+    with pytest.raises(TraceError, match="window function"):
+        transform(
+            df, nun, schema="k:long,i:long,u:long",
+            partition={"by": ["k"]}, compile="strict",
+        )
+    # non-strict: graceful fallback to the pandas path, same values
+    fb = _sorted_pdf(
+        transform(df, nun, schema="k:long,i:long,u:long",
+                  partition={"by": ["k"]}, compile=True)
+    )
+    assert fb.u.tolist() == [3, 3, 3, 2, 2, 1]
+
+
+def test_window_shape_cotransform_refuses(spark):
+    """Per-row outputs from a zip cotransform do not compile (ambiguous
+    row alignment across sides) — TraceError in strict mode."""
+    from fugue_spark.cotransform import cotransform
+
+    df = _win_df(spark)
+
+    def vec_out(a, b):
+        return {"k": a.k.values[0], "i": a.i.values, "n": len(b)}
+
+    with pytest.raises(TraceError):
+        cotransform(
+            [df, df], vec_out, schema="k:long,i:long,n:long",
+            partition={"by": ["k"]}, compile="strict",
+        )

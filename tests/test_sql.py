@@ -550,3 +550,32 @@ def test_process_with_timeseries_operators(spark):
     )
     rows = {(r.k, r.t): (r.r_bid, r.r_t) for r in res["j"].collect()}
     assert rows == {(1, 10): (99.5, 8), (1, 25): (100.5, 20)}
+
+
+def test_select_nested_two_level_with_member_access(spark):
+    """r06-VERDICT grammar-corner closure: TWO-level nested sub-statements
+    (a nested TRANSFORM whose own source is a nested CREATE) combined with
+    df[key] member access as a join side (reference
+    fugue/sql/_visitors.py:363,397 composition forms)."""
+
+    def splitter(spark_, df):
+        return {"low": df.filter("x < 15"), "high": df.filter("x >= 15")}
+
+    res = fsql(
+        """
+        src = CREATE [[10], [20], [30]] SCHEMA x:long
+        parts = MODULE src USING splitter
+        two = SELECT * FROM (TRANSFORM (CREATE [[1],[2]] SCHEMA x:long) USING shift SCHEMA x:long) WHERE x > 10
+        YIELD DATAFRAME AS two
+        j = SELECT a.x, b.x AS y FROM parts['high'] AS a
+            JOIN (SELECT * FROM (CREATE [[20],[99]] SCHEMA x:long)) AS b ON a.x = b.x
+        YIELD DATAFRAME AS j
+        """,
+        spark=spark,
+        functions={
+            "splitter": splitter,
+            "shift": lambda pdf: pdf.assign(x=pdf.x * 10),
+        },
+    )
+    assert sorted(rows(res["two"])) == [(20,)]
+    assert sorted(rows(res["j"])) == [(20, 20)]

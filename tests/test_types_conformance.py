@@ -140,3 +140,31 @@ def test_workflow_helpers(spark, tmp_path):
     p = str(tmp_path / "su.parquet")
     reloaded = save_and_use(a, p)
     assert rows(reloaded) == rows(a)
+
+
+def test_decimal_through_transform_and_casts(spark):
+    """SURVEY §1.2 decimal conformance: decimal(p,s) columns survive the
+    schema parser, the transform round-trip (Arrow carries Decimal), and
+    the alter_columns cast matrix (double↔decimal, rescale, to-string)."""
+    import decimal
+
+    df = spark.createDataFrame(
+        [[1, decimal.Decimal("1234.56")], [2, decimal.Decimal("-0.05")]],
+        parse_schema("i:int,p:decimal(12,2)"),
+    )
+    # transform round-trip keeps the decimal type and values
+    res = fa.transform(df, lambda pdf: pdf, schema="*")
+    assert dict(res.dtypes)["p"] == "decimal(12,2)"
+    vals = {r.i: r.p for r in res.collect()}
+    assert vals == {1: decimal.Decimal("1234.56"), 2: decimal.Decimal("-0.05")}
+
+    # cast matrix: decimal→double, decimal→string, rescale, double→decimal
+    out = fa.alter_columns(df, "p:double")
+    assert {r.p for r in out.collect()} == {1234.56, -0.05}
+    out = fa.alter_columns(df, "p:str")
+    assert {r.p for r in out.collect()} == {"1234.56", "-0.05"}
+    out = fa.alter_columns(df, "p:decimal(14,4)")
+    assert dict(out.dtypes)["p"] == "decimal(14,4)"
+    assert {str(r.p) for r in out.collect()} == {"1234.5600", "-0.0500"}
+    back = fa.alter_columns(fa.alter_columns(df, "p:double"), "p:decimal(12,2)")
+    assert {str(r.p) for r in back.collect()} == {"1234.56", "-0.05"}
