@@ -131,6 +131,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # the ones that most need a fresh oracle check). Everything else keeps its
 # registration order.
 _GATE_FIRST = (
+    "p36_video_frames",
     "p35_jpeg_features",
     "q29_transform_window_compiled",
     "q30_transform_running_compiled",

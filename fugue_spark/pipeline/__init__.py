@@ -13,11 +13,14 @@ from fugue_spark.pipeline.dedup import (
     simhash_verified_pairs,
 )
 from fugue_spark.pipeline.codecs import (
+    decode_avi,
+    decode_avi_stats,
     decode_jpeg,
     decode_jpeg_pixels,
     decode_png,
     decode_png_pixels,
     decode_wav,
+    encode_avi_mjpeg,
     encode_jpeg,
     encode_png,
     encode_wav,
@@ -26,12 +29,14 @@ from fugue_spark.pipeline.multimodal import (
     MEDIA_SCHEMA,
     as_media,
     extract_features,
+    pack_avi_tiles,
     pack_jpeg_tiles,
     pack_wav,
     register_decoder,
     resample_audio,
     resize_images,
     sample_frames,
+    video_frame_features,
     with_media_meta,
 )
 from fugue_spark.pipeline.rollup import time_rollup

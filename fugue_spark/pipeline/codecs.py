@@ -1,16 +1,20 @@
 """Real pure-python media codecs for the multimodal pipeline.
 
-The container has no native media libraries (PIL/librosa/ffmpeg), but two
-honest formats need none: WAV is a RIFF header over raw PCM, and PNG is
-zlib (stdlib) over per-row filtered scanlines. Both decoders here parse the
-actual bytes — header fields are read little/big-endian from the blob and
-pixels/samples are fully reconstructed — so ``extract_features`` over these
-mimes reports REAL decoded properties, checkable against an independent
-computation (the p11 gate derives the expected values in DuckDB from the
-source bytes).
+The container has no native media libraries (PIL/librosa/ffmpeg), but four
+honest formats need none: WAV is a RIFF header over raw PCM; PNG is zlib
+(stdlib) over per-row filtered scanlines; baseline JPEG is Huffman entropy
+coding + DCT, implemented here in full (marker/DQT/DHT parse, per-MCU
+entropy decode with restart markers, vectorized IDCT, chroma upsample,
+YCbCr→RGB); and MJPEG-in-AVI is RIFF around per-frame JPEGs. Every decoder
+parses the actual bytes — header fields are read little/big-endian from
+the blob and pixels/samples are fully reconstructed — so
+``extract_features`` over these mimes reports REAL decoded properties,
+checkable against an independent computation (the p11/p35/p36 gates derive
+the expected values in DuckDB from the source bytes).
 
-Encoders are provided for test/data-synthesis symmetry: ``encode_wav`` and
-``encode_png`` produce spec-conformant files that external tools can read.
+Encoders are provided for test/data-synthesis symmetry: ``encode_wav``,
+``encode_png``, ``encode_jpeg`` and ``encode_avi_mjpeg`` produce
+spec-conformant files that external tools can read.
 """
 
 from __future__ import annotations
@@ -29,6 +33,9 @@ __all__ = [
     "encode_jpeg",
     "decode_jpeg",
     "decode_jpeg_pixels",
+    "encode_avi_mjpeg",
+    "decode_avi",
+    "decode_avi_stats",
 ]
 
 
@@ -833,3 +840,104 @@ def decode_jpeg(raw: bytes) -> dict:
         int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
     )
     return info
+
+
+# ---------------------------------------------------------------- AVI ----
+#
+# MJPEG-in-AVI: the one mainstream VIDEO container pure python can honestly
+# decode end-to-end — the container is RIFF (same chunk grammar as WAV) and
+# every frame is a baseline JPEG, which decode_jpeg_pixels above fully
+# reconstructs. This upgrades the video pipeline from "plumbing with an
+# injected decoder" to a real default decoder for a real format.
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: "list[bytes]", width: int, height: int, fps: int = 10
+) -> bytes:
+    """Assemble MJPEG frames into a minimal spec-conformant AVI:
+    RIFF('AVI ') → LIST(hdrl: avih + LIST(strl: strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER)) → LIST(movi: one '00dc' chunk per frame)."""
+    n = len(jpeg_frames)
+    if n == 0:
+        raise ValueError("cannot encode an empty AVI")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + ltype + body
+
+    max_sz = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_sz * fps, 0, 0x10, n, 0, 1, max_sz,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4H", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+        max_sz, 10000, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(raw: bytes) -> "tuple[dict, list[bytes]]":
+    """Parse an AVI container: ``(meta, frame_chunks)`` where meta carries
+    width/height/n_frames/fps_e3/duration_ms from the avih header and
+    frame_chunks are the raw video-stream payloads ('00dc'/'00db' chunks,
+    MJPEG = one JPEG per chunk), in stream order. Walks LIST trees
+    (including 'rec ' groupings real muxers emit)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    frames: list[bytes] = []
+    meta: dict = {}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            (sz,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"avih":
+                f = struct.unpack("<14I", raw[body : body + 56])
+                meta["usec_per_frame"] = f[0]
+                meta["n_frames"] = f[4]
+                meta["width"] = f[8]
+                meta["height"] = f[9]
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(raw[body : body + sz])
+            pos = body + sz + (sz & 1)  # chunks are word-aligned
+
+    walk(12, len(raw))
+    if not meta:
+        raise ValueError("missing avih header")
+    upf = meta.pop("usec_per_frame", 0)
+    meta["fps_e3"] = (1_000_000_000 // upf) if upf else 0
+    meta["duration_ms"] = meta["n_frames"] * upf // 1000 if upf else 0
+    return meta, frames
+
+
+def decode_avi_stats(raw: bytes) -> dict:
+    """Stats-only AVI decode (the ``extract_features`` decoder): container
+    header properties + ``mean_e2`` of the FIRST frame's decoded pixels
+    (MJPEG → real JPEG decode; decoding every frame belongs in
+    ``video_frame_features``, not a stats probe)."""
+    meta, frames = decode_avi(raw)
+    out = {
+        "n_frames": meta["n_frames"],
+        "width": meta["width"],
+        "height": meta["height"],
+        "duration_ms": meta["duration_ms"],
+    }
+    if frames:
+        _info, px = decode_jpeg_pixels(frames[0])
+        out["mean_e2"] = int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
+    return out

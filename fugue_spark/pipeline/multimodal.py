@@ -2,11 +2,12 @@
 metadata structs, with decode/feature steps as Arrow-batched pandas UDFs.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning) is real and
-tested. Decoding is dispatched by mime via ``register_decoder``; WAV, PNG
-and JPEG ship with REAL pure-python decoders (``codecs.py`` — RIFF chunk
-walk + PCM decode, zlib inflate + scanline unfilter, baseline JFIF entropy
-decode + IDCT), so features for those formats are actual decoded
-properties. Unregistered mimes (MP3, H.264 …) RAISE by default —
+tested. Decoding is dispatched by mime via ``register_decoder``; WAV, PNG,
+JPEG and MJPEG-in-AVI video ship with REAL pure-python decoders
+(``codecs.py`` — RIFF chunk walk + PCM decode, zlib inflate + scanline
+unfilter, baseline JFIF entropy decode + IDCT, AVI container walk), so
+features for those formats are actual decoded properties. Unregistered
+mimes (MP3, H.264 …) RAISE by default —
 ``allow_stub=True`` opts into a clearly-documented deterministic stub for
 end-to-end plumbing tests; swapping in librosa/ffmpeg is one
 ``register_decoder`` call, not a plan change.
@@ -24,13 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fugue_spark.pipeline.codecs import decode_jpeg, decode_png, decode_wav
+from fugue_spark.pipeline.codecs import (
+    decode_avi_stats,
+    decode_jpeg,
+    decode_png,
+    decode_wav,
+)
 
 __all__ = [
     "MEDIA_SCHEMA",
     "as_media",
     "pack_wav",
     "pack_jpeg_tiles",
+    "pack_avi_tiles",
+    "video_frame_features",
     "with_media_meta",
     "extract_features",
     "register_decoder",
@@ -77,6 +85,8 @@ register_decoder("audio/x-wav", decode_wav)
 register_decoder("image/png", decode_png)
 register_decoder("image/jpeg", decode_jpeg)
 register_decoder("image/jpg", decode_jpeg)
+register_decoder("video/x-msvideo", decode_avi_stats)
+register_decoder("video/avi", decode_avi_stats)
 
 
 def as_media(df: DataFrame, source_col: str, mime: str = "application/octet-stream") -> DataFrame:
@@ -194,6 +204,120 @@ def pack_jpeg_tiles(
             F.col("n_bytes"),
             F.col("sha1"),
         ).alias("meta"),
+    )
+
+
+def pack_avi_tiles(
+    df: DataFrame,
+    source_col: str,
+    n_frames: int = 3,
+    grid: "tuple[int, int]" = (2, 2),
+    id_col: str = "doc_id",
+    fps: int = 4,
+    quality: int = 100,
+) -> DataFrame:
+    """Render a column's bytes as a REAL MJPEG-in-AVI video: frame ``f``'s
+    tile ``i`` is byte ``(f*grid_w*grid_h + i) mod len`` (cycled), each
+    frame a constant-tile grayscale JPEG — at ``quality=100`` every frame's
+    decode is EXACT (DC-only blocks), so an independent engine can verify
+    per-frame decoded features from the source bytes (the p36 gate
+    contract; pack_wav/pack_jpeg_tiles's video sibling).
+
+    mapInPandas, map-only. Rows with empty source are dropped.
+    Output: ``id, blob (binary), meta (MEDIA_SCHEMA, mime video/x-msvideo)``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from fugue_spark.pipeline.codecs import encode_avi_mjpeg, encode_jpeg
+
+    gw, gh = int(grid[0]), int(grid[1])
+    nf = int(n_frames)
+    if gw <= 0 or gh <= 0 or nf <= 0:
+        raise ValueError(f"grid and n_frames must be positive, got {grid}, {n_frames}")
+    src = F.col(source_col)
+    dt = df.schema[source_col].dataType
+    data = src if isinstance(dt, T.BinaryType) else F.encode(src.cast("string"), "utf-8")
+    packed = df.select(F.col(id_col).alias("id"), data.alias("__bytes__")).filter(
+        F.octet_length("__bytes__") > 0
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        per_frame = gw * gh
+        for pdf in batches:
+            ids, blobs, nb, sha = [], [], [], []
+            for i, raw in zip(pdf["id"], pdf["__bytes__"]):
+                raw = raw if isinstance(raw, bytes) else bytes(raw)
+                b = np.frombuffer(raw, dtype=np.uint8)
+                frames = []
+                for f in range(nf):
+                    idx = (f * per_frame + np.arange(per_frame)) % len(b)
+                    tiles = b[idx].reshape(gh, gw)
+                    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                    frames.append(encode_jpeg(img, quality=quality))
+                blob = encode_avi_mjpeg(frames, gw * 8, gh * 8, fps=fps)
+                ids.append(i)
+                blobs.append(blob)
+                nb.append(len(blob))
+                sha.append(hashlib.sha1(blob).hexdigest())
+            yield pd.DataFrame({"id": ids, "blob": blobs, "n_bytes": nb, "sha1": sha})
+
+    flat = packed.mapInPandas(run, "id long, blob binary, n_bytes long, sha1 string")
+    return flat.select(
+        "id",
+        "blob",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.col("n_bytes"),
+            F.col("sha1"),
+        ).alias("meta"),
+    )
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 1,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """The video pipeline op: sample every ``every_n``-th frame from each
+    MJPEG-in-AVI blob AND feature-extract the kept frames in the same pass
+    (container walk + per-frame JPEG decode happen once; no intermediate
+    frame-blob materialization). mapInPandas, map-only — decode parallelism
+    is the partition count, one Arrow batch of videos in flight per core.
+
+    Output: ``id, frame_idx, width, height, mean_e2`` (one row per kept
+    frame; mean_e2 = decoded frame mean ×100, floored)."""
+    import numpy as np
+
+    from fugue_spark.pipeline.codecs import decode_avi, decode_jpeg_pixels
+
+    n = int(every_n)
+    if n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                raw = raw if isinstance(raw, bytes) else bytes(raw)
+                _meta, frames = decode_avi(raw)
+                for j in range(0, len(frames), n):
+                    info, px = decode_jpeg_pixels(frames[j])
+                    ids.append(i)
+                    idxs.append(j)
+                    ws.append(info["width"])
+                    hs.append(info["height"])
+                    means.append(
+                        int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "width": ws, "height": hs, "mean_e2": means}
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        run, "id long, frame_idx long, width long, height long, mean_e2 long"
     )
 
 
@@ -416,23 +540,28 @@ def sample_frames(
     blob_col: str = "blob",
     decoder: "Callable | None" = None,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per kept frame with
-    typed metadata (``id, frame_idx, frame blob``). Container decoding
-    needs native libraries (ffmpeg) absent here, so the default decoder
-    raises NotImplementedError — the Spark-side shape (mapInPandas fan-out,
-    schema, batching) is real and tested via an injected decoder; swap in
-    an ffmpeg-backed ``decoder(raw) -> list[bytes]`` to use for real."""
+    """Video frame sampling: one output row per kept frame with typed
+    metadata (``id, frame_idx, frame blob``). The DEFAULT decoder is REAL
+    for MJPEG-in-AVI (codecs.decode_avi — RIFF/LIST walk; each kept frame
+    blob is a standalone baseline JPEG that decode_jpeg/resize_images can
+    consume downstream). Other containers (MP4/H.264 …) need native
+    libraries and raise honestly; pass ``decoder(raw) -> list[bytes]``
+    (e.g. ffmpeg-backed) to handle them."""
     n = int(every_n)
     if n <= 0:
         raise ValueError(f"every_n must be positive, got {every_n}")
 
-    def _no_decoder(raw: bytes) -> "list[bytes]":
+    def _default_decoder(raw: bytes) -> "list[bytes]":
+        from fugue_spark.pipeline.codecs import decode_avi
+
+        if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            return decode_avi(raw)[1]
         raise NotImplementedError(
-            "video container decoding needs ffmpeg/pyav — register a "
-            "decoder(raw)->list[frame_bytes] via the decoder= parameter"
+            "only MJPEG-in-AVI decodes natively; other containers need "
+            "ffmpeg/pyav — pass decoder(raw)->list[frame_bytes]"
         )
 
-    dec = decoder or _no_decoder
+    dec = decoder or _default_decoder
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:

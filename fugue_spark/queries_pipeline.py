@@ -1405,3 +1405,42 @@ def p35_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "width", "height", "n_channels", "n_frames", "mean_e2"
     )
+
+
+@register(
+    "p36_video_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    f AS (SELECT unnest([0, 2]) AS frame_idx),
+    t AS (  -- frame f's 4 tile values = source bytes cycled from offset 4*f
+      SELECT doc_id, frame_idx,
+             list_transform(range(0, 4),
+               i -> (strpos('0123456789abcdef', substr(h, 2*((4*frame_idx + i) % n) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2*((4*frame_idx + i) % n) + 2, 1)) - 1)) AS tiles
+      FROM b CROSS JOIN f
+    )
+    SELECT doc_id AS id, frame_idx, 16 AS width, 16 AS height,
+           (list_reduce(tiles, (p, q) -> p + q) * 100) // 4 AS mean_e2
+    FROM t
+    """,
+    tags=("multimodal", "video"),
+)
+def p36_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-checked: each document's bytes become a
+    3-frame MJPEG-in-AVI (pack_avi_tiles — every frame a constant-tile
+    grayscale JPEG, exact at quality 100), then video_frame_features walks
+    the RIFF container, keeps every 2nd frame (indices 0 and 2), and fully
+    decodes each kept frame (per-MCU Huffman + IDCT). The oracle re-derives
+    every kept frame's decoded mean independently in DuckDB from the same
+    source bytes — a decoder that misparses the container, drops/reorders
+    frames, or misdecodes JPEG fails the gate. No reference counterpart
+    (fugue has no media ops) — brief-driven training-data-pipeline
+    surface."""
+    from fugue_spark.pipeline import pack_avi_tiles, video_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = pack_avi_tiles(docs, "text", n_frames=3, grid=(2, 2), id_col="doc_id")
+    return video_frame_features(media, every_n=2, id_col="id", blob_col="blob")

@@ -97,10 +97,20 @@ def save_df(
         # cluster rows by partition value before writing: without this every
         # task writes a fragment into every partition directory — O(tasks ×
         # values) small files, the classic hive-partitioning anti-pattern
-        # (at 1000 executors that is ~1000 files per value). One exchange on
-        # the partition keys gives O(1) files per value; AQE splits skewed
-        # values into parallel tasks when a single value is large.
-        df = df.repartition(*[df[c] for c in partition_by])
+        # (at 1000 executors that is ~1000 files per value). Clustering on
+        # the keys ALONE would cap write parallelism at the value count
+        # (3 tasks for 3 flags — wrong for a huge value), so a bounded
+        # deterministic salt rides along: ≤ files_per_partition files per
+        # value AND value×salt write parallelism. No rand() — reruns
+        # produce identical layouts.
+        from pyspark.sql import functions as F
+
+        k = int(params.pop("files_per_partition", 8))
+        exprs = [df[c] for c in partition_by]
+        if k > 1:
+            salt = F.pmod(F.xxhash64(*[df[c] for c in df.columns]), F.lit(k))
+            exprs.append(salt)
+        df = df.repartition(*exprs)
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", str(bool(params.pop("header", False))).lower())

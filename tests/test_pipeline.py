@@ -968,3 +968,98 @@ def test_pack_jpeg_tiles_round_trip(spark):
         assert np.array_equal(tiles, want)
         # every tile constant (exact round-trip, not just the corners)
         assert np.array_equal(px[:, :, 0], np.repeat(np.repeat(want, 8, 0), 8, 1))
+
+
+def test_avi_mjpeg_codec_and_video_ops(spark):
+    """REAL video path: MJPEG-in-AVI round-trips (RIFF walk, frame chunks
+    byte-identical), sample_frames' DEFAULT decoder handles AVI, and
+    video_frame_features decodes kept frames exactly (constant tiles at
+    quality 100)."""
+    import numpy as np
+
+    from fugue_spark.pipeline import (
+        decode_avi,
+        decode_avi_stats,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        extract_features,
+        pack_avi_tiles,
+        sample_frames,
+        video_frame_features,
+    )
+    from fugue_spark.schema import parse_schema
+
+    rng = np.random.default_rng(21)
+    tiles = [rng.integers(0, 256, (2, 2), dtype=np.uint8) for _ in range(5)]
+    jpegs = [
+        encode_jpeg(np.repeat(np.repeat(t, 8, 0), 8, 1), quality=100) for t in tiles
+    ]
+    avi = encode_avi_mjpeg(jpegs, 16, 16, fps=5)
+    meta, frames = decode_avi(avi)
+    assert (meta["n_frames"], meta["width"], meta["height"]) == (5, 16, 16)
+    assert meta["duration_ms"] == 1000
+    assert frames == jpegs  # container round-trip is byte-exact
+    stats = decode_avi_stats(avi)
+    assert stats["mean_e2"] == int(np.floor(tiles[0].mean() * 100 * 64 * 4 / 256))
+
+    df = spark.createDataFrame(
+        [[1, bytearray(avi)]], parse_schema("doc_id:long,raw:bytes")
+    )
+    media = as_media(df, "raw", mime="video/x-msvideo")
+    # extract_features dispatches to the real AVI stats decoder
+    row = extract_features(
+        media, id_col="doc_id", blob_col="blob", mime="video/x-msvideo"
+    ).collect()[0]
+    assert (row.n_frames, row.width, row.height, row.duration_ms) == (5, 16, 16, 1000)
+
+    # sample_frames: default (real) decoder, every 2nd frame
+    out = sorted(
+        (r.frame_idx, bytes(r.frame)) for r in sample_frames(media, 2, id_col="doc_id").collect()
+    )
+    assert [i for i, _ in out] == [0, 2, 4]
+    assert all(b == jpegs[i] for i, b in out)
+
+    # fused sample+featurize: exact per-frame means
+    feats = {
+        r.frame_idx: r.mean_e2
+        for r in video_frame_features(media, every_n=2, id_col="doc_id").collect()
+    }
+    want = {i: int(np.floor(tiles[i].mean() * 100)) for i in (0, 2, 4)}
+    # constant 8x8 tiles: frame mean == tile mean (integer-scaled floor)
+    assert feats == {i: int(np.floor(tiles[i].astype(float).mean() * 100)) for i in (0, 2, 4)}
+    assert feats == want
+
+    # non-AVI container: honest failure from the default decoder
+    bad = spark.createDataFrame(
+        [[2, bytearray(b"\x00\x00\x00\x18ftypmp42" + bytes(32))]],
+        parse_schema("doc_id:long,raw:bytes"),
+    )
+    bad_media = as_media(bad, "raw", mime="video/mp4")
+    with pytest.raises(Exception, match="MJPEG-in-AVI|ffmpeg"):
+        sample_frames(bad_media, 1, id_col="doc_id").collect()
+
+
+def test_pack_avi_tiles_round_trip(spark):
+    """pack_avi_tiles renders bytes as 3 constant-tile frames whose decode
+    is exact — the p36 gate contract."""
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_avi, decode_jpeg_pixels, pack_avi_tiles
+    from fugue_spark.schema import parse_schema
+
+    df = spark.createDataFrame(
+        [[1, "abcdefgh"], [2, ""]], parse_schema("doc_id:long,text:str")
+    )
+    media = pack_avi_tiles(df, "text", n_frames=3, grid=(2, 2))
+    rows = media.collect()
+    assert [r.id for r in rows] == [1]  # empty dropped
+    blob = bytes(rows[0].blob)
+    assert rows[0].meta.mime == "video/x-msvideo"
+    meta, frames = decode_avi(blob)
+    assert meta["n_frames"] == 3 and len(frames) == 3
+    src = np.frombuffer(b"abcdefgh", dtype=np.uint8)
+    for f, fr in enumerate(frames):
+        _m, px = decode_jpeg_pixels(fr)
+        want = src[(4 * f + np.arange(4)) % 8].reshape(2, 2)
+        assert np.array_equal(px[::8, ::8, 0], want)
+        assert np.array_equal(px[:, :, 0], np.repeat(np.repeat(want, 8, 0), 8, 1))
