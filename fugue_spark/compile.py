@@ -594,7 +594,11 @@ class _Vec(_Base):
         w = self._ordered_window(op).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return _Vec(agg(self._num()).over(w), frame=self.frame)
+        # pandas cum* skips NaN inside the accumulation but emits NaN AT
+        # the NaN position; SQL running aggregates would emit the running
+        # value there — mask it back to NULL for parity
+        run = F.when(self.col.isNotNull(), agg(self._num()).over(w))
+        return _Vec(run, frame=self.frame)
 
     def cumsum(self):
         return self._running("cumsum", F.sum)
@@ -607,11 +611,13 @@ class _Vec(_Base):
 
     def shift(self, periods: int = 1, fill_value: Any = None):
         """pandas Series.shift over the declared presort → lag/lead window.
-        Divergence note: the unfilled boundary is SQL NULL where pandas
-        gives NaN for numeric series — they normalize identically, but a
-        comparison on the boundary row is NULL (excluded from filters)
-        where pandas' NaN comparison is False (also excluded) — same
-        filter semantics, different tri-state path."""
+        ``fill_value`` fills ONLY the shifted-in boundary positions (as
+        pandas does) — a lagged data NULL stays NULL. Divergence note: the
+        unfilled boundary is SQL NULL where pandas gives NaN for numeric
+        series — they normalize identically, but a comparison on the
+        boundary row is NULL (excluded from filters) where pandas' NaN
+        comparison is False (also excluded) — same filter semantics,
+        different tri-state path."""
         if not isinstance(periods, int) or isinstance(periods, bool):
             raise TraceError("shift(periods) must be a constant int")
         w = self._ordered_window("shift")
@@ -619,7 +625,11 @@ class _Vec(_Base):
         if fill_value is not None:
             if not isinstance(fill_value, (int, float, bool, str)):
                 raise TraceError("shift fill_value must be a constant")
-            c = F.coalesce(c, F.lit(fill_value))
+            # boundary detector: lag of a constant is NULL exactly at the
+            # shifted-in positions (works for negative periods/lead too) —
+            # fill only there, never on lagged data NULLs
+            at_boundary = F.lag(F.lit(1), periods).over(w).isNull()
+            c = F.when(at_boundary, F.lit(fill_value)).otherwise(c)
         return _Vec(c, frame=self.frame)
 
     def diff(self, periods: int = 1):

@@ -25,6 +25,7 @@ import zlib
 import numpy as np
 
 __all__ = [
+    "mean_e2",
     "decode_wav",
     "decode_png_pixels",
     "encode_wav",
@@ -37,6 +38,14 @@ __all__ = [
     "decode_avi",
     "decode_avi_stats",
 ]
+
+
+def mean_e2(px: "np.ndarray") -> int:
+    """Decoded-pixel mean ×100, floored — THE cross-engine float contract
+    for image/video gates (one float mean, one multiply, one floor; every
+    decoder and the DuckDB oracles must agree bit-for-bit). Single home so
+    a tweak cannot silently diverge one decoder from the others."""
+    return int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
 
 
 # ---------------------------------------------------------------- WAV ----
@@ -250,9 +259,7 @@ def decode_png(raw: bytes) -> dict:
     Full pixel reconstruction happens exactly once (decode_png_pixels)."""
     info, px = decode_png_pixels(raw)
     info = {k: v for k, v in info.items() if k != "color_type"}
-    info["mean_e2"] = (
-        int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
-    )
+    info["mean_e2"] = mean_e2(px)
     return info
 
 
@@ -656,6 +663,10 @@ def decode_jpeg_pixels(raw: bytes) -> "tuple[dict, np.ndarray]":
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them so the marker id is the first non-FF byte
+        while pos + 2 <= len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -836,9 +847,7 @@ def decode_jpeg(raw: bytes) -> dict:
     Full entropy decode + IDCT happens exactly once."""
     info, px = decode_jpeg_pixels(raw)
     info = dict(info)
-    info["mean_e2"] = (
-        int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
-    )
+    info["mean_e2"] = mean_e2(px)
     return info
 
 
@@ -912,7 +921,10 @@ def decode_avi(raw: bytes) -> "tuple[dict, list[bytes]]":
                 meta["n_frames"] = f[4]
                 meta["width"] = f[8]
                 meta["height"] = f[9]
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+            elif cid[2:4] in (b"dc", b"db") and cid[:2] == b"00":
+                # stream 0 only: the avih meta fields describe the first
+                # video stream; mixing '01dc'… chunks from a multi-stream
+                # file would interleave foreign frames into the sequence
                 frames.append(raw[body : body + sz])
             pos = body + sz + (sz & 1)  # chunks are word-aligned
 
@@ -939,5 +951,5 @@ def decode_avi_stats(raw: bytes) -> dict:
     }
     if frames:
         _info, px = decode_jpeg_pixels(frames[0])
-        out["mean_e2"] = int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
+        out["mean_e2"] = mean_e2(px)
     return out

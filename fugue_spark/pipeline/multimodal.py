@@ -289,9 +289,7 @@ def video_frame_features(
 
     Output: ``id, frame_idx, width, height, mean_e2`` (one row per kept
     frame; mean_e2 = decoded frame mean ×100, floored)."""
-    import numpy as np
-
-    from fugue_spark.pipeline.codecs import decode_avi, decode_jpeg_pixels
+    from fugue_spark.pipeline.codecs import decode_avi, decode_jpeg_pixels, mean_e2
 
     n = int(every_n)
     if n <= 0:
@@ -309,9 +307,7 @@ def video_frame_features(
                     idxs.append(j)
                     ws.append(info["width"])
                     hs.append(info["height"])
-                    means.append(
-                        int(np.floor(px.astype(np.float64).mean() * 100)) if px.size else 0
-                    )
+                    means.append(mean_e2(px))
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "width": ws, "height": hs, "mean_e2": means}
             )

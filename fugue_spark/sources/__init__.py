@@ -104,11 +104,23 @@ def save_df(
         # value AND value×salt write parallelism. No rand() — reruns
         # produce identical layouts.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        def hashable(dt: "T.DataType") -> bool:
+            # xxhash64 rejects MapType anywhere in the tree
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(hashable(f.dataType) for f in dt.fields)
+            return True
 
         k = int(params.pop("files_per_partition", 8))
         exprs = [df[c] for c in partition_by]
-        if k > 1:
-            salt = F.pmod(F.xxhash64(*[df[c] for c in df.columns]), F.lit(k))
+        salt_cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+        if k > 1 and salt_cols:
+            salt = F.pmod(F.xxhash64(*[df[c] for c in salt_cols]), F.lit(k))
             exprs.append(salt)
         df = df.repartition(*exprs)
     writer = df.write.mode(mode)

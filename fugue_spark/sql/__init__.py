@@ -407,6 +407,12 @@ class _Executor:
                 self.last = res
             if target is not None:
                 self.vars[target] = res
+        # nested df-refs ((CREATE …) in dataframe position) are bound to
+        # internal names only for the duration of their statement — purge
+        # them so they neither pin plans for the session's lifetime nor
+        # become accidentally referencable table names later
+        for name in [n for n in self.vars if n.startswith("__fugue_nested_ref_")]:
+            del self.vars[name]
 
     # -- raw SQL --
 

@@ -285,7 +285,35 @@ def _to_input(pdf: pd.DataFrame, form: str) -> Any:
     raise AssertionError(form)
 
 
-def _result_to_pandas(res: Any, out_cols: list[str]) -> pd.DataFrame:
+def _nested_out_cols(out_schema: "T.StructType") -> "set[str]":
+    """Output columns whose declared type is itself array/map/struct: a
+    list-valued dict entry for one of these is a single CELL, not a
+    multi-row expansion."""
+    return {
+        f.name
+        for f in out_schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    }
+
+
+def _expand_dict_result(res: dict, nested_cols: "set[str] | None") -> "dict | pd.DataFrame":
+    """dict results are ONE row — unless a value is array-like AND its
+    declared output column is scalar-typed, which is the dict-of-arrays
+    multi-row form (one row per element, scalar values broadcast; the
+    pandas twin of the compiled window shape). Values aimed at
+    array/struct/map columns never trigger expansion (they are cells)."""
+    skip = nested_cols if nested_cols is not None else set()
+    if any(
+        isinstance(v, (list, tuple, np.ndarray, pd.Series)) and k not in skip
+        for k, v in res.items()
+    ):
+        return pd.DataFrame(res)
+    return res
+
+
+def _result_to_pandas(
+    res: Any, out_cols: list[str], nested_cols: "set[str] | None" = None
+) -> pd.DataFrame:
     if res is None:
         return pd.DataFrame(columns=out_cols)
     if isinstance(res, pd.DataFrame):
@@ -293,6 +321,9 @@ def _result_to_pandas(res: Any, out_cols: list[str]) -> pd.DataFrame:
     if isinstance(res, pa.Table):
         return res.to_pandas()
     if isinstance(res, dict):
+        res = _expand_dict_result(res, nested_cols)
+        if isinstance(res, pd.DataFrame):
+            return res
         return pd.DataFrame([res], columns=out_cols)
     if isinstance(res, Iterable):
         items = list(res)
@@ -664,12 +695,18 @@ class _ResultBatcher:
     (Spark partition concatenation order already is)."""
 
     def __init__(
-        self, out_cols: list[str], name: str, chunk: int = 1024, row_chunk: int = 65536
+        self,
+        out_cols: list[str],
+        name: str,
+        chunk: int = 1024,
+        row_chunk: int = 65536,
+        nested_cols: "set[str] | None" = None,
     ):
         self.out_cols = out_cols
         self.name = name
         self.chunk = chunk
         self.row_chunk = row_chunk
+        self.nested_cols = nested_cols
         self.dicts: list[dict] = []
         self.frames: list[pd.DataFrame] = []
         self.n = 0
@@ -678,13 +715,12 @@ class _ResultBatcher:
     def add(self, res: Any) -> "pd.DataFrame | None":
         if res is None:
             return None
-        if isinstance(res, dict) and any(
-            isinstance(v, (list, tuple, np.ndarray, pd.Series)) for v in res.values()
-        ):
-            # dict-of-arrays: one output row per array element, scalar
-            # values broadcast (pd.DataFrame semantics) — the multi-row
-            # sibling of the scalar-dict cheap path
-            res = pd.DataFrame(res)
+        if isinstance(res, dict):
+            # dict-of-arrays (schema-aware): one output row per array
+            # element, scalar values broadcast — the multi-row sibling of
+            # the scalar-dict cheap path; array cells aimed at
+            # array-typed columns stay single-row
+            res = _expand_dict_result(res, self.nested_cols)
         if isinstance(res, dict):
             self.dicts.append(res)
             self.rows += 1
@@ -745,6 +781,15 @@ class _ArrowResultBatcher:
         self.name = name
         self.chunk = chunk
         self.row_chunk = row_chunk
+        self.nested_cols = {
+            f.name
+            for f in arrow_schema
+            if pa.types.is_list(f.type)
+            or pa.types.is_large_list(f.type)
+            or pa.types.is_fixed_size_list(f.type)
+            or pa.types.is_struct(f.type)
+            or pa.types.is_map(f.type)
+        }
         self.dicts: list[dict] = []
         self.tables: list[pa.Table] = []
         self.n = 0
@@ -768,15 +813,19 @@ class _ArrowResultBatcher:
     def add(self, res: Any) -> "list[pa.RecordBatch] | None":
         if res is None:
             return None
-        if isinstance(res, dict) and any(
-            isinstance(v, (list, tuple, np.ndarray, pd.Series, pa.Array, pa.ChunkedArray))
-            for v in res.values()
-        ):
-            # dict-of-arrays: one output row per element, scalars broadcast
-            res = pd.DataFrame(
-                {k: (v.to_pandas() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v)
-                 for k, v in res.items()}
-            )
+        if isinstance(res, dict):
+            # dict-of-arrays (schema-aware, see _expand_dict_result): one
+            # output row per element, scalars broadcast; array cells aimed
+            # at array-typed columns stay single-row
+            if any(
+                isinstance(v, (pa.Array, pa.ChunkedArray)) and k not in self.nested_cols
+                for k, v in res.items()
+            ):
+                res = {
+                    k: (v.to_pandas() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v)
+                    for k, v in res.items()
+                }
+            res = _expand_dict_result(res, self.nested_cols)
         if isinstance(res, dict):
             self.dicts.append(res)
             self.rows += 1
@@ -956,7 +1005,7 @@ def transform(
         pdf = _sort_pandas(pdf, presort)
         try:
             res = call(pdf, cursor)
-            out = _result_to_pandas(res, out_cols)
+            out = _result_to_pandas(res, out_cols, _nested_out_cols(out_schema))
             if discard_output:
                 return pd.DataFrame(columns=out_cols)
             return _conform(out, out_cols, "transform")
@@ -1184,7 +1233,7 @@ def transform(
             if in_form == _IN_ITER_ARROW:
                 batches = (pa.Table.from_pandas(b, preserve_index=False) for b in chain)
             res = fn(cursor, batches, **kwargs) if wants_cursor else fn(batches, **kwargs)
-            out = _result_to_pandas(res, out_cols)
+            out = _result_to_pandas(res, out_cols, _nested_out_cols(out_schema))
             yield _to_safe_out(_conform(out, out_cols, "transform"))
         else:
             pdf = pd.concat(list(chain), ignore_index=True)

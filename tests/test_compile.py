@@ -1060,3 +1060,55 @@ def test_window_shape_cotransform_refuses(spark):
             [df, df], vec_out, schema="k:long,i:long,n:long",
             partition={"by": ["k"]}, compile="strict",
         )
+
+
+def test_running_null_parity_and_shift_boundary_fill(spark):
+    """r07 review fixes: cum* emit NULL at NULL positions (pandas NaN
+    parity, not the running value), and shift(fill_value=) fills ONLY the
+    shifted-in boundary — lagged data NULLs stay NULL."""
+    pdf = pd.DataFrame(
+        {"k": [1, 1, 1], "i": [1, 2, 3], "x": [1.0, np.nan, 2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    part = {"by": ["k"], "presort": "i ASC"}
+
+    def running(g):
+        return {
+            "k": g.k.values[0],
+            "i": g.i.values,
+            "run": g.x.cumsum().values,
+            "prev": g.x.shift(1, fill_value=-1.0).values,
+        }
+
+    schema = "k:long,i:long,run:double,prev:double"
+    a = transform(df, running, schema=schema, partition=part).toPandas()
+    b = transform(df, running, schema=schema, partition=part, compile="strict").toPandas()
+    a = a.sort_values("i").reset_index(drop=True)
+    b = b.sort_values("i").reset_index(drop=True)
+
+    def norm(s):
+        return ["NA" if (v is None or v != v) else v for v in s]
+
+    assert norm(a.run) == norm(b.run) == [1.0, "NA", 3.0]
+    # boundary (i=1) filled with -1; the lagged data NULL (i=3) stays NULL
+    assert norm(a.prev) == norm(b.prev) == [-1.0, 1.0, "NA"]
+
+
+def test_dict_of_arrays_respects_array_typed_schema(spark):
+    """r07 review fix: a dict value aimed at an ARRAY-typed output column
+    is a single cell, not a multi-row expansion — on the pandas path and
+    with scalar siblings."""
+    from fugue_spark.schema import parse_schema
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "x": [1.0, 2.0, 5.0]})
+    )
+
+    def emb(g):
+        return {"k": int(g.k.iloc[0]), "emb": [float(v) for v in sorted(g.x)]}
+
+    out = transform(
+        df, emb, schema="k:long,emb:[double]", partition={"by": ["k"]}
+    )
+    got = {r.k: list(r.emb) for r in out.collect()}
+    assert got == {1: [1.0, 2.0], 2: [5.0]}  # ONE row per group, array cell

@@ -1063,3 +1063,49 @@ def test_pack_avi_tiles_round_trip(spark):
         want = src[(4 * f + np.arange(4)) % 8].reshape(2, 2)
         assert np.array_equal(px[::8, ::8, 0], want)
         assert np.array_equal(px[:, :, 0], np.repeat(np.repeat(want, 8, 0), 8, 1))
+
+
+def test_jpeg_fill_bytes_and_avi_stream_filter(spark):
+    """r07 review fixes: JPEG markers preceded by 0xFF fill bytes (T.81
+    B.1.1.2) decode; multi-stream AVIs only yield stream-0 frames."""
+    import struct
+
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_avi, decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    blob = encode_jpeg(img, quality=100)
+    # inject fill bytes before the APP0 marker (after SOI)
+    assert blob[2:4] == b"\xff\xe0"
+    padded = blob[:2] + b"\xff\xff" + blob[2:]
+    assert decode_jpeg(padded)["mean_e2"] == 9900
+
+    # hand-build an AVI with a foreign '01dc' chunk interleaved
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return b"LIST" + struct.pack("<I", len(body) + 4) + t + body
+
+    avih = struct.pack("<14I", 250000, 0, 0, 0x10, 2, 0, 2, 0, 8, 8, 0, 0, 0, 0)
+    movi = lst(b"movi", chunk(b"00dc", blob) + chunk(b"01dc", b"NOTJPEG") + chunk(b"00dc", blob))
+    avi = b"RIFF" + struct.pack("<I", 4) + b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) + movi
+    meta, frames = decode_avi(avi)
+    assert len(frames) == 2 and all(f == blob for f in frames)
+
+
+def test_save_partitioned_with_map_column(spark, tmp_path):
+    """r07 review fix: the write-clustering salt skips hash-unsupported
+    (map-typed) columns instead of failing the whole save."""
+    import fugue_spark.api as fa
+
+    df = spark.createDataFrame(
+        [("a", {"x": "1"}), ("b", {"y": "2"}), ("a", {"z": "3"})],
+        "day string, attrs map<string,string>",
+    )
+    out = str(tmp_path / "mapped.parquet")
+    fa.save(df, out, mode="overwrite", partition_by=["day"])
+    back = fa.load(spark, out)
+    assert back.count() == 3
+    assert sorted(r.day for r in back.select("day").collect()) == ["a", "a", "b"]

@@ -579,3 +579,29 @@ def test_select_nested_two_level_with_member_access(spark):
     )
     assert sorted(rows(res["two"])) == [(20,)]
     assert sorted(rows(res["j"])) == [(20, 20)]
+
+
+def test_nested_df_ref_names_do_not_leak(spark):
+    """r07 review fix: internal __fugue_nested_ref_N__ bindings are purged
+    after their statement — later statements cannot resolve them."""
+    # the internal name is unresolvable afterwards (falls through to the
+    # catalog, which doesn't have it → Spark analysis error)
+    with pytest.raises(Exception, match="__fugue_nested_ref_1__"):
+        fsql(
+            """
+            a = TRANSFORM (CREATE [[1]] SCHEMA x:long) USING bump SCHEMA x:long
+            b = SELECT * FROM __fugue_nested_ref_1__
+            YIELD DATAFRAME AS b
+            """,
+            spark=spark,
+            functions={"bump": lambda pdf: pdf.assign(x=pdf.x + 1)},
+        )
+    res = fsql(
+        """
+        a = TRANSFORM (CREATE [[1]] SCHEMA x:long) USING bump SCHEMA x:long
+        YIELD DATAFRAME AS a
+        """,
+        spark=spark,
+        functions={"bump": lambda pdf: pdf.assign(x=pdf.x + 1)},
+    )
+    assert rows(res["a"]) == [(2,)]
