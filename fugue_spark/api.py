@@ -42,6 +42,7 @@ from fugue_spark.operators import (
     take,
     union,
 )
+from fugue_spark.context import engine_context, raw_sql  # noqa: F401
 from fugue_spark.cotransform import cotransform
 from fugue_spark.partition import PartitionSpec, apply_partition_spec as repartition
 from fugue_spark.transform import PartitionCursor, Transformer, out_transform, transform
@@ -115,3 +116,140 @@ def normalize_column_names(df):
     if not mapping:
         return df, {}
     return rename(df, mapping), {v: k for k, v in mapping.items()}
+
+
+# ---------------------------------------------------------------------------
+# dataset/dataframe inspection utilities (reference fugue/dataset/api.py +
+# fugue/dataframe/api.py). The engine dataframe IS the Spark DataFrame, so
+# most of these are thin, honest adapters; the multi-backend registry forms
+# (set_global_engine / run_engine_function / as_fugue_dataset) are
+# intentionally absent — SURVEY §7: Spark is the only engine.
+
+from pyspark.sql import DataFrame as _SparkDataFrame  # noqa: E402
+
+
+def is_df(obj) -> bool:
+    """True iff ``obj`` is this engine's dataframe type (reference
+    fugue/dataframe/api.py is_df)."""
+    return isinstance(obj, _SparkDataFrame)
+
+
+def is_local(df) -> bool:
+    """A Spark DataFrame is never a local (in-driver) dataset — reference
+    fugue/dataset/api.py is_local; use :func:`as_pandas` to localize."""
+    return not isinstance(df, _SparkDataFrame)
+
+
+def is_bounded(df) -> bool:
+    """Batch frames are bounded; Structured-Streaming frames are not
+    (reference fugue/dataset/api.py is_bounded)."""
+    return not df.isStreaming
+
+
+def is_empty(df) -> bool:
+    """True iff the frame has no rows — probes ONE row, never counts
+    (reference fugue/dataset/api.py is_empty)."""
+    return df.isEmpty()
+
+
+def count(df) -> int:
+    """Row count (reference fugue/dataset/api.py count)."""
+    return df.count()
+
+
+def show(df, n: int = 10, with_count: bool = False, title: "str | None" = None) -> None:
+    """Print ``n`` rows (reference fugue/dataset/api.py show). With
+    ``with_count`` the (full) row count is printed too — an extra action,
+    same caveat as the reference documents."""
+    if title:
+        print(title)
+    df.show(n)
+    if with_count:
+        print(f"Total count: {df.count()}")
+
+
+def get_schema(df):
+    """The frame's schema as this engine's compact string form (reference
+    fugue/dataframe/api.py get_schema returns a Schema object; the string
+    is the portable surface here)."""
+    from fugue_spark.schema import schema_to_string
+
+    return schema_to_string(df.schema)
+
+
+def get_column_names(df) -> list:
+    """Column names (reference fugue/dataframe/api.py get_column_names)."""
+    return list(df.columns)
+
+
+def get_num_partitions(df) -> int:
+    """Physical partition count of the current plan (reference
+    fugue/dataset/api.py get_num_partitions)."""
+    return df.rdd.getNumPartitions()
+
+
+def get_current_parallelism(spark=None) -> int:
+    """Cluster task parallelism (reference fugue/execution/api.py
+    get_current_parallelism → engine.get_current_parallelism)."""
+    s = spark or get_spark()
+    return s.sparkContext.defaultParallelism
+
+
+def get_current_conf(spark=None) -> dict:
+    """The active session's SQL conf as a plain dict (reference
+    fugue/execution/api.py get_current_conf)."""
+    s = spark or get_spark()
+    return dict(s.sparkContext.getConf().getAll())
+
+
+def peek_array(df) -> list:
+    """First row as a list (reference fugue/dataframe/api.py peek_array);
+    raises on an empty frame like the reference."""
+    return list(peek_row(df))
+
+
+def as_local(df):
+    """Localize to the driver — for a Spark-native engine the local form
+    is pandas (reference fugue/dataset/api.py as_local)."""
+    return as_pandas(df)
+
+
+as_local_bounded = as_local
+
+
+def as_array_iterable(df, columns: "list | None" = None):
+    """Iterate rows as lists WITHOUT materializing the whole frame on the
+    driver (reference fugue/dataframe/api.py as_array_iterable —
+    toLocalIterator streams one partition at a time)."""
+    if columns is not None:
+        df = df.select(*columns)
+    for row in df.toLocalIterator():
+        yield list(row)
+
+
+def as_dict_iterable(df, columns: "list | None" = None):
+    """Iterate rows as dicts, streaming (reference as_dict_iterable)."""
+    if columns is not None:
+        df = df.select(*columns)
+    for row in df.toLocalIterator():
+        yield row.asDict(recursive=True)
+
+
+def get_native_as_df(df):
+    """The engine-native frame — already a Spark DataFrame (reference
+    fugue/dataframe/api.py get_native_as_df)."""
+    if not isinstance(df, _SparkDataFrame):
+        raise ValueError(f"not an engine dataframe: {type(df).__name__}")
+    return df
+
+
+def fugue_sql(query: str, spark=None, **kwargs):
+    """Reference-named alias of :func:`fugue_spark.sql.fsql` returning the
+    single yielded frame when exactly one YIELD exists, else the result
+    dict (reference fugue/sql/api.py fugue_sql semantics)."""
+    from fugue_spark.sql import fsql
+
+    res = fsql(query, spark=spark, **kwargs)
+    if isinstance(res, dict) and len(res) == 1:
+        return next(iter(res.values()))
+    return res

@@ -255,3 +255,45 @@ def test_any_column_name_end_to_end(spark, tmp_path):
     back = fa.load(spark, f_parquet, columns=["x y", "d", "c *"])
     assert arr(back) == [[1, 10, 2]]
     assert [f.name for f in back.schema.fields] == ["x y", "d", "c *"]
+
+
+def test_api_inspection_utilities(spark):
+    """Reference fugue.api dataset/dataframe utilities (fugue/dataset/
+    api.py + fugue/dataframe/api.py): the engine dataframe IS the Spark
+    DataFrame, so these are honest adapters."""
+    import pandas as pd
+
+    import fugue_spark.api as fa
+
+    df = spark.createDataFrame([[1, "a"], [2, "b"]], "x long, s string")
+    assert fa.is_df(df) and not fa.is_df([1, 2])
+    assert fa.is_bounded(df)
+    assert not fa.is_local(df) and fa.is_local(pd.DataFrame())
+    assert not fa.is_empty(df)
+    assert fa.is_empty(df.filter("x > 10"))
+    assert fa.count(df) == 2
+    assert fa.get_column_names(df) == ["x", "s"]
+    assert fa.get_schema(df) == "x:long,s:str"
+    assert fa.get_num_partitions(df) >= 1
+    assert fa.get_current_parallelism(spark) >= 1
+    assert isinstance(fa.get_current_conf(spark), dict)
+    assert fa.peek_array(df.orderBy("x")) == [1, "a"]
+    assert isinstance(fa.as_local(df), pd.DataFrame)
+    rows = sorted(fa.as_array_iterable(df, columns=["x"]))
+    assert rows == [[1], [2]]
+    dicts = sorted(fa.as_dict_iterable(df), key=lambda d: d["x"])
+    assert dicts == [{"x": 1, "s": "a"}, {"x": 2, "s": "b"}]
+    assert fa.get_native_as_df(df) is df
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an engine dataframe"):
+        fa.get_native_as_df(pd.DataFrame())
+
+    out = fa.fugue_sql(
+        """
+        a = CREATE [[5]] SCHEMA v:long
+        YIELD DATAFRAME AS a
+        """,
+        spark=spark,
+    )
+    assert fa.is_df(out) and out.collect()[0].v == 5
