@@ -132,6 +132,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # registration order.
 _GATE_FIRST = (
     "p36_video_frames",
+    "s3_stream_static_join",
     "p35_jpeg_features",
     "q29_transform_window_compiled",
     "q30_transform_running_compiled",

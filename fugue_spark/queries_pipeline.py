@@ -1444,3 +1444,56 @@ def p36_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = pack_avi_tiles(docs, "text", n_frames=3, grid=(2, 2), id_col="doc_id")
     return video_frame_features(media, every_n=2, id_col="id", blob_col="blob")
+
+
+@register(
+    "s3_stream_static_join",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY window_start, segment
+    """,
+    tags=("streaming", "join", "window"),
+)
+def s3_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: STREAM-STATIC JOIN — the continuous-enrichment
+    pattern (event stream joined to a broadcast reference dim, then
+    windowed aggregation with a watermark), driven to completion; the
+    oracle is the equivalent batch join+agg, so stream/batch agreement is
+    the correctness contract. At scale the dim is broadcast once per
+    micro-batch — the stream side never shuffles for the join."""
+    from fugue_spark import streaming as fs
+
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = fs.load_stream(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+    joined = stream.join(dim, on="user_id", how="inner")
+    agg = fs.windowed_agg(
+        joined,
+        "ts",
+        "1 hour",
+        by=["segment"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "value_cents": F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+        },
+        watermark="1 minute",
+    )
+    out = fs.run_to_memory(agg, "s3_join")
+    return out.select(
+        F.date_format(
+            F.col("window_start").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "segment",
+        "n",
+        "value_cents",
+    ).orderBy("window_start", "segment")

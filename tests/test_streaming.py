@@ -3,6 +3,8 @@ stateful transform, RPC callbacks."""
 
 from __future__ import annotations
 
+import tempfile
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -400,3 +402,38 @@ def test_http_rpc_transport(spark):
             srv.client("nope")(1)
     finally:
         srv.stop()
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static join (broadcast dim) + windowed agg ≡ the batch
+    join+agg on the same data — the continuous-enrichment pattern."""
+    tmp = tempfile.mkdtemp(prefix="fs_s3_")
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:40", "2024-01-01 01:10", "2024-01-01 00:20"]
+            ),
+            "uid": [1, 1, 2, 3],
+            "v": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(f"{tmp}/ev.parquet")
+    dim = F.broadcast(
+        spark.createDataFrame([[1, "A"], [2, "B"]], "uid long, seg string")
+    )
+    stream = fs.load_stream(spark, f"{tmp}/ev.parquet", format_hint="parquet")
+    joined = stream.join(dim, on="uid", how="inner")  # uid=3 has no dim row
+    agg = fs.windowed_agg(
+        joined, "ts", "1 hour", by=["seg"],
+        aggs={"n": F.count(F.lit(1)), "cents": F.sum(F.round(F.col("v") * 100, 0).cast("long"))},
+        watermark="1 minute",
+    )
+    out = fs.run_to_memory(agg, "t_s3")
+    got = {
+        (str(r.window_start), r.seg): (r.n, r.cents)
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "A"): (2, 300),
+        ("2024-01-01 01:00:00", "B"): (1, 400),
+    }
