@@ -67,10 +67,10 @@ def register_decoder(mime_prefix: str, fn: Callable[[bytes], dict]) -> None:
 
 def _fake_decode(raw: bytes) -> dict:
     """Deterministic stand-in for formats whose decoders need native
-    libraries absent from this environment (JPEG, MP3, video). Derives
-    stable pseudo-features from a CRC of the bytes so pipelines are
-    exercisable end-to-end; NOT a real decode — see register_decoder and
-    codecs.py for the real WAV/PNG paths."""
+    libraries absent from this environment (MP3, MP4/H.264 …; WAV, PNG,
+    JPEG and MJPEG-AVI are REAL — codecs.py). Derives stable
+    pseudo-features from a CRC of the bytes so pipelines are exercisable
+    end-to-end; only reachable via extract_features(allow_stub=True)."""
     crc = zlib.crc32(raw) & 0xFFFFFFFF
     return {
         "width": 1 + crc % 1024,

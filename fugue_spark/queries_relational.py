@@ -867,7 +867,13 @@ def q23_cotransform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q19_sample_seeded", oracle=None, tags=("sample",))
 def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded fraction sample — engine-specific RNG, rows-only check."""
+    """Seeded fraction sample. ``oracle=None`` by NATURE, not omission:
+    DuckDB cannot reproduce Spark's seeded per-partition RNG, so no SQL
+    can value-match it. Correctness is pytest-verified instead —
+    tests/test_operators.py sample tests check fraction statistics,
+    seed determinism (same seed ≡ same rows on the same partitioning;
+    Spark's per-partition RNG, the same caveat the reference engine
+    documents), and replace semantics."""
     li = load_table(spark, sf_dir, "lineitem")
     return fa.sample(li, frac=0.1, seed=42)
 
