@@ -511,11 +511,13 @@ class _Vec(_Base):
         return self.col.cast("long") if self.boolish else self.col
 
     def sum(self, *a, **k):
-        c = F.sum(self._agg_arg(self._num()))
-        if self.cond is not None:
-            # pandas: sum over an EMPTY filtered subset is 0, not NULL
-            c = F.coalesce(c, F.lit(0))
-        return self._leaf(c)
+        # pandas Series.sum() is 0 over an empty filtered subset AND over
+        # an all-NaN column (min_count=0 default); SQL SUM is NULL in both
+        # cases. The coalesce wraps the LEAF REFERENCE, never the leaf
+        # itself — leaves must stay pure aggregate functions so the window
+        # shape can apply `.over()` to them (r07 fuzz finding).
+        leaf = self._leaf(F.sum(self._agg_arg(self._num())))
+        return _Scalar(F.coalesce(leaf.col, F.lit(0)))
 
     def min(self, *a, **k):
         # empty filtered subset: SQL NULL where pandas gives NaN — the one
@@ -525,14 +527,15 @@ class _Vec(_Base):
     def max(self, *a, **k):
         return self._leaf(F.max(self._agg_arg(self._num())))
 
-    def _nan_empty(self, c: Column) -> Column:
-        # pandas: mean/std/var/median over an empty subset is NaN, not NULL
+    def _nan_empty(self, leaf: "_Scalar") -> "_Scalar":
+        # pandas: mean/std/var/median over an empty subset is NaN, not
+        # NULL; wrap the reference (see sum) so the leaf stays window-able
         if self.cond is not None:
-            c = F.coalesce(c, F.lit(float("nan")))
-        return c
+            return _Scalar(F.coalesce(leaf.col, F.lit(float("nan"))))
+        return leaf
 
     def mean(self, *a, **k):
-        return self._leaf(self._nan_empty(F.avg(self._agg_arg(self._num()))))
+        return self._nan_empty(self._leaf(F.avg(self._agg_arg(self._num()))))
 
     def count(self, *a, **k):
         return self._leaf(F.count(self._agg_arg(self.col)))
@@ -544,16 +547,16 @@ class _Vec(_Base):
         if ddof not in (0, 1):
             raise TraceError("std(ddof) must be 0 or 1")
         fn = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._leaf(self._nan_empty(fn(self._agg_arg(self._num()))))
+        return self._nan_empty(self._leaf(fn(self._agg_arg(self._num()))))
 
     def var(self, ddof: int = 1):
         if ddof not in (0, 1):
             raise TraceError("var(ddof) must be 0 or 1")
         fn = F.var_samp if ddof == 1 else F.var_pop
-        return self._leaf(self._nan_empty(fn(self._agg_arg(self._num()))))
+        return self._nan_empty(self._leaf(fn(self._agg_arg(self._num()))))
 
     def median(self):
-        return self._leaf(self._nan_empty(F.median(self._agg_arg(self._num()))))
+        return self._nan_empty(self._leaf(F.median(self._agg_arg(self._num()))))
 
     # ordered (running) transforms — per-row outputs over the declared
     # presort, compiled to ordered window functions over the partition keys.

@@ -435,3 +435,95 @@ def test_avi_codec_roundtrip_fuzz(seed):
             decode_avi(avi[:cut])
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_trace_compiler_differential_fuzz(spark, seed):
+    """Random per-group functions through the trace compiler: the
+    compiled plan (groupBy-agg, window, or running shape) must equal the
+    pandas path value-for-value on random frames WITH NULLS. Exercises
+    filtered reductions, scalar composition, key access, len(), per-row
+    vectors mixed with reductions, and the ordered running ops."""
+    import math
+
+    from fugue_spark.schema import parse_schema
+    from fugue_spark.transform import transform
+
+    rng = random.Random(7000 + seed)
+    n = rng.randint(1, 30)
+    rows = []
+    for i in range(n):
+        rows.append(
+            [
+                rng.randint(1, 3),  # k
+                i,  # i: unique presort key
+                rng.choice([None, round(rng.uniform(-50, 50), 2)]),  # x
+                rng.randint(-20, 20),  # y
+            ]
+        )
+    df = spark.createDataFrame(rows, parse_schema("k:long,i:long,x:double,y:long"))
+    a, b, c = rng.randint(1, 5), rng.randint(-3, 3), rng.randint(-10, 10)
+    shape = rng.choice(["agg", "window", "running"])
+
+    if shape == "agg":
+        def fn(pdf):
+            sub = pdf[pdf.y > c]
+            return {
+                "k": pdf.k.values[0],
+                "s": (pdf.x * a + b).sum(),
+                "m": pdf.y.max(),
+                "n": pdf.shape[0],
+                "cond_s": sub.y.sum(),
+                "cond_n": sub.y.count(),
+            }
+        schema = "k:long,s:double,m:long,n:long,cond_s:long,cond_n:long"
+        part = {"by": ["k"]}
+    elif shape == "window":
+        def fn(pdf):
+            m = pdf.y.mean()
+            return {
+                "k": pdf.k.values[0],
+                "i": pdf.i.values,
+                "centered": (pdf.y - m) * a,
+                "n": len(pdf),
+            }
+        schema = "k:long,i:long,centered:double,n:long"
+        part = {"by": ["k"]}
+    else:
+        def fn(pdf):
+            return {
+                "k": pdf.k.values[0],
+                "i": pdf.i.values,
+                "run": pdf.y.cumsum(),
+                "prev": pdf.y.shift(1, fill_value=b).astype("int64"),
+                "hi": pdf.y.cummax(),
+            }
+        schema = "k:long,i:long,run:long,prev:long,hi:long"
+        part = {"by": ["k"], "presort": "i ASC"}
+
+    pd_out = transform(df, fn, schema=schema, partition=part).toPandas()
+    cc_out = transform(df, fn, schema=schema, partition=part, compile="strict").toPandas()
+
+    def norm(pdf):
+        cols = sorted(pdf.columns)
+        out = []
+        for row in pdf[cols].itertuples(index=False):
+            vals = []
+            for v in row:
+                if v is None or (isinstance(v, float) and v != v):
+                    vals.append(None)
+                elif isinstance(v, float):
+                    vals.append(round(v, 6))
+                else:
+                    vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+    va, vb = norm(pd_out), norm(cc_out)
+    assert len(va) == len(vb), (seed, shape, len(va), len(vb))
+    for ra, rb in zip(va, vb):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (seed, shape, ra, rb)
+            else:
+                assert x == y, (seed, shape, ra, rb)
