@@ -527,3 +527,65 @@ def test_trace_compiler_differential_fuzz(spark, seed):
                 assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (seed, shape, ra, rb)
             else:
                 assert x == y, (seed, shape, ra, rb)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_cotransform_compiler_differential_fuzz(spark, seed):
+    """Random inner-zip reducers through the cotransform compiler:
+    per-side reductions + cross-side scalar composition must equal the
+    zip engine's pandas path on random keyed frames with NULLs."""
+    import math
+
+    from fugue_spark.cotransform import cotransform
+    from fugue_spark.schema import parse_schema
+
+    rng = random.Random(8000 + seed)
+    na, nb = rng.randint(1, 25), rng.randint(1, 25)
+    rows_a = [
+        [rng.randint(1, 4), rng.choice([None, round(rng.uniform(-10, 10), 2)])]
+        for _ in range(na)
+    ]
+    rows_b = [[rng.randint(1, 5), rng.randint(-20, 20)] for _ in range(nb)]
+    dfa = spark.createDataFrame(rows_a, parse_schema("k:long,x:double"))
+    dfb = spark.createDataFrame(rows_b, parse_schema("k:long,y:long"))
+    a, c = rng.randint(1, 4), rng.randint(-5, 5)
+
+    def gap(cursor, fa_, fb_):
+        sx = (fa_.x * a).sum()
+        hi = fb_[fb_.y > c].y.max()
+        return {
+            "k": cursor["k"],
+            "sx": sx,
+            "hi": hi,
+            "mix": sx - fb_.y.sum(),
+            "na": fa_.shape[0],
+        }
+
+    # hi is double: pandas max over an empty filtered subset is NaN,
+    # which cannot live in a long column on the dict-output path
+    schema = "k:long,sx:double,hi:double,mix:double,na:long"
+    p = cotransform([dfa, dfb], gap, schema=schema, how="inner").toPandas()
+    q = cotransform([dfa, dfb], gap, schema=schema, how="inner", compile="strict").toPandas()
+
+    def norm(pdf):
+        cols = sorted(pdf.columns)
+        rows = []
+        for r in pdf[cols].itertuples(index=False):
+            rows.append(
+                tuple(
+                    None
+                    if v is None or (isinstance(v, float) and v != v)
+                    else (round(v, 6) if isinstance(v, float) else v)
+                    for v in r
+                )
+            )
+        return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+    va, vb = norm(p), norm(q)
+    assert len(va) == len(vb), (seed, len(va), len(vb))
+    for ra, rb in zip(va, vb):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (seed, ra, rb)
+            else:
+                assert x == y, (seed, ra, rb)
