@@ -33,6 +33,7 @@ from fugue_spark.operators import (
     filter,
     hash_sample,
     hash_sample_stratified,
+    sample_per_key,
     intersect,
     join,
     range_join,

@@ -133,6 +133,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 _GATE_FIRST = (
     "p36_video_frames",
     "s3_stream_static_join",
+    "p37_sample_per_key",
     "p35_jpeg_features",
     "q29_transform_window_compiled",
     "q30_transform_running_compiled",

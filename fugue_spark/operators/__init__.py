@@ -8,6 +8,7 @@ from fugue_spark.operators.na import dropna, fillna
 from fugue_spark.operators.sampling import (
     hash_sample,
     hash_sample_stratified,
+    sample_per_key,
     sample,
     take,
 )

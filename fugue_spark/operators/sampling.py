@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from fugue_spark.partition import PartitionSpec, parse_presort
 
-__all__ = ["sample", "take", "hash_sample"]
+__all__ = ["sample", "take", "hash_sample", "sample_per_key"]
 
 
 def sample(
@@ -163,3 +163,44 @@ def hash_sample_stratified(
         ).otherwise(thr_col)
     key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.md5(key) < thr_col)
+
+
+def sample_per_key(
+    df: DataFrame,
+    n: int,
+    by: "str | list[str]",
+    id_cols: "list[str]",
+    seed: str = "",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Exact-``n`` per-group deterministic uniform sample — the
+    distributed replacement for per-group reservoir sampling: rank each
+    group's rows by ``md5(seed + id)`` and keep the ``n`` smallest.
+
+    md5 over a unique id is a uniform pseudo-random permutation, so the
+    kept rows are a uniform sample — but unlike RNG-state reservoirs the
+    choice is a pure function of row CONTENT: the same rows fall out of
+    any engine, any partitioning, any rerun (the ``hash_sample``
+    reproducibility contract, applied per group). ``seed`` re-draws the
+    sample. ONE keyed window exchange, no driver state; groups smaller
+    than ``n`` are kept whole. At 100 TB this is the per-domain /
+    per-language corpus down-sampling primitive.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if not id_cols:
+        raise ValueError("sample_per_key needs id_cols to rank on")
+    keys = [by] if isinstance(by, str) else list(by)
+    rank_col = F.md5(
+        F.concat_ws(sep, F.lit(seed), *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        rank_col.asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= int(n))
+        .drop("__rn__")
+    )

@@ -1497,3 +1497,32 @@ def s3_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_cents",
     ).orderBy("window_start", "segment")
+
+
+@register(
+    "p37_sample_per_key",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat_ws(chr(31), 's1', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "per-key"),
+)
+def p37_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key deterministic uniform sampling (the reservoir-sample
+    replacement): exactly 20 documents per language, chosen by ranking on
+    md5(seed + doc_id) — a pure function of row content, so the SAME rows
+    fall out of Spark and DuckDB (the oracle computes the identical
+    ranking) and of any partitioning or rerun. One keyed window exchange;
+    at 100 TB this is the per-domain corpus down-sampling primitive."""
+    from fugue_spark.operators.sampling import sample_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_per_key(docs, 20, by="lang", id_cols=["doc_id"], seed="s1")
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")

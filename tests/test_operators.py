@@ -797,3 +797,38 @@ def test_time_rollup_week_non_nesting(spark):
         ev, "ts", ["day", "week"], by="event_type", value_col="value", from_finest=True
     )
     assert sorted(map(tuple, direct2.collect())) == sorted(map(tuple, derived2.collect()))
+
+
+def test_sample_per_key_deterministic_uniform(spark):
+    """sample_per_key: exact-n per group, reproducible across
+    partitionings (pure function of row content), short groups whole,
+    roughly uniform over reruns with different seeds."""
+    import fugue_spark.api as fa
+
+    rows = [[g, i] for g in ("a", "b") for i in range(50)] + [["c", 0], ["c", 1]]
+    df = make_df(spark, rows, "g:str,id:int")
+    s1 = fa.sample_per_key(df, 5, by="g", id_cols=["id"], seed="x")
+    got = sorted((r.g, r.id) for r in s1.collect())
+    assert len([t for t in got if t[0] == "a"]) == 5
+    assert len([t for t in got if t[0] == "b"]) == 5
+    assert len([t for t in got if t[0] == "c"]) == 2  # short group kept whole
+    # identical rows regardless of physical partitioning
+    s2 = fa.sample_per_key(df.repartition(7), 5, by="g", id_cols=["id"], seed="x")
+    assert sorted((r.g, r.id) for r in s2.collect()) == got
+    # a different seed re-draws (overwhelmingly likely different rows)
+    s3 = sorted(
+        (r.g, r.id)
+        for r in fa.sample_per_key(df, 5, by="g", id_cols=["id"], seed="y").collect()
+    )
+    assert s3 != got
+    # union of many seeds covers most ids — uniformity sanity, not a proof
+    seen = set()
+    for s in "abcdefgh":
+        for r in fa.sample_per_key(df, 5, by="g", id_cols=["id"], seed=s).collect():
+            if r.g == "a":
+                seen.add(r.id)
+    assert len(seen) >= 25
+    with pytest.raises(ValueError):
+        fa.sample_per_key(df, 0, by="g", id_cols=["id"])
+    with pytest.raises(ValueError):
+        fa.sample_per_key(df, 1, by="g", id_cols=[])
