@@ -197,10 +197,12 @@ def get_current_parallelism(spark=None) -> int:
 
 
 def get_current_conf(spark=None) -> dict:
-    """The active session's SQL conf as a plain dict (reference
-    fugue/execution/api.py get_current_conf)."""
+    """The active session's SQL RUNTIME conf as a plain dict (reference
+    fugue/execution/api.py get_current_conf). ``SET`` reflects values
+    changed via ``spark.conf.set`` after launch — the static
+    ``sparkContext.getConf()`` would not."""
     s = spark or get_spark()
-    return dict(s.sparkContext.getConf().getAll())
+    return {r.key: r.value for r in s.sql("SET").collect()}
 
 
 def peek_array(df) -> list:

@@ -192,6 +192,10 @@ def sample_per_key(
         raise ValueError(f"n must be positive, got {n}")
     if not id_cols:
         raise ValueError("sample_per_key needs id_cols to rank on")
+    if "__rn__" in df.columns:
+        raise ValueError(
+            "column '__rn__' is a reserved internal name of sample_per_key — rename it first"
+        )
     keys = [by] if isinstance(by, str) else list(by)
     rank_col = F.md5(
         F.concat_ws(sep, F.lit(seed), *[F.col(c).cast("string") for c in id_cols])

@@ -926,7 +926,8 @@ def decode_avi(raw: bytes) -> "tuple[dict, list[bytes]]":
 
 
 def _decode_avi_body(raw: bytes) -> "tuple[dict, list[bytes]]":
-    frames: list[bytes] = []
+    chunks: list[tuple[int, bytes]] = []  # (stream id, payload)
+    stream_types: list[bytes] = []  # strh fccTypes in header order = ids
     meta: dict = {}
 
     def walk(pos: int, end: int) -> None:
@@ -942,16 +943,26 @@ def _decode_avi_body(raw: bytes) -> "tuple[dict, list[bytes]]":
                 meta["n_frames"] = f[4]
                 meta["width"] = f[8]
                 meta["height"] = f[9]
-            elif cid[2:4] in (b"dc", b"db") and cid[:2] == b"00":
-                # stream 0 only: the avih meta fields describe the first
-                # video stream; mixing '01dc'… chunks from a multi-stream
-                # file would interleave foreign frames into the sequence
-                frames.append(raw[body : body + sz])
+            elif cid == b"strh":
+                stream_types.append(raw[body : body + 4])
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                chunks.append((int(cid[:2]), raw[body : body + sz]))
             pos = body + sz + (sz & 1)  # chunks are word-aligned
 
     walk(12, len(raw))
     if not meta:
         raise ValueError("missing avih header")
+    # frames = the chunks of THE VIDEO stream: its id is the position of
+    # the first 'vids' strh header (stream ids are assigned in strl
+    # order); a multi-stream file with audio muxed first is '01dc' video.
+    # Files without strh headers fall back to stream 0.
+    video_id = next(
+        (i for i, t in enumerate(stream_types) if t == b"vids"),
+        0 if not stream_types else None,
+    )
+    if video_id is None:
+        raise ValueError("AVI has stream headers but no video ('vids') stream")
+    frames = [payload for sid, payload in chunks if sid == video_id]
     upf = meta.pop("usec_per_frame", 0)
     meta["fps_e3"] = (1_000_000_000 // upf) if upf else 0
     meta["duration_ms"] = meta["n_frames"] * upf // 1000 if upf else 0

@@ -301,14 +301,27 @@ def _expand_dict_result(res: dict, nested_cols: "set[str] | None") -> "dict | pd
     declared output column is scalar-typed, which is the dict-of-arrays
     multi-row form (one row per element, scalar values broadcast; the
     pandas twin of the compiled window shape). Values aimed at
-    array/struct/map columns never trigger expansion (they are cells)."""
+    array/struct/map columns never trigger expansion; in a multi-row
+    result they are CELLS, repeated onto every row."""
     skip = nested_cols if nested_cols is not None else set()
-    if any(
-        isinstance(v, (list, tuple, np.ndarray, pd.Series)) and k not in skip
-        for k, v in res.items()
-    ):
-        return pd.DataFrame(res)
-    return res
+    listy = (list, tuple, np.ndarray, pd.Series)
+    arrays = [k for k, v in res.items() if isinstance(v, listy) and k not in skip]
+    if not arrays:
+        return res
+    n = len(res[arrays[0]])
+    out = {}
+    for k, v in res.items():
+        if k in skip and isinstance(v, listy):
+            # nested-typed column in a multi-row result: a sequence OF
+            # sequences matching the row count is per-row cells; anything
+            # else (a flat array) is ONE cell repeated onto every row
+            if len(v) == n and all(isinstance(x, listy) for x in v):
+                out[k] = pd.Series([list(x) for x in v], dtype=object)
+            else:
+                out[k] = pd.Series([list(v)] * n, dtype=object)
+        else:
+            out[k] = v  # expanding array, or scalar broadcast by pandas
+    return pd.DataFrame(out)
 
 
 def _result_to_pandas(

@@ -832,3 +832,18 @@ def test_sample_per_key_deterministic_uniform(spark):
         fa.sample_per_key(df, 0, by="g", id_cols=["id"])
     with pytest.raises(ValueError):
         fa.sample_per_key(df, 1, by="g", id_cols=[])
+
+
+def test_sample_per_key_reserved_name_raises(spark):
+    df = make_df(spark, [[1, 2, 3]], "g:int,id:int,__rn__:int")
+    with pytest.raises(ValueError, match="reserved"):
+        fa.sample_per_key(df, 1, by="g", id_cols=["id"])
+
+
+def test_get_current_conf_reflects_runtime_changes(spark):
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        conf = fa.get_current_conf(spark)
+        assert conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -1109,3 +1109,39 @@ def test_save_partitioned_with_map_column(spark, tmp_path):
     back = fa.load(spark, out)
     assert back.count() == 3
     assert sorted(r.day for r in back.select("day").collect()) == ["a", "a", "b"]
+
+
+def test_avi_video_stream_identified_by_strh(spark):
+    """r07 second-review fix: the video stream is identified from the strh
+    headers (first 'vids'), not hard-coded to id 0 — audio-first files
+    decode their '01dc' chunks; headerless files fall back to stream 0."""
+    import struct
+
+    import numpy as np
+
+    from fugue_spark.pipeline import decode_avi, encode_jpeg
+
+    jpeg = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), quality=100)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return b"LIST" + struct.pack("<I", len(body) + 4) + t + body
+
+    avih = struct.pack("<14I", 250000, 0, 0, 0x10, 1, 0, 2, 0, 8, 8, 0, 0, 0, 0)
+    strh_audio = struct.pack("<4s4sIHH8I4H", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    strh_video = struct.pack("<4s4sIHH8I4H", b"vids", b"MJPG", 0, 0, 0, 0, 1, 4, 0, 1, 0, 0, 0, 0, 0, 8, 8)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_audio))
+               + lst(b"strl", chunk(b"strh", strh_video)))
+    movi = lst(b"movi", chunk(b"00wb", b"AUDIOPCM") + chunk(b"01dc", jpeg))
+    avi = b"RIFF" + struct.pack("<I", 4) + b"AVI " + hdrl + movi
+    meta, frames = decode_avi(avi)
+    assert frames == [jpeg]  # stream 1 is the video
+
+    # headers present but no video stream: honest failure
+    hdrl2 = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh_audio)))
+    avi2 = b"RIFF" + struct.pack("<I", 4) + b"AVI " + hdrl2 + lst(b"movi", chunk(b"00wb", b"PCM1"))
+    with pytest.raises(ValueError, match="no video"):
+        decode_avi(avi2)

@@ -547,3 +547,34 @@ def test_empty_aware_iterable_dispatch(spark):
         df, h, schema="k:long", partition={"by": ["k"]},
     )
     assert sorted(tuple(r) for r in got3.collect()) == [(1,), (2,)]
+
+
+def test_dict_of_arrays_mixed_with_array_cell(spark):
+    """r07 second-review fix: in a multi-row dict result, a value aimed at
+    an ARRAY-typed column is a cell — a flat array repeats onto every row;
+    a sequence-of-sequences matching the row count is per-row cells."""
+    from fugue_spark.schema import parse_schema
+
+    df = spark.createDataFrame(
+        [[1, 1, 10.0], [1, 2, 20.0], [2, 3, 5.0]],
+        parse_schema("k:long,i:long,x:double"),
+    )
+
+    def fn(pdf):
+        return {
+            "k": pdf.k.values[0],
+            "i": pdf.i.values,
+            "emb": [1.0, 2.0, 3.0],  # flat → ONE cell repeated per row
+            "per_row": [[float(v)] for v in pdf.i.values],  # per-row cells
+        }
+
+    out = fa.transform(
+        df, fn, schema="k:long,i:long,emb:[double],per_row:[double]",
+        partition={"by": ["k"]},
+    )
+    got = {r.i: (list(r.emb), list(r.per_row)) for r in out.collect()}
+    assert got == {
+        1: ([1.0, 2.0, 3.0], [1.0]),
+        2: ([1.0, 2.0, 3.0], [2.0]),
+        3: ([1.0, 2.0, 3.0], [3.0]),
+    }
