@@ -30,7 +30,11 @@ def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, f
     from statistics import median
 
     from fugue_spark.benchmarks import warm_cache
+    from fugue_spark.session import tune_for_input
 
+    # size runtime confs to THIS input (AQE off + byte-sized shuffle
+    # partitions under 64 MB; cluster posture above) — see session.py
+    tune_for_input(spark, sf_dir)
     # warmup: JVM/codegen/arrow paths + input cache (the test parquet files
     # are single-row-group, which would serialize every scan onto one task)
     warm_cache(spark, sf_dir)

@@ -89,8 +89,13 @@ def _union_cotransform(
     combined = parts[0]
     for p in parts[1:]:
         combined = combined.unionByName(p)
-    # explicit count: keep AQE from byte-size-coalescing a python-heavy stage
-    num = int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # explicit count: keep AQE from byte-size-coalescing a python-heavy stage;
+    # core-bound floor for the same reason (python stages are CPU-bound, so a
+    # byte-sized shuffle conf must not throttle the python workers)
+    num = max(
+        int(combined.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        combined.sparkSession.sparkContext.defaultParallelism,
+    )
     # NaN-safe key exprs: float NULL and NaN must co-partition and sort
     # adjacent — pandas treats them as one key (see _nan_safe_key_exprs)
     key_exprs = _nan_safe_key_exprs(combined, keys)

@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "configure_builder"]
+__all__ = ["get_spark", "configure_builder", "tune_for_input"]
 
 _DEFAULTS = {
     # AQE: coalesce small shuffle partitions, split skewed ones, re-plan joins
@@ -45,6 +45,69 @@ def configure_builder(builder: SparkSession.Builder) -> SparkSession.Builder:
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     return builder
+
+
+# Below this total input size, adaptive re-planning costs more than it saves:
+# AQE materializes every exchange as its own job (stats collection + re-plan),
+# which on a cluster is noise but on a small interactive input is the dominant
+# wall-clock term (~50-150 ms per job).  64 MB is far below one executor's
+# working set — nothing AQE decides (coalesce, skew split, join re-plan) can
+# matter at that size.
+SMALL_INPUT_BYTES = 64 * 1024 * 1024
+
+# Target bytes per shuffle partition when sizing small inputs: 2 MB keeps
+# every partition trivially cache-resident while still giving the scheduler
+# a handful of tasks to overlap.
+_SMALL_PARTITION_BYTES = 2 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    return total
+
+
+def tune_for_input(spark: SparkSession, input_dir: str) -> dict:
+    """Size runtime confs to the input, like AQE would — but one level up.
+
+    The engine's scale posture (AQE on, shuffle partitions ≈ cores) is right
+    for the 100-TB case, but a planner that cannot notice its input is 17 MB
+    pays pure scheduling overhead: AQE turns every exchange into a separate
+    stats-collection job, and 32 shuffle partitions mean 32 tasks per
+    exchange each doing microseconds of work.  This applies the inverse
+    adaptive decision: for inputs under ``SMALL_INPUT_BYTES``, disable AQE
+    (static planning is exact when the whole input fits in one task's
+    memory) and size shuffle partitions by input bytes instead of cores.
+    Both confs are runtime-settable, so this is per-workload, not
+    per-session.  Returns the previous values so callers can restore them.
+    """
+    prev = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    # remember the session's configured (pre-tuning) partition count so
+    # repeated tune calls on growing inputs restore the real baseline, not a
+    # previous tune's shrunken value
+    base_key = "spark.fugue.baseline.shufflePartitions"
+    try:
+        baseline = int(spark.conf.get(base_key))
+    except Exception:  # noqa: BLE001 - unset on first call
+        baseline = int(prev["spark.sql.shuffle.partitions"])
+        spark.conf.set(base_key, str(baseline))
+    size = _dir_bytes(input_dir) if os.path.isdir(input_dir) else 0
+    if 0 < size < SMALL_INPUT_BYTES:
+        parts = max(4, min(baseline, size // _SMALL_PARTITION_BYTES))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", str(baseline))
+    return prev
 
 
 def get_spark(

@@ -1075,7 +1075,13 @@ def transform(
             # BYTE size, collapsing a python-cost-heavy stage onto one core.
             num = spec.resolve_num(df)
             if num <= 0:
-                num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+                # python stages are CPU-bound: parallelism is core-bound, not
+                # byte-bound, so a byte-sized shuffle conf (tune_for_input on
+                # a small input) must not throttle the python workers
+                num = max(
+                    int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+                    df.sparkSession.sparkContext.defaultParallelism,
+                )
             key_exprs = _nan_safe_key_exprs(df, safe_keys)
             df = df.repartition(num, *key_exprs)
             # one partition-level sort makes every group a contiguous run

@@ -847,3 +847,30 @@ def test_get_current_conf_reflects_runtime_changes(spark):
         assert conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_tune_for_input_small_and_large(spark, tmp_path):
+    from fugue_spark.session import SMALL_INPUT_BYTES, tune_for_input
+
+    baseline = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # small input: AQE off, partitions sized by bytes (floor of 4)
+        small = tmp_path / "small"
+        small.mkdir()
+        (small / "t.parquet").write_bytes(b"x" * (3 * 1024 * 1024))
+        tune_for_input(spark, str(small))
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 4
+
+        # large input: cluster posture restored — AQE on, the session's
+        # ORIGINAL partition count (not the previous tune's shrunken value)
+        big = tmp_path / "big"
+        big.mkdir()
+        with open(big / "t.parquet", "wb") as f:
+            f.truncate(SMALL_INPUT_BYTES + 1)
+        tune_for_input(spark, str(big))
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == baseline
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", baseline)
