@@ -131,6 +131,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # the ones that most need a fresh oracle check). Everything else keeps its
 # registration order.
 _GATE_FIRST = (
+    "p38_cross_corpus_neardup",
     "p36_video_frames",
     "s3_stream_static_join",
     "p37_sample_per_key",

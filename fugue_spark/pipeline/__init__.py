@@ -3,9 +3,11 @@ surface; first-class per BASELINE.json): dedup, similarity search, text
 analysis, multimodal columns."""
 
 from fugue_spark.pipeline.dedup import (
+    decontaminate,
     dedup_exact,
     dedup_near,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_against,
     minhash_signatures,
     near_dup_clusters,
     ngram_jaccard_pairs,

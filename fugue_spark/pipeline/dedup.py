@@ -36,6 +36,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_against",
+    "decontaminate",
     "simhash_pairs",
     "simhash_verified_pairs",
     "near_dup_clusters",
@@ -319,6 +321,38 @@ def _minhash_from_index(ex: DataFrame, num_hashes: int) -> DataFrame:
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _banded(sig: DataFrame, bands: int, r: int, max_bucket_size: "int | None") -> DataFrame:
+    """(id, band, bh) LSH bucket keys from (id, sig) signatures: one 64-bit
+    hash per band over that band's r signature slots. Buckets larger than
+    ``max_bucket_size`` are dropped before any join consumes them (a k-doc
+    bucket emits O(k²) candidates — the quadratic guard lives here so every
+    banding consumer inherits it)."""
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__sz__"))
+            .filter(F.col("__sz__") <= int(max_bucket_size))
+        )
+        banded = banded.join(small.select("band", "bh"), on=["band", "bh"])
+    return banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -354,29 +388,7 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
     sig = _minhash_from_index(ex, num_hashes).localCheckpoint(eager=False)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
-    if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__sz__"))
-            .filter(F.col("__sz__") <= int(max_bucket_size))
-        )
-        banded = banded.join(small.select("band", "bh"), on=["band", "bh"])
+    banded = _banded(sig, bands, r, max_bucket_size)
     left = banded.select(F.col("id").alias("id_a"), "band", "bh")
     right = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cands = (
@@ -397,6 +409,116 @@ def minhash_lsh_pairs(
     )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_counts(pairs, sizes, int(threshold * 10000))
+
+
+def minhash_lsh_pairs_against(
+    probe: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-duplicate pairs (fuzzy decontamination).
+
+    The two-frame variant of :func:`minhash_lsh_pairs`: every output pair has
+    its left id drawn from ``probe`` and its right id from ``corpus`` — the
+    standard train/eval decontamination shape (probe = benchmark/eval set,
+    corpus = training data), one fuzziness level up from the exact n-gram
+    overlap of :func:`fugue_spark.pipeline.text.ngram_overlap`.
+
+    Each side is shingled and signed independently (same hash family, so
+    bucket keys are comparable), then candidates come from an equi-join of
+    the two sides' (band, band-hash) buckets — never a cross join. The
+    per-side ``max_bucket_size`` guard bounds the join fan-out at
+    ``max_bucket_size²`` rows per degenerate bucket. Candidates are verified
+    with exact shingle-set Jaccard, so the output has no false positives;
+    like the self-join variant, banding can miss pairs only marginally above
+    ``threshold`` (capture probability 1-(1-j^r)^b).
+
+    The probe side is typically tiny (an eval suite) next to a 100-TB
+    corpus: the probe's banded keys and shingle index are both
+    metadata-sized, the corpus is touched by exactly one shingling scan,
+    and every exchange carries longs, never text.
+
+    Output: probe_id, corpus_id, jaccard_e4 (exact, floor-scaled).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    exp = (
+        _shingle_index(probe, n, text_col, id_col)
+        .repartition("id")
+        .localCheckpoint(eager=False)
+    )
+    exc = (
+        _shingle_index(corpus, n, text_col, id_col)
+        .repartition("id")
+        .localCheckpoint(eager=False)
+    )
+    bp = _banded(_minhash_from_index(exp, num_hashes), bands, r, max_bucket_size)
+    bc = _banded(_minhash_from_index(exc, num_hashes), bands, r, max_bucket_size)
+    cands = (
+        bp.select(F.col("id").alias("probe_id"), "band", "bh")
+        .join(bc.select(F.col("id").alias("corpus_id"), "band", "bh"), on=["band", "bh"])
+        .select("probe_id", "corpus_id")
+        .distinct()
+    )
+    # exact verify on candidates only: count co-occurring shingles across the
+    # two indexes — exchanges carry (probe_id, corpus_id, g) longs
+    pairs = (
+        cands.join(exp.select(F.col("id").alias("probe_id"), "g"), on="probe_id")
+        .join(exc.select(F.col("id").alias("corpus_id"), "g"), on=["corpus_id", "g"])
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    np_ = exp.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    nc = exc.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    thr = int(threshold * 10000)
+    return (
+        pairs.join(
+            np_.select(F.col("id").alias("probe_id"), F.col("n_sh").alias("na")),
+            on="probe_id",
+        )
+        .join(
+            nc.select(F.col("id").alias("corpus_id"), F.col("n_sh").alias("nb")),
+            on="corpus_id",
+        )
+        .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
+        .filter(F.col("jaccard_e4") >= thr)
+        .select("probe_id", "corpus_id", "jaccard_e4")
+    )
+
+
+def decontaminate(
+    probe: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 1000,
+) -> DataFrame:
+    """Drop every ``probe`` row that near-duplicates something in ``corpus``
+    (same parameters as :func:`minhash_lsh_pairs_against`). Schema-preserving:
+    returns ``probe`` rows as-is, filtered by a left-anti join on the matched
+    probe ids (metadata-sized right side)."""
+    hits = minhash_lsh_pairs_against(
+        probe,
+        corpus,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("probe_id").alias(id_col)).distinct()
+    return probe.join(hits, on=id_col, how="left_anti")
 
 
 _SIMHASH_BITS = 64

@@ -22,6 +22,7 @@ from fugue_spark.pipeline import (
     dedup_near,
     extract_features,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_against,
     near_duplicates_lsh,
     ngram_jaccard_pairs,
     ngram_overlap,
@@ -1526,3 +1527,41 @@ def p37_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sample_per_key(docs, 20, by="lang", id_cols=["doc_id"], seed="s1")
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+@register(
+    "p38_cross_corpus_neardup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, n_sh, g FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(w) - 2, 0)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+               )) AS grams
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+      ), LATERAL (SELECT len(grams) AS n_sh), UNNEST(grams) AS t(g)
+      WHERE len(grams) > 0
+    )
+    SELECT a.id AS probe_id, b.id AS corpus_id,
+           CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) AS jaccard_e4
+    FROM sh a JOIN sh b ON a.g = b.g AND a.id % 10 = 0 AND b.id % 10 <> 0
+    GROUP BY a.id, b.id
+    HAVING CAST(FLOOR((COUNT(*) * 10000) / (MAX(a.n_sh) + MAX(b.n_sh) - COUNT(*))) AS BIGINT) >= 5000
+    ORDER BY probe_id, corpus_id
+    """,
+    tags=("dedup", "minhash", "lsh", "decontamination"),
+)
+def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: MinHash+LSH pairs between a probe
+    split (doc_id % 10 == 0, standing in for an eval benchmark) and the rest
+    of the corpus (training data). Same capture argument as p6: the
+    exact-verify stage makes the output ⊆ exact cross pairs, and the test
+    corpora's cross pairs sit at j ≥ 0.95 (16 bands × r=4 ⇒ capture ≈ 1), so
+    the LSH output EQUALS the exact all-cross-pairs oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_pairs_against(
+        probe, corpus, threshold=0.5, num_hashes=64, bands=16, n=3
+    ).orderBy("probe_id", "corpus_id")

@@ -1145,3 +1145,59 @@ def test_avi_video_stream_identified_by_strh(spark):
     avi2 = b"RIFF" + struct.pack("<I", 4) + b"AVI " + hdrl2 + lst(b"movi", chunk(b"00wb", b"PCM1"))
     with pytest.raises(ValueError, match="no video"):
         decode_avi(avi2)
+
+
+def test_cross_corpus_neardup_planted(spark):
+    """minhash_lsh_pairs_against finds planted probe↔corpus near-dups,
+    emits no within-side pairs, and decontaminate drops exactly the
+    contaminated probe rows."""
+    from fugue_spark.pipeline import decontaminate, minhash_lsh_pairs_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    probe = spark.createDataFrame(
+        [
+            [1, base + " probe tail"],            # near-dup of corpus id 101
+            [2, "completely different text about spark partitioning and shuffles ok"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    corpus = spark.createDataFrame(
+        [
+            [101, base + " corpus tail"],
+            [102, base + " corpus tail two"],      # also near id 101 — but same side
+            [103, "unrelated corpus document mentioning airplanes and oceans widely"],
+        ],
+        parse_schema("doc_id:long,text:str"),
+    )
+    pairs = minhash_lsh_pairs_against(probe, corpus, threshold=0.5, n=3).collect()
+    got = {(r.probe_id, r.corpus_id) for r in pairs}
+    assert (1, 101) in got and (1, 102) in got
+    # no within-side pairs: every left id is a probe id, every right a corpus id
+    assert all(p in (1, 2) and c > 100 for p, c in got)
+    assert all(0 < r.jaccard_e4 <= 10000 for r in pairs)
+
+    clean = decontaminate(probe, corpus, threshold=0.5, n=3)
+    assert {r.doc_id for r in clean.collect()} == {2}
+    assert clean.schema == probe.schema
+
+
+def test_cross_corpus_neardup_bucket_cap(spark):
+    from fugue_spark.pipeline import minhash_lsh_pairs_against
+
+    # identical texts per side: every band bucket holds all 3 docs of each
+    # side, so a per-side cap of 1 drops every bucket (a 1-probe × 1-corpus
+    # bucket is a legitimate match and must survive the cap — hence
+    # identical texts, not merely similar ones)
+    base = "alpha beta gamma delta epsilon zeta eta theta kappa"
+    probe = spark.createDataFrame(
+        [[i, base] for i in range(3)], parse_schema("doc_id:long,text:str")
+    )
+    corpus = spark.createDataFrame(
+        [[100 + i, base] for i in range(3)],
+        parse_schema("doc_id:long,text:str"),
+    )
+    assert minhash_lsh_pairs_against(probe, corpus, threshold=0.3).count() == 9
+    assert (
+        minhash_lsh_pairs_against(probe, corpus, threshold=0.3, max_bucket_size=1).count()
+        == 0
+    )
