@@ -605,3 +605,44 @@ def test_nested_df_ref_names_do_not_leak(spark):
         functions={"bump": lambda pdf: pdf.assign(x=pdf.x + 1)},
     )
     assert rows(res["a"]) == [(2,)]
+
+
+def test_nested_statements_multi_level(spark):
+    """Grammar corners the reference ANTLR grammar allows (ref
+    fugue/sql/_visitors.py:363,397): nested tasks in ANY dataframe
+    position, composed beyond one level — PROCESS of a nested CREATE,
+    three-level nesting, and SUB over a nested statement."""
+
+    def mk(spark_, n=0):
+        return spark_.createDataFrame([[n]], "a long")
+
+    def double(df):
+        from pyspark.sql import functions as F
+
+        return df.select((F.col("a") * 2).alias("a"))
+
+    def double_m(spark_, df):
+        from pyspark.sql import functions as F
+
+        return df.select((F.col("a") * 2).alias("a"))
+
+    fns = {"mk": mk, "double": double, "double_m": double_m}
+    res = fsql(
+        """
+        out1 = SELECT * FROM (PROCESS (CREATE USING mk(n=5)) USING double)
+        YIELD DATAFRAME AS o1
+        out2 = SELECT * FROM
+               (PROCESS (PROCESS (CREATE USING mk(n=3)) USING double) USING double)
+        YIELD DATAFRAME AS o2
+        out3 = SELECT * FROM (SUB (CREATE USING mk(n=2)) USING double_m)
+        YIELD DATAFRAME AS o3
+        out4 = PROCESS (CREATE USING mk(n=4)), (CREATE USING mk(n=6)) USING unite
+        YIELD DATAFRAME AS o4
+        """,
+        spark=spark,
+        functions=dict(fns, unite=lambda a, b: a.unionByName(b)),
+    )
+    assert rows(res["o1"]) == [(10,)]
+    assert rows(res["o2"]) == [(12,)]  # 3 × 2 × 2
+    assert rows(res["o3"]) == [(4,)]
+    assert sorted(rows(res["o4"])) == [(4,), (6,)]
