@@ -60,6 +60,7 @@ from fugue_spark.pipeline.text import (
     with_fingerprint,
     winnowing_fingerprints,
     winnowing_pairs,
+    with_gopher_flags,
     with_lang_id,
     with_quality_score,
     with_repetition_stats,

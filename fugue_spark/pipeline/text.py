@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_token_stats",
     "with_quality_score",
+    "with_gopher_flags",
     "with_lang_id",
     "with_fingerprint",
     "ngram_topk",
@@ -96,6 +97,81 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stop_ratio_e4": stop_ratio_e4,
             "punct_ratio_e4": punct_ratio_e4,
             "quality_score": quality,
+        }
+    )
+
+
+# The 8 high-frequency words of the published Gopher rule ("contains at
+# least 2 of ..."; Rae et al. 2021, §A1.1 quality-filter heuristics)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher rule-based quality filters (Rae et al. 2021,
+    §A1.1), each as an integer-arithmetic 0/1 flag so the result is exactly
+    reproducible across engines (counts and cross-multiplications only —
+    no float ratios):
+
+    * ``f_word_count``     — word count in [min_words, max_words]
+    * ``f_mean_word_len``  — mean word length in [min, max] chars
+    * ``f_symbol_ratio``   — (# of '#' + '…'/'...') ≤ 0.1 × words
+    * ``f_bullet_lines``   — ≤ 90% of lines start with a bullet
+    * ``f_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis
+    * ``f_alpha_words``    — ≥ 80% of words contain a letter
+    * ``f_stopwords``      — ≥ min_stopwords distinct words of the 8-word
+      list present (Gopher's published threshold is 2)
+    * ``gopher_pass``      — AND of the seven flags
+
+    Map-only native column expressions — scan speed at any corpus size; the
+    word split matches :func:`corpus_stats` (whitespace tokens of trimmed
+    text).
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    # sum of word lengths == non-whitespace chars
+    n_wchars = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ell = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike(r"[A-Za-z]")))
+    n_stop = sum(
+        F.when(F.lower(t).rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in _GOPHER_STOPWORDS
+    )
+    b = lambda c: c.cast("int")  # noqa: E731
+    f_wc = b((n_words >= min_words) & (n_words <= max_words))
+    f_mwl = b(
+        (n_words > 0)
+        & (n_wchars >= min_mean_word_len * n_words)
+        & (n_wchars <= max_mean_word_len * n_words)
+    )
+    f_sym = b(n_sym * 10 <= n_words)
+    f_bul = b(n_bullet * 10 <= n_lines * 9)
+    f_ell = b(n_ell * 10 <= n_lines * 3)
+    f_alpha = b((n_words > 0) & (n_alpha * 5 >= n_words * 4))
+    f_stop = b(n_stop >= min_stopwords)
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "f_word_count": f_wc,
+            "f_mean_word_len": f_mwl,
+            "f_symbol_ratio": f_sym,
+            "f_bullet_lines": f_bul,
+            "f_ellipsis_lines": f_ell,
+            "f_alpha_words": f_alpha,
+            "f_stopwords": f_stop,
+            "gopher_pass": f_wc * f_mwl * f_sym * f_bul * f_ell * f_alpha * f_stop,
         }
     )
 

@@ -1565,3 +1565,67 @@ def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_against(
         probe, corpus, threshold=0.5, num_hashes=64, bands=16, n=3
     ).orderBy("probe_id", "corpus_id")
+
+
+@register(
+    "p39_gopher_filters",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
+             len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> regexp_matches(x, '^\\s*[-*•]'))) AS n_bullet,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                           x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
+             (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END) AS n_stop
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_word_count,
+             CASE WHEN n_words > 0 AND n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words THEN 1 ELSE 0 END AS f_mean_word_len,
+             CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS f_symbol_ratio,
+             CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS f_bullet_lines,
+             CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS f_ellipsis_lines,
+             CASE WHEN n_words > 0 AND n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS f_alpha_words,
+             CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS f_stopwords
+      FROM f
+    )
+    SELECT doc_id, n_words, f_word_count, f_mean_word_len, f_symbol_ratio,
+           f_bullet_lines, f_ellipsis_lines, f_alpha_words, f_stopwords,
+           f_word_count * f_mean_word_len * f_symbol_ratio * f_bullet_lines
+             * f_ellipsis_lines * f_alpha_words * f_stopwords AS gopher_pass
+    FROM g ORDER BY doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def p39_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule-based quality filters as integer 0/1 flags
+    (word count, mean word length, symbol ratio, bullet/ellipsis lines,
+    alpha-word fraction, stop-word presence) — map-only native expressions,
+    value-checked flag-for-flag against the DuckDB mirror."""
+    from fugue_spark.pipeline import with_gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    # min_stopwords=1: the synthetic corpus vocabulary contains at most one
+    # of the 8 Gopher stop words, so the published threshold of 2 would zero
+    # the whole pass column and hide regressions in every other flag
+    out = with_gopher_flags(docs, min_stopwords=1)
+    return out.select(
+        "doc_id", "n_words", "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
+        "gopher_pass",
+    ).orderBy("doc_id")

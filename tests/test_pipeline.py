@@ -1201,3 +1201,37 @@ def test_cross_corpus_neardup_bucket_cap(spark):
         minhash_lsh_pairs_against(probe, corpus, threshold=0.3, max_bucket_size=1).count()
         == 0
     )
+
+
+def test_gopher_flags_planted(spark):
+    """Each Gopher rule fires on a planted violation and passes on the
+    clean doc; line-based rules exercised with real multi-line text."""
+    from fugue_spark.pipeline import with_gopher_flags
+
+    clean = "the quick brown fox jumps over a lazy dog and then it sat " * 5
+    docs = [
+        [1, clean],                                        # passes everything
+        [2, "the of and " + "x " * 5],                     # too few words
+        [3, "the of " + "supercalifragilistic " * 60],     # mean word len > 10
+        [4, "the of " + "go " * 60 + "# " * 30],           # symbol ratio > 0.1
+        [5, "the of\n" + "\n".join("- item %d ok" % i for i in range(10))],  # >90% bullets
+        [6, "the of go on\n" + "\n".join("trailing words here..." for _ in range(5))],  # >30% ellipsis lines
+        [7, "the of " + "123 456 " * 30],                  # alpha words < 80%
+        [8, "zebra " * 60],                                # no stop words
+    ]
+    df = spark.createDataFrame(docs, parse_schema("doc_id:long,text:str"))
+    out = {r.doc_id: r for r in with_gopher_flags(df).collect()}
+    assert out[1].gopher_pass == 1
+    assert out[2].f_word_count == 0
+    assert out[3].f_mean_word_len == 0
+    assert out[4].f_symbol_ratio == 0
+    assert out[5].f_bullet_lines == 0
+    assert out[6].f_ellipsis_lines == 0
+    assert out[7].f_alpha_words == 0
+    assert out[8].f_stopwords == 0
+    for d in range(2, 9):
+        assert out[d].gopher_pass == 0
+    # empty text: no division blowups, everything fails cleanly
+    empty = spark.createDataFrame([[9, ""]], parse_schema("doc_id:long,text:str"))
+    r = with_gopher_flags(empty).collect()[0]
+    assert r.n_words == 0 and r.gopher_pass == 0
