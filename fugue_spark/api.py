@@ -256,3 +256,48 @@ def fugue_sql(query: str, spark=None, **kwargs):
     if isinstance(res, dict) and len(res) == 1:
         return next(iter(res.values()))
     return res
+
+
+class FugueSQLFlow:
+    """Deferred FugueSQL workflow (reference fugue/sql/api.py
+    fugue_sql_flow → FugueSQLWorkflow): holds the parsed-later script and
+    its variables; nothing executes until :meth:`run`. ``run`` returns the
+    yields dict (with ``.last``) exactly like :func:`fugue_spark.sql.fsql`.
+    """
+
+    def __init__(self, query: str, functions=None, **variables):
+        self._query = query
+        self._functions = functions
+        self._variables = variables
+
+    def run(self, spark=None, **more_variables):
+        from fugue_spark.sql import fsql
+
+        merged = dict(self._variables)
+        merged.update(more_variables)
+        return fsql(
+            self._query, spark=spark, functions=self._functions, **merged
+        )
+
+
+def fugue_sql_flow(query: str, functions=None, **variables) -> FugueSQLFlow:
+    """Build a deferred FugueSQL workflow; call ``.run(spark)`` to execute
+    (reference fugue/sql/api.py fugue_sql_flow — the build/run split, minus
+    the multi-backend engine selection SURVEY §7 excludes)."""
+    return FugueSQLFlow(query, functions=functions, **variables)
+
+
+def as_fugue_dataset(data, **kwargs):
+    """The engine dataset of ``data`` (reference fugue/dataset/api.py
+    as_fugue_dataset). In this single-engine design every dataset IS a
+    Spark DataFrame, so this is :func:`as_fugue_df`."""
+    return as_fugue_df(data, **kwargs)
+
+
+def as_fugue_engine_df(spark, data, schema=None):
+    """Convert ``data`` to this engine's dataframe on an explicit session
+    (reference fugue/execution/api.py as_fugue_engine_df, with the
+    SparkSession in place of the engine object)."""
+    from fugue_spark.ingest import to_df
+
+    return to_df(spark, data, schema=schema)

@@ -297,3 +297,39 @@ def test_api_inspection_utilities(spark):
         spark=spark,
     )
     assert fa.is_df(out) and out.collect()[0].v == 5
+
+
+def test_fugue_sql_flow_deferred(spark):
+    """fugue_sql_flow builds without executing; .run() yields like fsql;
+    variables merge at run time (reference fugue/sql/api.py build/run
+    split)."""
+    import fugue_spark.api as fa
+
+    flow = fa.fugue_sql_flow(
+        """
+        a = CREATE [[1],[2],[3]] SCHEMA x:long
+        b = SELECT x FROM a WHERE x > {{lo}}
+        YIELD DATAFRAME AS out
+        """,
+        lo=1,
+    )
+    # nothing ran yet — the flow holds only the script
+    assert isinstance(flow, fa.FugueSQLFlow)
+    res = flow.run(spark)
+    assert sorted(r.x for r in res["out"].collect()) == [2, 3]
+    # run-time variables override build-time ones
+    res2 = flow.run(spark, lo=2)
+    assert sorted(r.x for r in res2["out"].collect()) == [3]
+
+
+def test_as_fugue_dataset_and_engine_df(spark):
+    import pandas as pd
+
+    import fugue_spark.api as fa
+
+    pdf = pd.DataFrame({"a": [1, 2]})
+    d1 = fa.as_fugue_dataset(pdf, spark=spark)
+    d2 = fa.as_fugue_engine_df(spark, [[1], [2]], schema="a:long")
+    assert sorted(r.a for r in d1.collect()) == [1, 2]
+    assert sorted(r.a for r in d2.collect()) == [1, 2]
+    assert d2.schema.simpleString() == "struct<a:bigint>"
