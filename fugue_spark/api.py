@@ -43,7 +43,14 @@ from fugue_spark.operators import (
     take,
     union,
 )
-from fugue_spark.context import engine_context, raw_sql  # noqa: F401
+from fugue_spark.context import (  # noqa: F401
+    clear_global_engine,
+    engine_context,
+    get_context_engine,
+    raw_sql,
+    run_engine_function,
+    set_global_engine,
+)
 from fugue_spark.cotransform import cotransform
 from fugue_spark.partition import PartitionSpec, apply_partition_spec as repartition
 from fugue_spark.transform import PartitionCursor, Transformer, out_transform, transform

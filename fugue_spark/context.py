@@ -14,9 +14,18 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["engine_context", "current_spark", "raw_sql"]
+__all__ = [
+    "engine_context",
+    "current_spark",
+    "raw_sql",
+    "set_global_engine",
+    "clear_global_engine",
+    "get_context_engine",
+    "run_engine_function",
+]
 
 _LOCAL = threading.local()
+_GLOBAL: "list[SparkSession]" = []  # 0- or 1-element; module-level default
 
 
 @contextmanager
@@ -36,15 +45,57 @@ def engine_context(spark: "SparkSession | None" = None):
 
 
 def current_spark() -> SparkSession:
+    """Context engine > global engine > active session > new session — the
+    reference's resolution order (fugue/execution/factory.py), with the
+    SparkSession as the only engine kind."""
     stack = getattr(_LOCAL, "stack", None)
     if stack:
         return stack[-1]
+    if _GLOBAL:
+        return _GLOBAL[0]
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
     from fugue_spark.session import get_spark
 
     return get_spark()
+
+
+def set_global_engine(spark: "SparkSession | None" = None) -> SparkSession:
+    """Make ``spark`` the process-wide default engine (reference
+    fugue/execution/api.py set_global_engine). Context engines set via
+    :func:`engine_context` still take precedence, matching the reference's
+    resolution order."""
+    if spark is None:
+        from fugue_spark.session import get_spark
+
+        spark = get_spark()
+    _GLOBAL.clear()
+    _GLOBAL.append(spark)
+    return spark
+
+
+def clear_global_engine() -> None:
+    """Unset the process-wide default engine (reference
+    fugue/execution/api.py clear_global_engine)."""
+    _GLOBAL.clear()
+
+
+def get_context_engine() -> SparkSession:
+    """The engine that would serve an engine-less API call right now
+    (reference fugue/execution/api.py get_context_engine): context >
+    global > active > new."""
+    return current_spark()
+
+
+def run_engine_function(func, engine: "SparkSession | None" = None):
+    """Run ``func(spark)`` under the resolved engine (reference
+    fugue/execution/api.py run_engine_function, minus the multi-backend
+    conversion knobs — the result is returned as-is because the engine
+    dataframe IS the Spark DataFrame)."""
+    spark = engine if engine is not None else current_spark()
+    with engine_context(spark):
+        return func(spark)
 
 
 def raw_sql(*parts: "str | DataFrame", spark: "SparkSession | None" = None) -> DataFrame:

@@ -333,3 +333,43 @@ def test_as_fugue_dataset_and_engine_df(spark):
     assert sorted(r.a for r in d1.collect()) == [1, 2]
     assert sorted(r.a for r in d2.collect()) == [1, 2]
     assert d2.schema.simpleString() == "struct<a:bigint>"
+
+
+def test_global_engine_resolution_order(spark):
+    """set_global_engine/get_context_engine/run_engine_function follow the
+    reference resolution order: context > global > active session."""
+    import fugue_spark.api as fa
+    from fugue_spark.context import clear_global_engine, set_global_engine
+
+    try:
+        assert fa.get_context_engine() is spark  # active session
+        g = set_global_engine(spark)
+        assert g is spark and fa.get_context_engine() is spark
+        with fa.engine_context(spark) as ctx:
+            assert fa.get_context_engine() is ctx  # context beats global
+        out = fa.run_engine_function(
+            lambda s: s.createDataFrame([[1]], "a long").collect()
+        )
+        assert [r.a for r in out] == [1]
+    finally:
+        clear_global_engine()
+    # full reference fugue.api surface is now present
+    ref_names = [
+        "alter_columns", "as_array", "as_array_iterable", "as_arrow",
+        "as_dict_iterable", "as_dicts", "as_fugue_df", "as_pandas",
+        "drop_columns", "get_column_names", "get_native_as_df", "get_schema",
+        "head", "is_df", "normalize_column_names", "peek_array", "peek_dict",
+        "rename", "select_columns", "as_fugue_dataset", "as_local",
+        "as_local_bounded", "count", "get_num_partitions", "is_bounded",
+        "is_empty", "is_local", "show", "aggregate", "anti_join",
+        "as_fugue_engine_df", "assign", "broadcast", "clear_global_engine",
+        "cross_join", "distinct", "dropna", "engine_context", "fillna",
+        "filter", "full_outer_join", "get_context_engine", "get_current_conf",
+        "get_current_parallelism", "inner_join", "intersect", "join",
+        "left_outer_join", "load", "persist", "repartition",
+        "right_outer_join", "run_engine_function", "sample", "save", "select",
+        "semi_join", "set_global_engine", "subtract", "take", "union",
+        "fugue_sql", "fugue_sql_flow", "out_transform", "raw_sql", "transform",
+    ]
+    missing = [n for n in ref_names if not hasattr(fa, n)]
+    assert missing == []
