@@ -589,3 +589,69 @@ def test_cotransform_compiler_differential_fuzz(spark, seed):
                 assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (seed, ra, rb)
             else:
                 assert x == y, (seed, ra, rb)
+
+
+def _brute_cross_jaccard(probe_docs, corpus_docs, n, thr_e4):
+    """Exact cross-corpus word-shingle Jaccard pairs — the oracle for
+    minhash_lsh_pairs_against (same normalization as the operator)."""
+    import re as _re
+
+    def shingles(t):
+        w = _re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))}
+
+    out = set()
+    for pid, pt in probe_docs:
+        sp = shingles(pt)
+        if not sp:
+            continue
+        for cid, ct in corpus_docs:
+            sc = shingles(ct)
+            if not sc:
+                continue
+            inter = len(sp & sc)
+            if inter * 10000 >= thr_e4 * (len(sp) + len(sc) - inter):
+                out.add((pid, cid))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cross_corpus_lsh_matches_bruteforce(spark, seed):
+    """Differential fuzz: on random corpora with planted near-dups, the LSH
+    output is a SUBSET of exact cross pairs (verify stage guarantees no
+    false positives) and captures every planted high-jaccard pair."""
+    rng = random.Random(1000 + seed)
+    vocab = ["spark", "query", "table", "join", "scan", "agg", "row", "key",
+             "data", "batch", "line", "sort", "fast", "slow"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+
+    corpus_docs = [(100 + i, doc()) for i in range(15)]
+    probe_docs = [(i, doc()) for i in range(8)]
+    # plant near-identical copies (one-word tail change = high jaccard)
+    planted = []
+    for i in range(3):
+        cid, ct = corpus_docs[rng.randrange(len(corpus_docs))]
+        pid = 50 + i
+        probe_docs.append((pid, ct + " tailword"))
+        planted.append((pid, cid))
+    probe = spark.createDataFrame(
+        [[i, t] for i, t in probe_docs], parse_schema("doc_id:long,text:str")
+    )
+    corpus = spark.createDataFrame(
+        [[i, t] for i, t in corpus_docs], parse_schema("doc_id:long,text:str")
+    )
+    from fugue_spark.pipeline import minhash_lsh_pairs_against
+
+    got = {
+        (r.probe_id, r.corpus_id)
+        for r in minhash_lsh_pairs_against(
+            probe, corpus, threshold=0.5, num_hashes=64, bands=16, n=3
+        ).collect()
+    }
+    exact = _brute_cross_jaccard(probe_docs, corpus_docs, 3, 5000)
+    assert got <= exact  # exact-verify stage: no false positives, ever
+    strong = _brute_cross_jaccard(probe_docs, corpus_docs, 3, 8000)
+    assert strong <= got  # j>=0.8 pairs: capture probability ~1 at b16/r4
+    assert set(planted) <= got
