@@ -133,6 +133,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 _GATE_FIRST = (
     "p38_cross_corpus_neardup",
     "p39_gopher_filters",
+    "s4_stream_dedup",
     "p36_video_frames",
     "s3_stream_static_join",
     "p37_sample_per_key",

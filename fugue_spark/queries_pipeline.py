@@ -1629,3 +1629,31 @@ def p39_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
         "gopher_pass",
     ).orderBy("doc_id")
+
+
+@register(
+    "s4_stream_dedup",
+    oracle="""
+    SELECT DISTINCT lang, source FROM documents
+    ORDER BY lang, source
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via applyInPandasWithState, driven to
+    completion and value-checked against batch DISTINCT: first row per
+    (lang, source) key — a coarse key with many duplicates per group, so
+    the emit-once state logic does real dropping (500 rows -> ~a dozen at
+    sf0.01). The output projects ONLY the state key columns, so the result
+    is deterministic regardless of which duplicate arrives first within a
+    microbatch — the stateful-op plumbing (state store, per-key flags,
+    emit-once) is what the gate pins down."""
+    from fugue_spark import streaming as fs
+
+    stream = fs.load_stream(
+        spark, f"{sf_dir}/documents.parquet", format_hint="parquet"
+    )
+    keyed = stream.select("lang", "source")
+    deduped = fs.stream_dedup_exact(keyed, keys=["lang", "source"])
+    out = fs.run_to_memory(deduped, "s4_dedup", output_mode="append")
+    return out.orderBy("lang", "source")
