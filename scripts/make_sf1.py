@@ -96,11 +96,16 @@ def make_sf1(src: str = SRC, dst: str = DST, reps: int = REPS) -> str:
         "CASE WHEN i = 0 THEN n_chars ELSE length(regexp_replace(text, '(\\S+)', 'r' || i || '_\\1', 'g')) END AS n_chars "
         f"FROM {t('documents')} CROSS JOIN r",
     )
+    # rotate by i MOD dim: for reps > dim a raw i would slice past the
+    # vector end and emit ragged vectors (replicas i and i+dim then share a
+    # direction — acceptable for scaling measurements, unreachable at the
+    # default reps=10)
+    dim = con.sql(f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1").fetchone()[0]
     copy(
         "embeddings",
         f"SELECT vec_id + i*{sv} AS vec_id, "
-        "CASE WHEN i = 0 THEN embedding "
-        "ELSE (embedding[i+1:] || embedding[1:i])::FLOAT[] END AS embedding, label "
+        f"CASE WHEN i % {dim} = 0 THEN embedding "
+        f"ELSE (embedding[(i % {dim})+1:] || embedding[1:(i % {dim})])::FLOAT[] END AS embedding, label "
         f"FROM {t('embeddings')} CROSS JOIN r",
     )
     con.close()
