@@ -94,7 +94,9 @@ def as_fugue_df(data, schema=None, spark=None):
     engine dataframe IS the Spark DataFrame, no wrapper)."""
     from fugue_spark.ingest import to_df
 
-    return to_df(spark or get_spark(), data, schema)
+    from fugue_spark.context import current_spark
+
+    return to_df(spark or current_spark(), data, schema)
 
 
 def normalize_column_names(df):
@@ -199,7 +201,9 @@ def get_num_partitions(df) -> int:
 def get_current_parallelism(spark=None) -> int:
     """Cluster task parallelism (reference fugue/execution/api.py
     get_current_parallelism → engine.get_current_parallelism)."""
-    s = spark or get_spark()
+    from fugue_spark.context import current_spark
+
+    s = spark or current_spark()
     return s.sparkContext.defaultParallelism
 
 
@@ -208,7 +212,9 @@ def get_current_conf(spark=None) -> dict:
     fugue/execution/api.py get_current_conf). ``SET`` reflects values
     changed via ``spark.conf.set`` after launch — the static
     ``sparkContext.getConf()`` would not."""
-    s = spark or get_spark()
+    from fugue_spark.context import current_spark
+
+    s = spark or current_spark()
     return {r.key: r.value for r in s.sql("SET").collect()}
 
 

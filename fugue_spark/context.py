@@ -25,15 +25,17 @@ __all__ = [
 ]
 
 _LOCAL = threading.local()
-_GLOBAL: "list[SparkSession]" = []  # 0- or 1-element; module-level default
+# module-level default engine; a plain variable so reads and writes are
+# atomic under the GIL (a clear-then-append list would race with readers)
+_GLOBAL_ENGINE: "SparkSession | None" = None
 
 
 @contextmanager
 def engine_context(spark: "SparkSession | None" = None):
     if spark is None:
-        from fugue_spark.session import get_spark
-
-        spark = get_spark()
+        # inherit the currently-resolved engine (global/context/active)
+        # rather than jumping straight to getOrCreate
+        spark = current_spark()
     stack = getattr(_LOCAL, "stack", None)
     if stack is None:
         stack = _LOCAL.stack = []
@@ -51,8 +53,8 @@ def current_spark() -> SparkSession:
     stack = getattr(_LOCAL, "stack", None)
     if stack:
         return stack[-1]
-    if _GLOBAL:
-        return _GLOBAL[0]
+    if _GLOBAL_ENGINE is not None:
+        return _GLOBAL_ENGINE
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
@@ -66,19 +68,20 @@ def set_global_engine(spark: "SparkSession | None" = None) -> SparkSession:
     fugue/execution/api.py set_global_engine). Context engines set via
     :func:`engine_context` still take precedence, matching the reference's
     resolution order."""
+    global _GLOBAL_ENGINE
     if spark is None:
         from fugue_spark.session import get_spark
 
         spark = get_spark()
-    _GLOBAL.clear()
-    _GLOBAL.append(spark)
+    _GLOBAL_ENGINE = spark
     return spark
 
 
 def clear_global_engine() -> None:
     """Unset the process-wide default engine (reference
     fugue/execution/api.py clear_global_engine)."""
-    _GLOBAL.clear()
+    global _GLOBAL_ENGINE
+    _GLOBAL_ENGINE = None
 
 
 def get_context_engine() -> SparkSession:

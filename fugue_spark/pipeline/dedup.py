@@ -282,16 +282,26 @@ def _jaccard_e4(shared: str, na: str, nb: str) -> F.Column:
     ).cast("long")
 
 
-def _jaccard_from_counts(pairs: DataFrame, sizes: DataFrame, thr: int) -> DataFrame:
-    """Attach per-doc set sizes (id, n_sh) to (id_a, id_b, shared_c) pair
-    counts and emit exact Jaccard — the exchanges carry three longs per row,
-    never the shingle arrays."""
+def _jaccard_from_counts(
+    pairs: DataFrame,
+    sizes: DataFrame,
+    thr: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    sizes_right: "DataFrame | None" = None,
+) -> DataFrame:
+    """Attach per-doc set sizes (id, n_sh) to (left_id, right_id, shared_c)
+    pair counts and emit exact Jaccard — the exchanges carry three longs per
+    row, never the shingle arrays. ``sizes_right`` lets the two pair sides
+    come from different corpora (cross-corpus variant); default is the
+    self-join case where one sizes frame serves both sides."""
+    sr = sizes_right if sizes_right is not None else sizes
     return (
-        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), on="id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), on="id_b")
+        pairs.join(sizes.select(F.col("id").alias(left_id), F.col("n_sh").alias("na")), on=left_id)
+        .join(sr.select(F.col("id").alias(right_id), F.col("n_sh").alias("nb")), on=right_id)
         .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
         .filter(F.col("jaccard_e4") >= thr)
-        .select("id_a", "id_b", "jaccard_e4")
+        .select(left_id, right_id, "jaccard_e4")
     )
 
 
@@ -476,19 +486,13 @@ def minhash_lsh_pairs_against(
     )
     np_ = exp.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     nc = exc.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    thr = int(threshold * 10000)
-    return (
-        pairs.join(
-            np_.select(F.col("id").alias("probe_id"), F.col("n_sh").alias("na")),
-            on="probe_id",
-        )
-        .join(
-            nc.select(F.col("id").alias("corpus_id"), F.col("n_sh").alias("nb")),
-            on="corpus_id",
-        )
-        .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
-        .filter(F.col("jaccard_e4") >= thr)
-        .select("probe_id", "corpus_id", "jaccard_e4")
+    return _jaccard_from_counts(
+        pairs,
+        np_,
+        int(threshold * 10000),
+        left_id="probe_id",
+        right_id="corpus_id",
+        sizes_right=nc,
     )
 
 

@@ -135,8 +135,12 @@ def with_gopher_flags(
     text).
     """
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    # strip ALL leading/trailing whitespace before splitting: F.trim strips
+    # spaces only, so a leading tab/newline would otherwise produce a
+    # phantom empty first token that skews n_words and f_alpha_words
+    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
+    words = F.split(stripped, r"\s+")
+    n_words = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(F.size(words))
     # sum of word lengths == non-whitespace chars
     n_wchars = F.length(F.regexp_replace(t, r"\s+", ""))
     n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))

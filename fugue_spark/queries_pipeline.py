@@ -1572,8 +1572,8 @@ def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END AS n_words,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ')) END AS n_words,
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
              len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
              len(string_split(text, chr(10))) AS n_lines,
@@ -1581,8 +1581,8 @@ def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> regexp_matches(x, '^\\s*[-*•]'))) AS n_bullet,
              len(list_filter(string_split(text, chr(10)),
                  x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(list_filter(string_split(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' '),
                            x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
              (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
               + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END

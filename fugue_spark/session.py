@@ -92,21 +92,31 @@ def tune_for_input(spark: SparkSession, input_dir: str) -> dict:
     }
     # remember the session's configured (pre-tuning) partition count so
     # repeated tune calls on growing inputs restore the real baseline, not a
-    # previous tune's shrunken value
+    # previous tune's shrunken value. A user's own conf.set between tune
+    # calls must win: if the current value differs from what WE last set,
+    # the user changed it — adopt it as the new baseline.
     base_key = "spark.fugue.baseline.shufflePartitions"
+    set_key = "spark.fugue.tuned.shufflePartitions"
+    current = int(prev["spark.sql.shuffle.partitions"])
     try:
-        baseline = int(spark.conf.get(base_key))
+        last_set = int(spark.conf.get(set_key))
     except Exception:  # noqa: BLE001 - unset on first call
-        baseline = int(prev["spark.sql.shuffle.partitions"])
+        last_set = None
+    if last_set is None or current != last_set:
+        baseline = current
         spark.conf.set(base_key, str(baseline))
+    else:
+        baseline = int(spark.conf.get(base_key))
     size = _dir_bytes(input_dir) if os.path.isdir(input_dir) else 0
     if 0 < size < SMALL_INPUT_BYTES:
         parts = max(4, min(baseline, size // _SMALL_PARTITION_BYTES))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set(set_key, str(parts))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", str(baseline))
+        spark.conf.set(set_key, str(baseline))
     return prev
 
 

@@ -873,9 +873,9 @@ def fsql(
 ) -> FugueSQLResult:
     """Run a FugueSQL-superset script; returns yields (dict) with ``.last``."""
     if spark is None:
-        from fugue_spark.session import get_spark
+        from fugue_spark.context import current_spark
 
-        spark = get_spark()
+        spark = current_spark()
 
     def sub(m: re.Match) -> str:
         name = m.group(1)

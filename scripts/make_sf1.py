@@ -100,14 +100,22 @@ def make_sf1(src: str = SRC, dst: str = DST, reps: int = REPS) -> str:
     # vector end and emit ragged vectors (replicas i and i+dim then share a
     # direction — acceptable for scaling measurements, unreachable at the
     # default reps=10)
-    dim = con.sql(f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1").fetchone()[0]
-    copy(
-        "embeddings",
-        f"SELECT vec_id + i*{sv} AS vec_id, "
-        f"CASE WHEN i % {dim} = 0 THEN embedding "
-        f"ELSE (embedding[(i % {dim})+1:] || embedding[1:(i % {dim})])::FLOAT[] END AS embedding, label "
-        f"FROM {t('embeddings')} CROSS JOIN r",
-    )
+    row = con.sql(
+        f"SELECT len(embedding) FROM {t('embeddings')} "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()
+    dim = row[0] if row is not None else None
+    if not dim:
+        # empty table or all-NULL vectors: nothing to rotate
+        copy("embeddings", f"SELECT vec_id + i*{sv} AS vec_id, embedding, label FROM {t('embeddings')} CROSS JOIN r")
+    else:
+        copy(
+            "embeddings",
+            f"SELECT vec_id + i*{sv} AS vec_id, "
+            f"CASE WHEN i % {dim} = 0 THEN embedding "
+            f"ELSE (embedding[(i % {dim})+1:] || embedding[1:(i % {dim})])::FLOAT[] END AS embedding, label "
+            f"FROM {t('embeddings')} CROSS JOIN r",
+        )
     con.close()
     return dst
 

@@ -871,6 +871,13 @@ def test_tune_for_input_small_and_large(spark, tmp_path):
         tune_for_input(spark, str(big))
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.shuffle.partitions") == baseline
+
+        # a user's explicit conf.set between tune calls becomes the new
+        # baseline (the tuner must not revert deliberate overrides)
+        tune_for_input(spark, str(small))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        tune_for_input(spark, str(big))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "64"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", baseline)

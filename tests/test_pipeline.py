@@ -1235,3 +1235,11 @@ def test_gopher_flags_planted(spark):
     empty = spark.createDataFrame([[9, ""]], parse_schema("doc_id:long,text:str"))
     r = with_gopher_flags(empty).collect()[0]
     assert r.n_words == 0 and r.gopher_pass == 0
+    # leading newline/tab: no phantom empty first word (F.trim strips only
+    # spaces; the op must strip ALL whitespace before splitting)
+    lead = spark.createDataFrame(
+        [[10, "\n\tthe of and go ok"]], parse_schema("doc_id:long,text:str")
+    )
+    r = with_gopher_flags(lead).collect()[0]
+    assert r.n_words == 5
+    assert r.f_alpha_words == 1

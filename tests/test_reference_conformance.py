@@ -342,6 +342,9 @@ def test_global_engine_resolution_order(spark):
     from fugue_spark.context import clear_global_engine, set_global_engine
 
     try:
+        # make THIS session the thread's active one (a prior test may have
+        # left a newSession() active) before checking the fallback order
+        spark.sql("SELECT 1").collect()
         assert fa.get_context_engine() is spark  # active session
         g = set_global_engine(spark)
         assert g is spark and fa.get_context_engine() is spark
@@ -373,3 +376,25 @@ def test_global_engine_resolution_order(spark):
     ]
     missing = [n for n in ref_names if not hasattr(fa, n)]
     assert missing == []
+
+
+def test_global_engine_reaches_engineless_calls(spark):
+    """set_global_engine must be honored by ALL engine-less entry points
+    (fugue_sql, as_fugue_df, get_current_conf), not only raw_sql."""
+    import fugue_spark.api as fa
+    from fugue_spark.context import clear_global_engine, set_global_engine
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.fugue.test.marker", "s2")
+    try:
+        set_global_engine(s2)
+        assert fa.get_current_conf().get("spark.fugue.test.marker") == "s2"
+        df = fa.as_fugue_df([[1]], schema="a:long")
+        assert df.sparkSession is s2
+        out = fa.fugue_sql(
+            "a = CREATE [[7]] SCHEMA x:long\nYIELD DATAFRAME AS out"
+        )
+        assert out.sparkSession is s2
+        assert [r.x for r in out.collect()] == [7]
+    finally:
+        clear_global_engine()
