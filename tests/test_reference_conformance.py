@@ -398,3 +398,92 @@ def test_global_engine_reaches_engineless_calls(spark):
         assert [r.x for r in out.collect()] == [7]
     finally:
         clear_global_engine()
+
+
+def test_transform_special_values_reference(spark):
+    """Mirrors the reference execution suite's map-engine special-value
+    corners (ref fugue_test/execution_suite.py:258-365): NULL composite
+    group keys, datetime keys with NaT output, list / struct(dict) /
+    binary columns through the transform engine."""
+    import pickle
+    from datetime import datetime
+
+    import pandas as pd
+
+    import fugue_spark.api as fa
+    from fugue_spark.ingest import to_df
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    # NULL values inside composite group keys group together (NaN-safe)
+    o = to_df(spark, [[1.0, None, 1], [1.0, None, 0], [None, None, 2]],
+              "a:double,b:double,c:int")
+    got = fa.transform(
+        o, top1, schema="a:double,b:double,c:int",
+        partition={"by": ["a", "b"], "presort": "c"},
+    ).toPandas()
+    rows = sorted(
+        [(None if pd.isna(r.a) else r.a, None if pd.isna(r.b) else r.b,
+          None if pd.isna(r.c) else int(r.c)) for r in got.itertuples()]
+        , key=lambda t: (t[0] is None, t))
+    assert rows == [(1.0, None, 0), (None, None, 2)]
+
+    # datetime group keys, presort DESC, then an ungrouped transform that
+    # ADDS a NaT column
+    dt = datetime(2024, 3, 1, 12, 30)
+    o = to_df(spark, [[dt, 2, 1.0], [None, 2, None], [None, 1, None],
+                      [dt, 5, 1.0], [None, 4, None]], "a:datetime,b:int,c:double")
+    top = fa.transform(
+        o, top1, schema="a:datetime,b:int,c:double",
+        partition={"by": ["a", "c"], "presort": "b DESC"},
+    )
+    got = {(None if pd.isna(r.a) else r.a, int(r.b)) for r in top.toPandas().itertuples()}
+    assert got == {(None, 4), (dt, 5)}
+
+    def with_nat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["nat"] = pd.NaT
+        return df
+
+    d = fa.transform(top, with_nat, schema="a:datetime,b:int,c:double,nat:datetime")
+    assert all(r.nat is None for r in d.collect())
+
+    # list column rides through a grouped transform untouched
+    o = to_df(spark, [[dt, [1, 2]]], "a:datetime,b:[int]")
+    got = fa.transform(o, top1, schema="a:datetime,b:[int]",
+                       partition={"by": ["a"]}).collect()
+    assert len(got) == 1 and list(got[0].b) == [1, 2]
+
+    # struct (dict) column: in, projected away, then re-created by the fn
+    o = to_df(spark, [[dt, {"a": 1}]], "a:datetime,b:{a:long}")
+    same = fa.transform(o, top1, schema="a:datetime,b:{a:long}",
+                        partition={"by": ["a"]}).collect()
+    assert same[0].b.a == 1
+
+    def drop_b(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["a"]]
+
+    only_a = fa.transform(o, drop_b, schema="a:datetime",
+                          partition={"by": ["a"]})
+    assert [r.a for r in only_a.collect()] == [dt]
+
+    def add_dict(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = [{"a": 1}] * len(df)
+        return df
+
+    back = fa.transform(only_a, add_dict, schema="a:datetime,b:{a:long}",
+                        partition={"by": ["a"]}).collect()
+    assert back[0].b.a == 1
+
+    # binary column round-trips arbitrary pickled objects through the fn
+    def binary_map(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["a"] = [pickle.dumps(pickle.loads(bytes(x)) + "x") for x in df["a"]]
+        return df
+
+    o = to_df(spark, [[pickle.dumps("a")], [pickle.dumps("b")]], "a:bytes")
+    got = {pickle.loads(bytes(r.a)) for r in
+           fa.transform(o, binary_map, schema="a:bytes").collect()}
+    assert got == {"ax", "bx"}
