@@ -59,6 +59,63 @@ from fugue_spark.session import get_spark
 from fugue_spark.sources import load_df as load, save_df as save
 
 
+# --------------------------------------------------------------------------
+# input coercion (reference fugue/execution/api.py: every df argument goes
+# through as_fugue_dataset, so `fa.union(spark_df, pandas_df)` works). Any
+# pandas DataFrame / arrow Table operand is ingested onto the resolved
+# session; Spark DataFrames pass through untouched. Internal modules import
+# the strict operators directly — coercion lives only at this api boundary.
+
+
+def _coerce_df(obj):
+    if obj is None or isinstance(obj, _SparkDataFrame):
+        return obj
+    import pandas as _pd
+    import pyarrow as _pa
+
+    if isinstance(obj, (_pd.DataFrame, _pa.Table)):
+        return as_fugue_df(obj)
+    return obj
+
+
+def _ingests(*positions):
+    """Wrap fn so the df-like positional args at ``positions`` (and a
+    ``df``/``df1``/``df2`` kwarg) are coerced via :func:`_coerce_df`."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def w(*args, **kw):
+            args = list(args)
+            for i in positions:
+                if i < len(args):
+                    args[i] = _coerce_df(args[i])
+            for k in ("df", "df1", "df2"):
+                if k in kw:
+                    kw[k] = _coerce_df(kw[k])
+            return fn(*args, **kw)
+
+        return w
+
+    return deco
+
+
+union = _ingests(0, 1)(union)
+subtract = _ingests(0, 1)(subtract)
+intersect = _ingests(0, 1)(intersect)
+join = _ingests(0, 1)(join)
+asof_join = _ingests(0, 1)(asof_join)
+range_join = _ingests(0, 1)(range_join)
+for _n in (
+    "aggregate", "assign", "broadcast", "distinct", "dropna", "fillna",
+    "filter", "sample", "select", "take", "transform", "out_transform",
+    "repartition", "save", "hash_sample", "hash_sample_stratified",
+    "sample_per_key",
+):
+    globals()[_n] = _ingests(0)(globals()[_n])
+del _n
+
+
 def inner_join(df1, df2, on=None):
     return join(df1, df2, "inner", on)
 

@@ -487,3 +487,24 @@ def test_transform_special_values_reference(spark):
     got = {pickle.loads(bytes(r.a)) for r in
            fa.transform(o, binary_map, schema="a:bytes").collect()}
     assert got == {"ax", "bx"}
+
+
+def test_api_coerces_pandas_and_arrow_operands(spark):
+    """Reference fa.* accepts any df-like operand (execution_suite
+    test_engine_api: fa.union(engine_df, pandas_df)); the api boundary
+    ingests pandas/arrow onto the resolved session."""
+    import pandas as pd
+    import pyarrow as pa
+
+    df1 = fa.as_fugue_df([[0, 1], [2, 3]], schema="a:long,b:long", spark=spark)
+    pdf = pd.DataFrame([[4, 5]], columns=["a", "b"])
+    got = sorted(tuple(r) for r in fa.union(df1, pdf, distinct=False).collect())
+    assert got == [(0, 1), (2, 3), (4, 5)]
+    j = fa.inner_join(df1, pd.DataFrame([[0, 9]], columns=["a", "c"]))
+    assert sorted(tuple(r) for r in j.collect()) == [(0, 1, 9)]
+    assert fa.take(pdf, 1, presort="b desc").collect()[0].a == 4
+    out = fa.transform(
+        pdf, lambda df: df.assign(s=df["a"] + df["b"]), schema="a:long,b:long,s:long"
+    )
+    assert [tuple(r) for r in out.collect()] == [(4, 5, 9)]
+    assert fa.union(df1, pa.table({"a": [9], "b": [9]}), distinct=False).count() == 3
