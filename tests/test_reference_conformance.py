@@ -508,3 +508,54 @@ def test_api_coerces_pandas_and_arrow_operands(spark):
     )
     assert [tuple(r) for r in out.collect()] == [(4, 5, 9)]
     assert fa.union(df1, pa.table({"a": [9], "b": [9]}), distinct=False).count() == 3
+
+
+def test_bound_method_transformer_with_schema_hint(spark):
+    """Reference builtin_suite test_local_instance_as_extension: a BOUND
+    METHOD with a `# schema:` comment hint is a valid transformer."""
+
+    class _Mock:
+        # schema: *
+        def t1(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df
+
+        # schema: *,c:int
+        def t2(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(c=2)
+
+    m = _Mock()
+    a = fa.as_fugue_df([[0], [1]], schema="a:int", spark=spark)
+    b = fa.transform(a, m.t1)
+    assert sorted(r.a for r in b.collect()) == [0, 1]
+    c = fa.transform(b, m.t2)
+    assert sorted((r.a, r.c) for r in c.collect()) == [(0, 2), (1, 2)]
+
+
+def test_iterable_transformer_column_reorder_and_empty(spark):
+    """Reference builtin_suite test_transform_iterable_dfs: an iterable
+    transformer may yield frames with REORDERED columns (aligned by name,
+    not position) or yield nothing at all (empty result, schema kept)."""
+    from typing import Iterable, Iterator
+
+    # schema: *,c:int
+    def mt_pandas(
+        dfs: "Iterable[pd.DataFrame]", empty: bool = False
+    ) -> "Iterator[pd.DataFrame]":
+        for df in dfs:
+            if not empty:
+                df = df.assign(c=2)
+                df = df[list(reversed(list(df.columns)))]
+                yield df
+
+    a = fa.as_fugue_df([[1, 2], [3, 4]], schema="a:int,b:int", spark=spark)
+    b = fa.transform(a, mt_pandas)
+    assert sorted(tuple(r) for r in b.collect()) == [(1, 2, 2), (3, 4, 2)]
+    assert [f.name for f in b.schema.fields] == ["a", "b", "c"]
+
+    empty = fa.transform(a, mt_pandas, params={"empty": True})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["a", "b", "c"]
+    empty2 = fa.transform(
+        a, mt_pandas, params={"empty": True}, partition={"by": ["a"]}
+    )
+    assert empty2.count() == 0
