@@ -52,6 +52,7 @@ from fugue_spark.context import (  # noqa: F401
     set_global_engine,
 )
 from fugue_spark.cotransform import cotransform
+from fugue_spark.dag import FugueWorkflow, FugueWorkflowError, WorkflowDataFrame  # noqa: F401
 from fugue_spark.partition import PartitionSpec, apply_partition_spec as repartition
 from fugue_spark.transform import PartitionCursor, Transformer, out_transform, transform
 from fugue_spark.schema import parse_schema

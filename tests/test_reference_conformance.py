@@ -559,3 +559,86 @@ def test_iterable_transformer_column_reorder_and_empty(spark):
         a, mt_pandas, params={"empty": True}, partition={"by": ["a"]}
     )
     assert empty2.count() == 0
+
+
+# ---------------- FugueWorkflow deferred DAG ----------------
+
+
+def test_fugue_workflow_build_run_split(spark):
+    """Reference builtin_suite test_workflows/test_create_show shapes: the
+    dag records, nothing executes until run(); yields/outputs/assert_eq
+    fire in order."""
+    from fugue_spark.dag import FugueWorkflow
+
+    ran = []
+
+    def spy_out(df):
+        ran.append(df.count())
+
+    with FugueWorkflow() as dag:
+        a = dag.df([[0], [1]], "a:int")
+        b = a.transform(lambda df: df.assign(c=2), schema="a:int,c:int")
+        b.assert_eq(dag.df([[0, 2], [1, 2]], "a:int,c:int"))
+        b.yield_dataframe_as("out")
+        dag.output(a, using=spy_out)
+    assert ran == []  # build/run split: nothing happened yet
+    res = dag.run(spark)
+    assert ran == [2]
+    assert sorted(tuple(r) for r in res["out"].collect()) == [(0, 2), (1, 2)]
+    # compute(): run just enough for one frame (ref WorkflowDataFrame.compute)
+    assert FugueWorkflow().df([[5]], "a:int").compute(spark).collect()[0].a == 5
+
+
+def test_fugue_workflow_create_process_zip(spark):
+    """Reference test_create_process_output / test_zip shapes."""
+    from fugue_spark.dag import FugueWorkflow
+
+    def mk(spark_, p=1):
+        return spark_.createDataFrame([[p]], "a int")
+
+    def proc(d1, d2):
+        return d1.unionByName(d2)
+
+    def co(d1, d2):
+        d1 = d1.copy()
+        d1["c"] = int(d2["c"].iloc[0]) if len(d2) else -1
+        return d1[["a", "b", "c"]]
+
+    with FugueWorkflow() as dag:
+        x = dag.create(mk, params=dict(p=2))
+        y = dag.process(x, x, using=proc)
+        y.yield_dataframe_as("y")
+        a = dag.df([[1, 2], [2, 3]], "a:int,b:int")
+        b = dag.df([[1, 30]], "a:int,c:int")
+        a.zip(b).transform(co, schema="a:int,b:int,c:int").yield_dataframe_as("z")
+        dag.zip(a, b)[["a"]].distinct().yield_dataframe_as("j")
+    r = dag.run(spark)
+    assert sorted(t.a for t in r["y"].collect()) == [2, 2]
+    assert sorted(tuple(t) for t in r["z"].collect()) == [(1, 2, 30)]
+    assert [tuple(t) for t in r["j"].collect()] == [(1,)]
+
+
+def test_fugue_workflow_checkpoint_and_partition(spark, tmp_path):
+    from fugue_spark import workflow as w
+    from fugue_spark.dag import FugueWorkflow, FugueWorkflowError
+
+    saved = w._CHECKPOINT_DIR
+    w._CHECKPOINT_DIR = None
+    try:
+        with FugueWorkflow() as dag:
+            dag.df([[0]], "a:int").checkpoint().yield_dataframe_as("c")
+        with pytest.raises(FugueWorkflowError):
+            dag.run(spark)  # ref: checkpoint without conf path is an error
+        w.set_checkpoint_dir(str(tmp_path / "ck"))
+        assert [r.a for r in dag.run(spark)["c"].collect()] == [0]
+    finally:
+        w._CHECKPOINT_DIR = saved
+
+    with FugueWorkflow() as dag:
+        a = dag.df([[1, 5], [1, 7], [2, 9]], "g:int,v:int")
+        a.partition_by("g", presort="v desc").transform(
+            lambda df: df.head(1), schema="g:int,v:int"
+        ).yield_dataframe_as("t")
+        a.partition(num=2).show(1)
+    got = sorted(tuple(r) for r in dag.run(spark)["t"].collect())
+    assert got == [(1, 7), (2, 9)]
