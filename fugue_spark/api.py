@@ -189,9 +189,10 @@ def normalize_column_names(df):
 # ---------------------------------------------------------------------------
 # dataset/dataframe inspection utilities (reference fugue/dataset/api.py +
 # fugue/dataframe/api.py). The engine dataframe IS the Spark DataFrame, so
-# most of these are thin, honest adapters; the multi-backend registry forms
-# (set_global_engine / run_engine_function / as_fugue_dataset) are
-# intentionally absent — SURVEY §7: Spark is the only engine.
+# most of these are thin, honest adapters. The engine-selection forms
+# (set_global_engine / get_context_engine / run_engine_function) live in
+# context.py as single-engine equivalents; only the multi-backend registry
+# machinery itself has no counterpart — SURVEY §7: Spark is the only engine.
 
 from pyspark.sql import DataFrame as _SparkDataFrame  # noqa: E402
 
