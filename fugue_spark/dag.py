@@ -88,6 +88,70 @@ class WorkflowDataFrame:
     def distinct(self) -> "WorkflowDataFrame":
         return self._derive(lambda df, run: df.distinct())
 
+    def join(self, other, how: str = "inner", on=None) -> "WorkflowDataFrame":
+        from fugue_spark.operators.joins import join as _join
+
+        return WorkflowDataFrame(self._wf, lambda run: _join(
+            self._compute(run), self._wf._resolve(other, run), how, on))
+
+    def inner_join(self, other, on=None) -> "WorkflowDataFrame":
+        return self.join(other, "inner", on)
+
+    def left_outer_join(self, other, on=None) -> "WorkflowDataFrame":
+        return self.join(other, "left_outer", on)
+
+    def union(self, other, distinct: bool = True) -> "WorkflowDataFrame":
+        from fugue_spark.operators.setops import union as _union
+
+        return WorkflowDataFrame(self._wf, lambda run: _union(
+            self._compute(run), self._wf._resolve(other, run), distinct))
+
+    def subtract(self, other, distinct: bool = True) -> "WorkflowDataFrame":
+        from fugue_spark.operators.setops import subtract as _subtract
+
+        return WorkflowDataFrame(self._wf, lambda run: _subtract(
+            self._compute(run), self._wf._resolve(other, run), distinct))
+
+    def intersect(self, other, distinct: bool = True) -> "WorkflowDataFrame":
+        from fugue_spark.operators.setops import intersect as _intersect
+
+        return WorkflowDataFrame(self._wf, lambda run: _intersect(
+            self._compute(run), self._wf._resolve(other, run), distinct))
+
+    def filter(self, condition) -> "WorkflowDataFrame":
+        from fugue_spark.operators.select import filter as _filter
+
+        return self._derive(lambda df, run: _filter(df, condition))
+
+    def sample(self, frac=None, n=None, replace: bool = False, seed=None) -> "WorkflowDataFrame":
+        from fugue_spark.operators.sampling import sample as _sample
+
+        return self._derive(lambda df, run: _sample(
+            df, n=n, frac=frac, replace=replace, seed=seed))
+
+    def take(self, n: int, presort: "str | None" = None,
+             na_position: str = "last") -> "WorkflowDataFrame":
+        from fugue_spark.operators.sampling import take as _take
+
+        return self._derive(lambda df, run: _take(
+            df, n, presort=presort, na_position=na_position))
+
+    def alter_columns(self, schema) -> "WorkflowDataFrame":
+        from fugue_spark.frame import alter_columns
+
+        return self._derive(lambda df, run: alter_columns(df, schema))
+
+    def dropna(self, how: str = "any", thresh=None, subset=None) -> "WorkflowDataFrame":
+        from fugue_spark.operators.na import dropna
+
+        return self._derive(lambda df, run: dropna(
+            df, how=how, thresh=thresh, subset=subset))
+
+    def fillna(self, value, subset=None) -> "WorkflowDataFrame":
+        from fugue_spark.operators.na import fillna
+
+        return self._derive(lambda df, run: fillna(df, value, subset=subset))
+
     def rename(self, mapping: dict) -> "WorkflowDataFrame":
         from fugue_spark.frame import rename
 

@@ -642,3 +642,25 @@ def test_fugue_workflow_checkpoint_and_partition(spark, tmp_path):
         a.partition(num=2).show(1)
     got = sorted(tuple(r) for r in dag.run(spark)["t"].collect())
     assert got == [(1, 7), (2, 9)]
+
+
+def test_fugue_workflow_frame_ops(spark):
+    """dag-level joins / set ops / filter / take / fillna compose lazily
+    (reference builtin_suite test_join/test_union/test_take shapes)."""
+    from fugue_spark import functions as ff
+    from fugue_spark.dag import FugueWorkflow
+
+    with FugueWorkflow() as dag:
+        a = dag.df([[1, "x"], [2, "y"]], "a:int,b:str")
+        b = dag.df([[1, 10], [3, 30]], "a:int,c:int")
+        a.inner_join(b).yield_dataframe_as("j")
+        a[["a"]].union(b[["a"]], distinct=True).yield_dataframe_as("u")
+        a.filter(ff.col("a") > 1).yield_dataframe_as("f")
+        b.take(1, presort="c desc").yield_dataframe_as("t")
+        dag.df([[None, 1]], "a:int,c:int").fillna({"a": 0}).yield_dataframe_as("n")
+    r = dag.run(spark)
+    assert [tuple(x) for x in r["j"].collect()] == [(1, "x", 10)]
+    assert sorted(x.a for x in r["u"].collect()) == [1, 2, 3]
+    assert [tuple(x) for x in r["f"].collect()] == [(2, "y")]
+    assert [x.c for x in r["t"].collect()] == [30]
+    assert [tuple(x) for x in r["n"].collect()] == [(0, 1)]
