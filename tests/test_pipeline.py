@@ -1243,3 +1243,21 @@ def test_gopher_flags_planted(spark):
     r = with_gopher_flags(lead).collect()[0]
     assert r.n_words == 5
     assert r.f_alpha_words == 1
+
+
+def test_new_ops_plan_shapes(spark, docs):
+    """Plan-level scale assertions for the r07 operators: cross-corpus LSH
+    never forms a cartesian product, and the Gopher flags are map-only
+    (zero exchanges — scan-speed at any corpus size)."""
+    from fugue_spark.pipeline import minhash_lsh_pairs_against, with_gopher_flags
+    from fugue_spark.plans import plan_summary
+
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    s = plan_summary(minhash_lsh_pairs_against(probe, corpus, threshold=0.5))
+    assert not s["cartesian"]
+    assert s["n_python_stages"] == 0  # all-native pipeline
+
+    s2 = plan_summary(with_gopher_flags(docs))
+    assert s2["n_exchanges"] == 0 and not s2["cartesian"]
+    assert s2["n_python_stages"] == 0
