@@ -134,6 +134,7 @@ _GATE_FIRST = (
     "p38_cross_corpus_neardup",
     "p39_gopher_filters",
     "s4_stream_dedup",
+    "s5_stream_session_agg",
     "p36_video_frames",
     "s3_stream_static_join",
     "p37_sample_per_key",

@@ -1657,3 +1657,58 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = fs.stream_dedup_exact(keyed, keys=["lang", "source"])
     out = fs.run_to_memory(deduped, "s4_dedup", output_mode="append")
     return out.orderBy("lang", "source")
+
+
+@register(
+    "s5_stream_session_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, start_us
+    """,
+    tags=("streaming", "sessions", "stateful"),
+)
+def s5_stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION WINDOWS (dynamic-length, gap-closed) driven to
+    completion and value-checked against the batch gaps-and-islands
+    construction (p29's oracle shape): Spark's session_window(ts, 30 min)
+    must produce exactly the sessions that LAG+running-sum SQL derives —
+    start = first event, end = last event + gap, count = events. The
+    stream≡batch equivalence contract for the stateful session operator."""
+    from fugue_spark import streaming as fs
+
+    stream = fs.load_stream(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+    agg = fs.session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        by=["user_id"],
+        aggs={"n_events": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    out = fs.run_to_memory(agg, "s5_sess")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")
