@@ -32,6 +32,9 @@ def main() -> None:
         app_name="run_gate", master="local[8]", shuffle_partitions=8,
         spark__ui__enabled="false",
     )
+    from fugue_spark.session import tune_for_input
+
+    tune_for_input(spark, sf_dir)  # sf0.01 is tiny: AQE off, byte-sized parts
     qs, osql = e.queries(), e.oracle_sql()
     out: dict[str, dict] = {}
     t_all = time.time()
