@@ -123,6 +123,23 @@ class WorkflowDataFrame:
 
         return self._derive(lambda df, run: _filter(df, condition))
 
+    def select(self, *columns, where=None, having=None) -> "WorkflowDataFrame":
+        from fugue_spark.operators.select import select as _select
+
+        return self._derive(lambda df, run: _select(
+            df, *columns, where=where, having=having))
+
+    def assign(self, **columns) -> "WorkflowDataFrame":
+        from fugue_spark.operators.select import assign as _assign
+
+        return self._derive(lambda df, run: _assign(df, **columns))
+
+    def aggregate(self, partition_by=None, **aggs) -> "WorkflowDataFrame":
+        from fugue_spark.operators.select import aggregate as _aggregate
+
+        return self._derive(lambda df, run: _aggregate(
+            df, partition_by=partition_by, **aggs))
+
     def sample(self, frac=None, n=None, replace: bool = False, seed=None) -> "WorkflowDataFrame":
         from fugue_spark.operators.sampling import sample as _sample
 

@@ -664,3 +664,18 @@ def test_fugue_workflow_frame_ops(spark):
     assert [tuple(x) for x in r["f"].collect()] == [(2, "y")]
     assert [x.c for x in r["t"].collect()] == [30]
     assert [tuple(x) for x in r["n"].collect()] == [(0, 1)]
+
+
+def test_fugue_workflow_select_assign_aggregate(spark):
+    from fugue_spark import functions as ff
+    from fugue_spark.dag import FugueWorkflow
+
+    with FugueWorkflow() as dag:
+        a = dag.df([[1, 2], [1, 4], [2, 6]], "g:int,v:int")
+        a.assign(w=ff.col("v") * 2).select(
+            ff.col("g"), ff.col("w")
+        ).yield_dataframe_as("s")
+        a.aggregate("g", total=ff.sum(ff.col("v"))).yield_dataframe_as("agg")
+    r = dag.run(spark)
+    assert sorted(tuple(x) for x in r["s"].collect()) == [(1, 4), (1, 8), (2, 12)]
+    assert sorted(tuple(x) for x in r["agg"].collect()) == [(1, 6), (2, 6)]
