@@ -135,6 +135,8 @@ _GATE_FIRST = (
     "p39_gopher_filters",
     "s4_stream_dedup",
     "s5_stream_session_agg",
+    "p40_weighted_sample",
+    "p41_budget_selection",
     "p36_video_frames",
     "s3_stream_static_join",
     "p37_sample_per_key",

@@ -208,3 +208,35 @@ def sample_per_key(
         .filter(F.col("__rn__") <= int(n))
         .drop("__rn__")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: "list[str]",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each row with
+    probability ``clamp(weight, 0, 1)`` — but decided by the row's md5,
+    not an RNG, so the SAME rows fall out of any engine, partitioning, or
+    rerun (the per-row generalization of :func:`hash_sample`; the standard
+    quality-proportional corpus selection move).
+
+    Mechanics: the first 15 md5 hex digits are a 60-bit uniform; the row's
+    weight becomes a 15-hex-digit threshold via ``format('%015x',
+    floor(weight * 2^60))`` and the keep test is a plain string compare —
+    equal-length lowercase hex compares numerically, and both sides are
+    exact integer/IEEE-double operations every engine reproduces bit-for-
+    bit. ``weight >= 1`` keeps unconditionally. Map-only, no shuffle.
+    """
+    if not key_cols:
+        raise ValueError("weighted_hash_sample needs at least one key column")
+    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+    u = F.substring(F.md5(key), 1, 15)
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    thr = F.format_string(
+        "%015x", F.floor(w * F.lit(float(1 << 60))).cast("long")
+    )
+    return df.filter((w >= 1.0) | (u < thr))

@@ -50,6 +50,7 @@ from fugue_spark.pipeline.similarity import (
 )
 from fugue_spark.pipeline.text import (
     assign_pack_bins,
+    select_until_budget,
     chunk_documents,
     duplicate_spans,
     corpus_stats,

@@ -655,18 +655,42 @@ def assign_pack_bins(
     Output: input columns + ``pack_bin`` (long).
     """
     budget = int(budget)
+    prefixed, start, cols = _exclusive_prefix(df, token_col, order_by, by)
+    if prefixed is None:
+        return df.withColumn("pack_bin", F.lit(None).cast("long"))
+    out = prefixed.withColumn(
+        "pack_bin", F.floor(start / F.lit(budget)).cast("long")
+    )
+    return out.select(*cols, "pack_bin")
+
+
+def _exclusive_prefix(
+    df: DataFrame,
+    size_col: str,
+    order_by: str,
+    by: "list[str] | None" = None,
+):
+    """(frame, exclusive-running-sum column, original columns) over a
+    deterministic order. With ``by`` this is one keyed window; without it
+    the GLOBAL order is computed hierarchically instead of as one
+    single-partition window sort (the 100 TB killer): range-partition on
+    ``order_by`` so each shard holds a contiguous slice of the global
+    order, per-shard totals (one tiny agg row per shard) become exclusive
+    shard offsets on the driver, and each shard runs its own window
+    prefix-sum plus its offset — parallel sort + scan, one long of serial
+    state per shard. Returns ``(None, None, cols)`` for an empty input.
+    """
+    cols = df.columns
     if by:
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(order_by))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-        return df.withColumn("pack_bin", F.floor(start / F.lit(budget)).cast("long"))
+        return df, F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)), cols
 
     spark = df.sparkSession
     shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    cols = df.columns
     # contiguous global ranges; shard id pinned by the checkpoint so the
     # totals pass and the window pass see identical shard boundaries
     rdf = (
@@ -676,7 +700,7 @@ def assign_pack_bins(
     )
     totals = {
         r["__shard__"]: r["t"]
-        for r in rdf.groupBy("__shard__").agg(F.sum(F.col(token_col)).alias("t")).collect()
+        for r in rdf.groupBy("__shard__").agg(F.sum(F.col(size_col)).alias("t")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -684,21 +708,46 @@ def assign_pack_bins(
         offsets[s] = acc
         acc += int(totals[s] or 0)
     if not offsets:
-        return df.withColumn("pack_bin", F.lit(None).cast("long"))
-    # exclusive prefix within the shard + the shard's global offset
+        return None, None, cols
     w = (
         Window.partitionBy("__shard__")
         .orderBy(F.col(order_by))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    start = local + F.element_at(off_map, F.col("__shard__"))
-    return rdf.withColumn(
-        "pack_bin", F.floor(start / F.lit(budget)).cast("long")
-    ).select(*cols, "pack_bin")
+    local = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return rdf, local + F.element_at(off_map, F.col("__shard__")), cols
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    size_col: str,
+    order_by: str,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Budgeted corpus selection: walk the documents in a DETERMINISTIC
+    order (typically best-quality-first) and keep each row whose INCLUSIVE
+    running ``size_col`` total still fits ``budget`` — the standard
+    "take the best N tokens" data-mixing move when composing a training
+    set under a token budget.
+
+    A row is kept iff ``running_sum_inclusive <= budget``; the first row
+    that would overflow (and everything after it) is dropped, so the kept
+    total never exceeds ``budget``. With ``by`` the budget applies per
+    group (e.g. per language); without it the global running sum uses the
+    same hierarchical two-pass as :func:`assign_pack_bins` — no
+    single-partition sort at any size. ``order_by`` should be unique
+    (ties at a range-shard boundary have engine-arbitrary relative order).
+    """
+    budget = int(budget)
+    prefixed, start, cols = _exclusive_prefix(df, size_col, order_by, by)
+    if prefixed is None:
+        return df
+    # window expressions cannot live in WHERE: materialize the running sum
+    # as a column first, then filter
+    keep = prefixed.withColumn("__cum__", start + F.col(size_col))
+    return keep.filter(F.col("__cum__") <= F.lit(budget)).select(*cols)
 
 
 def corpus_stats(

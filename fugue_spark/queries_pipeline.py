@@ -1712,3 +1712,76 @@ def s5_stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
         "n_events",
     ).orderBy("user_id", "start_us")
+
+
+@register(
+    "p40_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS wt
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM w
+    WHERE wt >= 1.0
+       OR substr(md5(concat_ws(chr(31), 'w1', CAST(doc_id AS VARCHAR))), 1, 15)
+          < printf('%015x', CAST(FLOOR(wt * 1152921504606846976.0) AS BIGINT))
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "weighted", "curation"),
+)
+def p40_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document kept with
+    probability proportional to its length score (clamped to 1), decided
+    by md5 — not an RNG — so the oracle reproduces the EXACT same subset
+    (hex-threshold compare, engine-portable). The quality-proportional
+    corpus selection primitive."""
+    from fugue_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumns(
+        {
+            "__seed__": F.lit("w1"),
+            "wt": F.least(
+                F.greatest(F.col("n_chars").cast("double") / 500.0, F.lit(0.0)),
+                F.lit(1.0),
+            ),
+        }
+    )
+    out = weighted_hash_sample(docs, "wt", key_cols=["__seed__", "doc_id"])
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "p41_budget_selection",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, lang, n_chars,
+             (100000 - n_chars) * 1000000 + doc_id AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+      FROM o
+    )
+    SELECT doc_id, lang, n_chars FROM c WHERE cum <= 50000 ORDER BY doc_id
+    """,
+    tags=("curation", "budget", "mixing"),
+)
+def p41_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: walk documents best-first (longest
+    doc first, id tiebreak — a deterministic total order) and keep rows
+    while the INCLUSIVE running size fits a 50k-char budget. The global
+    running sum is the hierarchical two-pass (range shards + driver
+    offsets) — no single-partition sort at any corpus size; value-checked
+    against DuckDB's global-window construction."""
+    from fugue_spark.pipeline import select_until_budget
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__ord__",
+        (F.lit(100000) - F.col("n_chars")) * 1000000 + F.col("doc_id"),
+    )
+    out = select_until_budget(
+        docs, budget=50_000, size_col="n_chars", order_by="__ord__"
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

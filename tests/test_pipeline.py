@@ -1261,3 +1261,44 @@ def test_new_ops_plan_shapes(spark, docs):
     s2 = plan_summary(with_gopher_flags(docs))
     assert s2["n_exchanges"] == 0 and not s2["cartesian"]
     assert s2["n_python_stages"] == 0
+
+
+def test_weighted_hash_sample_deterministic_and_proportional(spark):
+    from fugue_spark.operators import weighted_hash_sample
+
+    rows = [[i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5)]
+            for i in range(600)]
+    df = spark.createDataFrame(rows, parse_schema("id:long,w:double"))
+    kept = weighted_hash_sample(df, "w", key_cols=["id"]).collect()
+    ids = {r.id for r in kept}
+    # weight 0 -> never; weight 1 -> always
+    assert all(i % 3 != 0 for i in ids)
+    assert all(i in ids for i in range(600) if i % 3 == 1)
+    # weight 0.5 -> roughly half (md5-uniform; 200 candidates)
+    half = sum(1 for i in ids if i % 3 == 2)
+    assert 60 <= half <= 140
+    # deterministic across reruns
+    again = {r.id for r in weighted_hash_sample(df, "w", key_cols=["id"]).collect()}
+    assert again == ids
+    # out-of-range weights clamp instead of exploding
+    wdf = spark.createDataFrame([[1, -2.0], [2, 9.0]], parse_schema("id:long,w:double"))
+    got = {r.id for r in weighted_hash_sample(wdf, "w", key_cols=["id"]).collect()}
+    assert got == {2}
+
+
+def test_select_until_budget_global_and_grouped(spark):
+    from fugue_spark.pipeline import select_until_budget
+
+    rows = [[i, "a" if i % 2 == 0 else "b", 10] for i in range(20)]
+    df = spark.createDataFrame(rows, parse_schema("id:long,g:str,sz:long"))
+    # global: ordered by id, 45 budget -> ids 0..3 (4*10=40; adding a 5th
+    # would reach 50 > 45)
+    out = select_until_budget(df, budget=45, size_col="sz", order_by="id")
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3]
+    # per-group budget: 25 per group -> first 2 of each group
+    out = select_until_budget(df, budget=25, size_col="sz", order_by="id", by=["g"])
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3]
+    # zero budget -> nothing; empty frame -> empty
+    assert select_until_budget(df, 0, "sz", "id").count() == 0
+    empty = spark.createDataFrame([], parse_schema("id:long,g:str,sz:long"))
+    assert select_until_budget(empty, 100, "sz", "id").count() == 0
