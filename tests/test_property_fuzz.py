@@ -655,3 +655,33 @@ def test_cross_corpus_lsh_matches_bruteforce(spark, seed):
     strong = _brute_cross_jaccard(probe_docs, corpus_docs, 3, 8000)
     assert strong <= got  # j>=0.8 pairs: capture probability ~1 at b16/r4
     assert set(planted) <= got
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_select_until_budget_matches_pandas(spark, seed):
+    """Differential fuzz: global and per-group budgeted selection vs the
+    pandas cumsum construction on random sizes/budgets."""
+    rng = random.Random(2000 + seed)
+    n = rng.randint(0, 60)
+    rows = [[i, rng.choice(["a", "b", "c"]), rng.randint(0, 20)] for i in range(n)]
+    budget = rng.randint(0, 300)
+    pdf = pd.DataFrame({"id": [r[0] for r in rows], "g": [r[1] for r in rows],
+                        "sz": [r[2] for r in rows]})
+    df = spark.createDataFrame(rows, parse_schema("id:long,g:str,sz:long")) \
+        if rows else spark.createDataFrame([], parse_schema("id:long,g:str,sz:long"))
+
+    from fugue_spark.pipeline import select_until_budget
+
+    got = sorted(r.id for r in select_until_budget(df, budget, "sz", "id").collect())
+    want = sorted(pdf[pdf["sz"].cumsum() <= budget]["id"]) if len(pdf) else []
+    assert got == list(want)
+
+    got_g = sorted(
+        r.id for r in select_until_budget(df, budget, "sz", "id", by=["g"]).collect()
+    )
+    if len(pdf):
+        keep = pdf.assign(c=pdf.groupby("g")["sz"].cumsum())
+        want_g = sorted(keep[keep["c"] <= budget]["id"])
+    else:
+        want_g = []
+    assert got_g == list(want_g)
