@@ -134,7 +134,9 @@ def with_gopher_flags(
     word split matches :func:`corpus_stats` (whitespace tokens of trimmed
     text).
     """
-    t = F.col(text_col)
+    # NULL text counts as empty (flags 0, never NULL — a NULL row must not
+    # silently pass or poison the AND-composed gopher_pass)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     # strip ALL leading/trailing whitespace before splitting: F.trim strips
     # spaces only, so a leading tab/newline would otherwise produce a
     # phantom empty first token that skews n_words and f_alpha_words

@@ -1570,7 +1570,9 @@ def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p39_gopher_filters",
     oracle="""
-    WITH f AS (
+    WITH d0 AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ), f AS (
       SELECT doc_id,
              CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                   ELSE len(string_split(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ')) END AS n_words,
@@ -1592,7 +1594,7 @@ def p38_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
               + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
               + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END) AS n_stop
-      FROM documents
+      FROM d0
     ), g AS (
       SELECT doc_id, n_words,
              CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_word_count,

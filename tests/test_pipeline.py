@@ -1302,3 +1302,13 @@ def test_select_until_budget_global_and_grouped(spark):
     assert select_until_budget(df, 0, "sz", "id").count() == 0
     empty = spark.createDataFrame([], parse_schema("id:long,g:str,sz:long"))
     assert select_until_budget(empty, 100, "sz", "id").count() == 0
+
+
+def test_gopher_flags_null_text(spark):
+    """NULL text behaves as empty: integer 0 flags, never NULL."""
+    from fugue_spark.pipeline import with_gopher_flags
+
+    df = spark.createDataFrame([[1, None]], parse_schema("doc_id:long,text:str"))
+    r = with_gopher_flags(df).collect()[0]
+    assert r.n_words == 0
+    assert r.gopher_pass == 0 and r.f_word_count == 0 and r.f_stopwords == 0
