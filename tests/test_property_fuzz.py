@@ -685,3 +685,39 @@ def test_select_until_budget_matches_pandas(spark, seed):
     else:
         want_g = []
     assert got_g == list(want_g)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_weighted_hash_sample_matches_duckdb(spark, seed):
+    """Cross-engine exactness fuzz for the hex-threshold construction:
+    random weights (incl. 0/1/tiny/boundary values) must select the
+    IDENTICAL subset in Spark and DuckDB."""
+    import duckdb
+
+    rng = random.Random(3000 + seed)
+    specials = [0.0, 1.0, 0.5, 1e-9, 0.999999, 2.0, -1.0]
+    rows = []
+    for i in range(300):
+        w = rng.choice(specials) if rng.random() < 0.3 else rng.random()
+        rows.append([i, float(w)])
+    df = spark.createDataFrame(rows, parse_schema("id:long,w:double"))
+    from fugue_spark.operators import weighted_hash_sample
+
+    got = sorted(r.id for r in weighted_hash_sample(df, "w", key_cols=["id"]).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE t (id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT id FROM (
+              SELECT id, least(greatest(w, 0.0), 1.0) AS cw FROM t
+            ) WHERE cw >= 1.0
+               OR substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                  < printf('%015x', CAST(FLOOR(cw * 1152921504606846976.0) AS BIGINT))
+            """
+        ).fetchall()
+    )
+    assert got == want
