@@ -84,6 +84,9 @@ a Spark-native engine can see through the function to the plan.
 
 from __future__ import annotations
 
+import ast
+import inspect
+import textwrap
 from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame
@@ -587,9 +590,9 @@ class _Vec(_Base):
         for name, asc in f.presort:
             c = F.col(f.safe(name))
             order.append(c.asc() if asc else c.desc())
-        return Window.partitionBy(*[F.col(f.safe(k)) for k in f.keys]).orderBy(
-            *order
-        )
+        return Window.partitionBy(
+            *[_nan_safe_group(F.col(f.safe(k)), f.dtype(k)) for k in f.keys]
+        ).orderBy(*order)
 
     def _running(self, op: str, agg) -> "_Vec":
         from pyspark.sql import Window
@@ -1160,6 +1163,116 @@ class _TraceCursor:
         return {k: self._frame._col(k)._first(0) for k in self._frame.keys}
 
 
+def _trace_int(x: Any):
+    """Traced twin of ``builtins.int`` substituted by :func:`_rewrite_casts`:
+    a Catalyst cast on proxies, the builtin on everything else. Python's
+    ``int()`` must return an exact ``int`` (CPython coerces subclass returns
+    from ``__int__``), so the only way to keep ``int(pdf.x.sum())`` symbolic
+    is to intercept the CALL, not the conversion protocol."""
+    if isinstance(x, _KeyRef):
+        # constant within the group; keys resolve by NAME at assembly, so a
+        # cast cannot ride along — only allow when int() is the identity
+        dt = x.frame.dtype(x.name) if x.frame is not None and x.name else None
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return x
+        raise TraceError("int() on a non-integer group key is not traceable")
+    if isinstance(x, _Scalar):
+        # Python int() truncates toward zero; so does Spark's cast to long
+        return _Scalar(x.col.cast("long"))
+    if isinstance(x, _Base):
+        raise TraceError("int() on a per-row expression is ambiguous — reduce first")
+    if isinstance(x, (_TraceFrame, _DerivedFrame)):
+        raise TraceError("int() of a frame is not traceable")
+    return int(x)
+
+
+def _trace_float(x: Any):
+    """Traced twin of ``builtins.float`` (see :func:`_trace_int`)."""
+    if isinstance(x, _KeyRef):
+        dt = x.frame.dtype(x.name) if x.frame is not None and x.name else None
+        if isinstance(dt, T.NumericType):
+            # value-preserving on any numeric key; the output field's dtype
+            # cast at assembly finishes the conversion
+            return x
+        raise TraceError("float() on a non-numeric group key is not traceable")
+    if isinstance(x, _Scalar):
+        return _Scalar(x.col.cast("double"))
+    if isinstance(x, _Base):
+        raise TraceError("float() on a per-row expression is ambiguous — reduce first")
+    if isinstance(x, (_TraceFrame, _DerivedFrame)):
+        raise TraceError("float() of a frame is not traceable")
+    return float(x)
+
+
+class _CastCallRewriter(ast.NodeTransformer):
+    """Rewrite ``int(x)`` / ``float(x)`` call sites to the traced casts."""
+
+    def __init__(self) -> None:
+        self.changed = False
+
+    def visit_Call(self, node: ast.Call) -> ast.Call:
+        self.generic_visit(node)
+        if (
+            isinstance(node.func, ast.Name)
+            and node.func.id in ("int", "float")
+            and len(node.args) == 1
+            and not node.keywords
+            and not isinstance(node.args[0], ast.Starred)
+        ):
+            self.changed = True
+            node.func = ast.Name(id=f"__fugue_trace_{node.func.id}__", ctx=ast.Load())
+        return node
+
+
+def _rewrite_casts(fn: Callable) -> Callable:
+    """Return a trace-twin of ``fn`` whose ``int(...)``/``float(...)`` calls
+    route through :func:`_trace_int`/:func:`_trace_float`, so the common
+    pandas idiom ``int(series.sum())`` stays symbolic instead of forcing
+    evaluation. The twin is used ONLY for tracing — the pandas/arrow
+    fallback always executes the original function — so any failure here
+    (no source, lambda, shadowed names, decorators) just returns ``fn``
+    and narrows what compiles, never what runs."""
+    try:
+        if getattr(fn, "__name__", "<lambda>") == "<lambda>":
+            return fn
+        code = fn.__code__
+        g = fn.__globals__
+        local_names = set(code.co_varnames) | set(code.co_freevars) | set(code.co_cellvars)
+        if {"int", "float"} & (set(local_names) | {k for k in ("int", "float") if k in g}):
+            return fn  # user-shadowed int/float must keep its meaning
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        fdef = tree.body[0]
+        if (
+            len(tree.body) != 1
+            or not isinstance(fdef, ast.FunctionDef)
+            or fdef.name != fn.__name__
+            or fdef.decorator_list
+        ):
+            return fn
+        rw = _CastCallRewriter()
+        rw.visit(tree)
+        if not rw.changed:
+            return fn
+        ast.fix_missing_locations(tree)
+        ns = dict(g)
+        if code.co_freevars and fn.__closure__:
+            # the standalone re-compile turns closure reads into global
+            # reads; inject the captured values under the same names
+            ns.update(
+                {n: c.cell_contents for n, c in zip(code.co_freevars, fn.__closure__)}
+            )
+        ns["__fugue_trace_int__"] = _trace_int
+        ns["__fugue_trace_float__"] = _trace_float
+        exec(compile(tree, f"<fugue-trace {code.co_filename}>", "exec"), ns)
+        new = ns[fdef.name]
+        new.__defaults__ = fn.__defaults__
+        new.__kwdefaults__ = fn.__kwdefaults__
+        return new
+    except Exception:
+        return fn
+
+
 def _trace(fn, frames, kwargs, wants_cursor) -> Any:
     args = list(frames)
     try:
@@ -1244,6 +1357,27 @@ def _assemble_outputs(res, res2, ctx, out_schema, n_sides, key_resolver):
     return outs
 
 
+def _nan_safe_group(col: Column, dt: T.DataType) -> Column:
+    """Grouping/partitioning expression that merges float NaN and NULL into
+    ONE key — the pandas path cannot distinguish them (both are NaN in a
+    float64 column), so compiled grouping must not split them (the map
+    engine applies the same normalization in its exchange — see
+    fugue_spark/partition.py:_nan_safe_key_exprs)."""
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.nanvl(col, F.lit(None).cast(dt))
+    return col
+
+
+def _key_value_out(col: Column, dt: T.DataType) -> Column:
+    """Emitted value for a returned group key: on the pandas path a float64
+    key column renders every NULL as NaN (Arrow→pandas conversion), so the
+    compiled plan emits NaN for the merged NULL/NaN group too (measured
+    parity, not convention)."""
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.coalesce(col, F.lit(float("nan")).cast(dt))
+    return col
+
+
 def _widen_nullable(out: DataFrame) -> DataFrame:
     """Widen non-nullable agg outputs (count(*)) to the engine's
     all-nullable schema contract: when(isNotNull, x) resets the nullability
@@ -1261,7 +1395,7 @@ def _widen_nullable(out: DataFrame) -> DataFrame:
     return out
 
 
-def _with_window_leaves(df: DataFrame, ctx: _TraceCtx, keys, safe) -> DataFrame:
+def _with_window_leaves(df: DataFrame, ctx: _TraceCtx, keys, frame) -> DataFrame:
     """Materialize each aggregation leaf as ``__aggN__`` window columns
     (agg OVER (PARTITION BY keys)) so per-row outputs can reference
     reductions. One exchange on the keys; map-side nothing — Spark's
@@ -1276,7 +1410,9 @@ def _with_window_leaves(df: DataFrame, ctx: _TraceCtx, keys, safe) -> DataFrame:
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*[F.col(safe(k)) for k in keys])
+    w = Window.partitionBy(
+        *[_nan_safe_group(F.col(frame.safe(k)), frame.dtype(k)) for k in keys]
+    )
     try:
         for i, (_, col) in enumerate(ctx.leaves):
             df = df.withColumn(f"__agg{i}__", col.over(w))
@@ -1321,10 +1457,12 @@ def _compile_window_shape(
         raise TraceError(
             "per-row dict outputs compile only with partition keys"
         )
-    plan = _with_window_leaves(df, ctx, keys, frame.safe)
+    plan = _with_window_leaves(df, ctx, keys, frame)
     from pyspark.sql import Window
 
-    wk = Window.partitionBy(*[F.col(frame.safe(k)) for k in keys])
+    wk = Window.partitionBy(
+        *[_nan_safe_group(F.col(frame.safe(k)), frame.dtype(k)) for k in keys]
+    )
     outs: list[Column] = []
     for f in out_schema.fields:
         v, w2 = res[f.name], res2[f.name]
@@ -1334,7 +1472,11 @@ def _compile_window_shape(
                     f"output {f.name!r} depends on len(pdf) arithmetic — use pdf.shape[0]"
                 )
         if isinstance(v, _KeyRef):
-            outs.append(F.col(frame.safe(v.name)).cast(f.dataType).alias(f.name))
+            outs.append(
+                _key_value_out(F.col(frame.safe(v.name)), frame.dtype(v.name))
+                .cast(f.dataType)
+                .alias(f.name)
+            )
         elif isinstance(v, _Vec):
             if v.cond is not None:
                 raise TraceError(
@@ -1444,7 +1586,7 @@ def _compile_map_shape(
     # window aggregates over the partition keys, computed over the WHOLE
     # group (the leaf's CASE WHEN carries any read-time filter) BEFORE the
     # frame's row filter applies — exactly the pandas-path order
-    plan = _with_window_leaves(df, ctx, keys, a._base.safe)
+    plan = _with_window_leaves(df, ctx, keys, a._base)
     plan = plan if a._cond is None else plan.filter(a._cond)
     if a._limit is not None:
         # per-group top-k: sort_values(...).head(k) → row_number window.
@@ -1468,7 +1610,9 @@ def _compile_map_shape(
                 order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
             else:
                 order.append(c.desc_nulls_last() if nulls_last else c.desc_nulls_first())
-        part_cols = [a._base._col(k).col for k in (keys or [])]
+        part_cols = [
+            _nan_safe_group(a._base._col(k).col, a._base.dtype(k)) for k in (keys or [])
+        ]
         if a._dedup_subset is not None:
             # drop_duplicates: one row per (keys + subset) combination
             part_cols += [resolve(c) for c in a._dedup_subset]
@@ -1490,6 +1634,7 @@ def try_compile_aggregation(
     wants_cursor: bool,
     name_to_safe: "dict | None" = None,
     in_schema: "T.StructType | None" = None,
+    allow_ungrouped_agg: bool = True,
 ) -> DataFrame:
     """Trace ``fn`` over one frame and return the compiled
     ``groupBy().agg`` plan.
@@ -1497,11 +1642,17 @@ def try_compile_aggregation(
     ``df`` may carry engine-internal safe column names; ``in_schema`` is the
     user-visible schema and ``name_to_safe`` maps between them.
 
+    ``allow_ungrouped_agg=False`` (the auto-compile default) refuses
+    keyless dict/window outputs: the pandas path emits one result per
+    PHYSICAL partition there, which a global aggregation would silently
+    collapse. Explicit ``compile=True`` keeps the global-agg reading.
+
     Raises TraceError when the function is not a pure dict-of-aggregations
     reduction; the caller decides whether to fall back or surface it.
     """
     schema = in_schema or df.schema
     nts = name_to_safe or {}
+    fn = _rewrite_casts(fn)
 
     def run_trace(trace: int):
         ctx = _TraceCtx()
@@ -1516,6 +1667,12 @@ def try_compile_aggregation(
     out_cols = [f.name for f in out_schema.fields]
     if isinstance(res, (_TraceFrame, _DerivedFrame)):
         return _compile_map_shape(df, res, res2, ctx, ctx2, out_schema, keys=keys)
+    if not keys and not allow_ungrouped_agg:
+        raise TraceError(
+            "keyless dict outputs are one-row-per-physical-partition on the "
+            "pandas path — auto-compile refuses; pass compile=True for the "
+            "global-aggregation reading"
+        )
     res, res2 = _require_dict(res), _require_dict(res2)
     _check_invariant(res, res2, ctx, ctx2, out_cols, 1)
     if any(
@@ -1528,13 +1685,24 @@ def try_compile_aggregation(
     safe = frame.safe
     gk = {k: f"__gk_{i}__" for i, k in enumerate(keys)}
     outs = _assemble_outputs(
-        res, res2, ctx, out_schema, 1, key_resolver=lambda k: F.col(gk[k])
+        res,
+        res2,
+        ctx,
+        out_schema,
+        1,
+        key_resolver=lambda k: _key_value_out(F.col(gk[k]), frame.dtype(k)),
     )
     aggs = [col.alias(f"__agg{i}__") for i, (_, col) in enumerate(ctx.leaves)]
     if keys:
         # alias grouping columns to internal names so output aliases that
-        # reuse a key's name (the common case) never become ambiguous
-        grouped = df.groupBy(*[F.col(safe(k)).alias(gk[k]) for k in keys])
+        # reuse a key's name (the common case) never become ambiguous;
+        # float keys group NaN and NULL together (pandas-path parity)
+        grouped = df.groupBy(
+            *[
+                _nan_safe_group(F.col(safe(k)), frame.dtype(k)).alias(gk[k])
+                for k in keys
+            ]
+        )
         out = grouped.agg(*aggs) if aggs else grouped.agg(
             F.count(F.lit(1)).alias("__dummy__")
         )
@@ -1566,6 +1734,7 @@ def try_compile_cotransform(
     if not keys:
         raise TraceError("cross zip does not compile")
     n = len(dfs)
+    fn = _rewrite_casts(fn)
 
     def run_trace(trace: int):
         ctx = _TraceCtx()
@@ -1582,12 +1751,21 @@ def try_compile_cotransform(
     out_cols = [f.name for f in out_schema.fields]
     _check_invariant(res, res2, ctx, ctx2, out_cols, n)
 
+    key_dt = {k: dfs[0].schema[k].dataType for k in keys}
     outs = _assemble_outputs(
-        res, res2, ctx, out_schema, n, key_resolver=lambda k: F.col(k)
+        res,
+        res2,
+        ctx,
+        out_schema,
+        n,
+        key_resolver=lambda k: _key_value_out(F.col(k), key_dt[k]),
     )
     # per-side aggregation over the SAME keys, then inner-join the sides:
     # each side shuffles only its partial agg states — the zip engine's
-    # single tagged-union exchange carries whole rows instead
+    # single tagged-union exchange carries whole rows instead. Float keys
+    # group NaN/NULL as one key per side (pandas-path parity), and the join
+    # is null-safe so those merged groups — and plain NULL-keyed groups,
+    # which the zip engine's sorted-run pairing also aligns — still pair.
     sides: list[DataFrame] = []
     for i, df in enumerate(dfs):
         aggs = [
@@ -1597,8 +1775,19 @@ def try_compile_cotransform(
         ]
         if not aggs:
             aggs = [F.count(F.lit(1)).alias(f"__present_{i}__")]
-        sides.append(df.groupBy(*[F.col(k) for k in keys]).agg(*aggs))
+        sides.append(
+            df.groupBy(
+                *[
+                    _nan_safe_group(F.col(k), df.schema[k].dataType).alias(k)
+                    for k in keys
+                ]
+            ).agg(*aggs)
+        )
     joined = sides[0]
     for g in sides[1:]:
-        joined = joined.join(g, on=keys, how="inner")
+        cond = None
+        for k in keys:
+            c = joined[k].eqNullSafe(g[k])
+            cond = c if cond is None else cond & c
+        joined = joined.join(g, on=cond, how="inner").drop(*[g[k] for k in keys])
     return _widen_nullable(_analyzed(joined.select(*outs)))

@@ -279,17 +279,19 @@ def cotransform(
     partition: "PartitionSpec | dict | None" = None,
     how: str = "inner",
     params: "dict | None" = None,
-    compile: "bool | str" = False,
+    compile: "bool | str | None" = None,
 ) -> DataFrame:
     """Zip ``dfs`` on their common (or declared) keys and apply ``using``
     to each aligned key group.
 
-    ``compile=True`` opts in to the aggregation trace-compiler: a
-    reducer-shaped function compiles to per-side ``groupBy().agg`` joined
-    on the keys — no tagged union, no Python workers, each side shuffles
-    only partial agg states (see fugue_spark/compile.py). Untraceable
-    functions (or non-inner hows) fall back to the zip engine;
-    ``compile="strict"`` raises instead.
+    ``compile`` selects the aggregation trace-compiler: a reducer-shaped
+    function compiles to per-side ``groupBy().agg`` joined on the keys —
+    no tagged union, no Python workers, each side shuffles only partial
+    agg states (see fugue_spark/compile.py). The DEFAULT (``None`` = auto)
+    attempts the trace on every inner zip and silently falls back to the
+    zip engine when the function is untraceable or the how is non-inner;
+    ``compile=False`` opts out (also via env ``FUGUE_SPARK_AUTO_COMPILE=0``);
+    ``compile="strict"`` raises instead of falling back.
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
@@ -349,6 +351,10 @@ def cotransform(
             )
         side_forms.append("pa" if form == _IN_ARROW else "pd")
 
+    if compile is None:
+        from fugue_spark.transform import _default_compile_mode
+
+        compile = _default_compile_mode()
     if compile:
         from fugue_spark.compile import TraceError, try_compile_cotransform
 
@@ -360,6 +366,10 @@ def cotransform(
             if compile == "strict":
                 raise
             # fall through to the zip engine unchanged
+        except Exception:
+            # auto-compile must never break a call the zip engine can run
+            if compile == "strict":
+                raise
 
     dummy_cursor = PartitionCursor(keys, [None] * len(keys), 0)
 

@@ -75,9 +75,16 @@ class FugueSQLResult(dict):
 
 
 class _Cursor:
-    def __init__(self, tokens: list[Token]):
+    def __init__(self, tokens: list[Token], ignore_case: bool = True):
         self.toks = tokens
         self.i = 0
+        # False = reference-strict mode: only EXACT-UPPERCASE words are
+        # keywords (fsql_ignore_case=False, the reference default — see
+        # tokenizer._is_kw); True = this engine's permissive default
+        self.ignore_case = ignore_case
+
+    def _kw_ok(self, t: Token) -> bool:
+        return self.ignore_case or t.kind != "word" or t.value == t.upper
 
     def peek(self, off: int = 0) -> "Token | None":
         j = self.i + off
@@ -92,14 +99,14 @@ class _Cursor:
 
     def match(self, *uppers: str) -> bool:
         t = self.peek()
-        if t is not None and t.upper in uppers:
+        if t is not None and t.upper in uppers and self._kw_ok(t):
             self.i += 1
             return True
         return False
 
     def expect(self, *uppers: str) -> Token:
         t = self.pop()
-        if t.upper not in uppers:
+        if t.upper not in uppers or not self._kw_ok(t):
             raise FugueSQLError(f"expected {'/'.join(uppers)}, got {t.value!r}")
         return t
 
@@ -144,8 +151,10 @@ class _Executor:
         spark: SparkSession,
         functions: "dict[str, Callable] | None",
         yield_dir: "str | None",
+        ignore_case: bool = True,
     ):
         self.spark = spark
+        self.ignore_case = ignore_case
         self.functions = dict(functions or {})
         self.vars: dict[str, Any] = {}
         self.last: Any = None
@@ -380,12 +389,14 @@ class _Executor:
     # ---------------- statements ----------------
 
     def run_statement(self, tokens: list[Token]) -> None:
-        c = _Cursor(tokens)
+        from fugue_spark.sql.tokenizer import _is_kw
+
+        c = _Cursor(tokens, self.ignore_case)
         target: "str | None" = None
         if (
             len(tokens) >= 2
             and tokens[0].kind == "word"
-            and tokens[0].upper not in STATEMENT_KEYWORDS
+            and not _is_kw(tokens[0], STATEMENT_KEYWORDS, self.ignore_case)
             and tokens[1].value == "="
         ):
             target = c.pop().value
@@ -394,6 +405,11 @@ class _Executor:
         if first is None:
             return
         kw = first.upper
+        if not c._kw_ok(first):
+            raise FugueSQLError(
+                f"unsupported statement {first.value!r} (keywords must be "
+                "UPPERCASE under fsql_ignore_case=False)"
+            )
         if kw in ("SELECT", "WITH"):
             res = self._sql_select(c.rest())
         else:
@@ -422,7 +438,7 @@ class _Executor:
         against the same variable scope; ``last`` is restored afterwards
         (the nested task is an expression, not a pipeline step — mirrors
         ref fugue/sql/_visitors.py:398 visitFugueDataFrameNested)."""
-        c = _Cursor(tokens)
+        c = _Cursor(tokens, self.ignore_case)
         first = c.pop()
         handler = getattr(self, f"_st_{first.upper.lower()}", None)
         if handler is None:
@@ -598,7 +614,10 @@ class _Executor:
         callback = None
         if c.match("CALLBACK"):
             callback = self._resolve_fn(self._dotted_name(c))
-        compile_arg = "strict" if compiled else False
+        # None = auto: every TRANSFORM attempts the trace-compiler and
+        # silently falls back; COMPILED makes an untraceable function a
+        # script error instead of a silent slow path
+        compile_arg: "str | None" = "strict" if compiled else None
         inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
         if len(inputs) == 1 and isinstance(inputs[0], ZippedFrames):
             z = inputs[0]
@@ -869,13 +888,31 @@ def fsql(
     spark: "SparkSession | None" = None,
     functions: "dict[str, Callable] | None" = None,
     yield_dir: "str | None" = None,
+    fsql_ignore_case: "bool | None" = None,
     **variables: Any,
 ) -> FugueSQLResult:
-    """Run a FugueSQL-superset script; returns yields (dict) with ``.last``."""
+    """Run a FugueSQL-superset script; returns yields (dict) with ``.last``.
+
+    ``fsql_ignore_case`` mirrors the reference's flag of the same name
+    (``/root/reference/fugue/sql/api.py:18-108``, conf
+    ``fugue.sql.compile.ignore_case``): with it keywords parse in any case
+    (``transform``/``Transform``/``TRANSFORM``); without it only
+    EXACT-UPPERCASE words are statement keywords, protecting lowercase
+    identifiers (a column named ``take`` at a line start) from being read
+    as statements. Default ``None`` resolves the spark conf
+    ``fugue.sql.compile.ignore_case`` if set, else True — this engine is
+    permissive by default (a documented superset of the reference's strict
+    default)."""
     if spark is None:
         from fugue_spark.context import current_spark
 
         spark = current_spark()
+    if fsql_ignore_case is None:
+        try:
+            conf = spark.conf.get("fugue.sql.compile.ignore_case", "true")
+        except Exception:
+            conf = "true"
+        fsql_ignore_case = str(conf).lower() not in ("0", "false", "no")
 
     def sub(m: re.Match) -> str:
         name = m.group(1)
@@ -885,7 +922,7 @@ def fsql(
         return str(v)
 
     script = _JINJA_RE.sub(sub, script)
-    ex = _Executor(spark, functions, yield_dir)
+    ex = _Executor(spark, functions, yield_dir, ignore_case=fsql_ignore_case)
     for name, val in variables.items():
         if isinstance(val, DataFrame):
             ex.vars[name] = val
@@ -895,7 +932,7 @@ def fsql(
         ):
             # collection variable: access elements with name[idx] / name[key]
             ex.vars[name] = val
-    for stmt in split_statements(script):
+    for stmt in split_statements(script, ignore_case=fsql_ignore_case):
         ex.run_statement(stmt)
     ex.result.last = ex.last if isinstance(ex.last, DataFrame) else None
     return ex.result

@@ -100,27 +100,43 @@ def tokenize(text: str) -> list[Token]:
 _SQL_CONTINUATORS = {"UNION", "ALL", "EXCEPT", "INTERSECT", "MINUS", "DISTINCT"}
 
 
-def _is_raw_sql(cur: list[Token]) -> bool:
+def _is_kw(t: Token, kws: "set[str] | tuple[str, ...]", ignore_case: bool) -> bool:
+    """Keyword test honoring the case mode: with ``ignore_case`` (the
+    engine default) any casing matches, as under the reference's
+    ``fsql_ignore_case=True`` (``/root/reference/fugue/sql/api.py:18-108``,
+    conf ``fugue.sql.compile.ignore_case``); without it only EXACT-UPPERCASE
+    tokens are keywords — the reference's strict default, which protects
+    lowercase identifiers like a column named ``take`` at a line start from
+    being read as statement starts."""
+    return t.upper in kws and (ignore_case or t.value == t.upper)
+
+
+def _is_raw_sql(cur: list[Token], ignore_case: bool = True) -> bool:
     if not cur:
         return False
-    first = cur[0]
-    if first.upper in ("SELECT", "WITH"):
+    if _is_kw(cur[0], ("SELECT", "WITH"), ignore_case):
         return True
     # assignment whose RHS is raw SQL: x = SELECT …
-    if len(cur) >= 3 and cur[1].value == "=" and cur[2].upper in ("SELECT", "WITH"):
+    if (
+        len(cur) >= 3
+        and cur[1].value == "="
+        and _is_kw(cur[2], ("SELECT", "WITH"), ignore_case)
+    ):
         return True
     return False
 
 
-def _is_boundary(tokens: list[Token], i: int, cur: list[Token]) -> bool:
+def _is_boundary(
+    tokens: list[Token], i: int, cur: list[Token], ignore_case: bool = True
+) -> bool:
     """Does a new statement start at token i? (i is at a line start)"""
     t = tokens[i]
-    if t.kind == "word" and t.upper in STATEMENT_KEYWORDS:
+    if t.kind == "word" and _is_kw(t, STATEMENT_KEYWORDS, ignore_case):
         # "UNION\nSELECT …" continues the current raw-SQL statement
-        if cur and cur[-1].upper in _SQL_CONTINUATORS:
+        if cur and _is_kw(cur[-1], _SQL_CONTINUATORS, ignore_case):
             return False
         return True
-    if _is_raw_sql(cur):
+    if _is_raw_sql(cur, ignore_case):
         return False  # inside SQL, `a = 5` on a new line is not an assignment
     # assignment: IDENT = (not ==)
     if (
@@ -133,7 +149,7 @@ def _is_boundary(tokens: list[Token], i: int, cur: list[Token]) -> bool:
     return False
 
 
-def split_statements(text: str) -> list[list[Token]]:
+def split_statements(text: str, ignore_case: bool = True) -> list[list[Token]]:
     tokens = tokenize(text)
     stmts: list[list[Token]] = []
     cur: list[Token] = []
@@ -151,7 +167,12 @@ def split_statements(text: str) -> list[list[Token]]:
         elif t.value in ")]}":
             depth = max(0, depth - 1)
         at_line_start = t.line != prev_line
-        if cur and depth == 0 and at_line_start and _is_boundary(tokens, i, cur):
+        if (
+            cur
+            and depth == 0
+            and at_line_start
+            and _is_boundary(tokens, i, cur, ignore_case)
+        ):
             stmts.append(cur)
             cur = []
         cur.append(t)

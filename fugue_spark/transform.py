@@ -144,6 +144,19 @@ _SCHEMA_HINT_RE = re.compile(r"^\s*#\s*schema:\s*(.+)$", re.MULTILINE)
 _SAFE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+def _default_compile_mode() -> "str | bool":
+    """Resolve the ``compile=None`` default: auto-compile unless the env
+    kill-switch ``FUGUE_SPARK_AUTO_COMPILE=0`` is set (read per call so
+    tests and operators can flip it at runtime)."""
+    import os
+
+    return (
+        False
+        if os.environ.get("FUGUE_SPARK_AUTO_COMPILE", "1").lower() in ("0", "false", "no")
+        else "auto"
+    )
+
+
 def _schema_from_comment(fn: Callable) -> "str | None":
     """The reference's comment hint: a ``# schema: ...`` line directly above
     the function definition (or inside it)."""
@@ -897,18 +910,25 @@ def transform(
     discard_output: bool = False,
     callback: "Callable | None" = None,
     validations: "dict | None" = None,
-    compile: "bool | str" = False,
+    compile: "bool | str | None" = None,
 ) -> DataFrame:
     """Apply ``using`` to every logical partition of ``df``.
 
-    ``compile=True`` opts in to the aggregation trace-compiler: the
-    function is executed once with symbolic inputs, and if it reduces to a
-    dict of aggregation expressions the whole transform runs as a native
+    ``compile`` selects the aggregation trace-compiler: the function is
+    executed once with symbolic inputs, and if it reduces to a dict of
+    aggregation expressions the whole transform runs as a native
     ``groupBy().agg`` (whole-stage codegen, map-side partial aggregation —
-    no Python workers). Requires a side-effect-free function; falls back to
-    the pandas path when the function is untraceable, or raises with
-    ``compile="strict"``. See fugue_spark/compile.py for the traceable
-    surface.
+    no Python workers). The DEFAULT (``None`` = auto) attempts the trace on
+    every grouped call and silently falls back to the pandas path whenever
+    the function is untraceable (value-dependent branches, side effects,
+    unsupported ops) — zero user-code change, the compiled plan when it is
+    provably equivalent, the pandas plan otherwise. ``compile=False`` opts
+    out entirely (and is honored globally via env
+    ``FUGUE_SPARK_AUTO_COMPILE=0``); ``compile="strict"`` raises instead of
+    falling back; ``compile=True`` additionally allows keyless functions to
+    compile as GLOBAL aggregations (auto refuses those: the pandas result
+    there is one row per physical partition). See fugue_spark/compile.py
+    for the traceable surface.
 
     Scale posture: grouped path is one hash exchange on the keys (Catalyst
     plans the shuffle, AQE sizes it); ungrouped path is shuffle-free. The
@@ -1033,6 +1053,8 @@ def transform(
 
     safe_keys = [name_to_safe[k] for k in keys]
 
+    if compile is None:
+        compile = _default_compile_mode()
     if compile:
         from fugue_spark.compile import TraceError, try_compile_aggregation
 
@@ -1041,7 +1063,7 @@ def transform(
                 raise TraceError("class transformers are not traceable")
             if err_types or init_fn is not None or discard_output or "callback" in kwargs:
                 raise TraceError(
-                    "compile=True is incompatible with ignore_errors/on_init/callback"
+                    "compile is incompatible with ignore_errors/on_init/callback"
                 )
             return try_compile_aggregation(
                 df,
@@ -1053,11 +1075,17 @@ def transform(
                 wants_cursor,
                 name_to_safe,
                 in_schema=input_schema,
+                allow_ungrouped_agg=(compile != "auto"),
             )
         except TraceError:
             if compile == "strict":
                 raise
             # fall through to the pandas/arrow execution paths unchanged
+        except Exception:
+            # auto-compile must never break a call the pandas path can run:
+            # any compile-side failure (analysis, tracer defect) falls back
+            if compile == "strict":
+                raise
 
     if keys:
         contiguous = False

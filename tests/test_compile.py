@@ -118,13 +118,16 @@ def test_untraceable_falls_back_and_strict_raises(spark):
     df = _li(spark)
 
     def forces_eval(pdf):
-        return {"k": pdf.k.iloc[0], "v": int(pdf.qty.sum())}  # int() -> untraceable
+        # .tolist() materializes — no Catalyst equivalent
+        return {"k": pdf.k.iloc[0], "v": sum(pdf.qty.tolist())}
 
     # non-strict: silently falls back to the pandas path, same results
     res = transform(df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]}, compile=True)
-    want = transform(df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]})
+    want = transform(
+        df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]}, compile=False
+    )
     assert sorted_rows(res) == sorted_rows(want)
-    with pytest.raises(TraceError, match="int\\(\\)"):
+    with pytest.raises(TraceError):
         transform(
             df, forces_eval, schema="k:long,v:long", partition={"by": ["k"]}, compile="strict"
         )

@@ -465,10 +465,16 @@ def test_plan_summary_scale_audit(spark):
     from fugue_spark.transform import transform
 
     t = transform(
-        a, lambda pdf: pdf, schema="k:long,s:str", partition={"by": ["k"]}
+        a, lambda pdf: pdf, schema="k:long,s:str", partition={"by": ["k"]},
+        compile=False,
     )
     ts = plan_summary(t)
     assert ts["n_exchanges"] == 1 and ts["n_python_stages"] == 1
+    # auto-compile sees through the identity: row-local map shape, declared
+    # partitioning elided — no exchange, no python stage
+    t2 = transform(a, lambda pdf: pdf, schema="k:long,s:str", partition={"by": ["k"]})
+    ts2 = plan_summary(t2)
+    assert ts2["n_exchanges"] == 0 and ts2["n_python_stages"] == 0
 
 
 def test_normalize_column_names_and_as_fugue_df(spark):

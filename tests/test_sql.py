@@ -407,7 +407,8 @@ def test_transform_compiled_keyword(spark):
     assert rows(res["out"]) == [("a", 2, 4), ("b", 1, 9)]
 
     def untraceable(pdf: pd.DataFrame):
-        return {"k": pdf.k.iloc[0], "n": int(pdf.v.sum())}
+        # .tolist() materializes — no Catalyst equivalent
+        return {"k": pdf.k.iloc[0], "n": sum(pdf.v.tolist())}
 
     from fugue_spark.compile import TraceError
 
@@ -646,3 +647,53 @@ def test_nested_statements_multi_level(spark):
     assert rows(res["o2"]) == [(12,)]  # 3 × 2 × 2
     assert rows(res["o3"]) == [(4,)]
     assert sorted(rows(res["o4"])) == [(4,), (6,)]
+
+
+def test_fsql_ignore_case_lowercase_scripts(spark):
+    """Reference parity: fsql_ignore_case (fugue/sql/api.py:18-108) — a
+    lowercase script parses identically to its uppercase twin under the
+    permissive default."""
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 5]}))
+
+    def double(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(v=pdf.v * 2)
+
+    upper = fsql(
+        "TRANSFORM df USING double SCHEMA k:str,v:long\nYIELD DATAFRAME AS out",
+        spark, functions={"double": double}, df=df,
+    )
+    lower = fsql(
+        "transform df using double schema k:str,v:long\nyield dataframe as out",
+        spark, functions={"double": double}, df=df,
+    )
+    assert rows(upper["out"]) == rows(lower["out"]) == [("a", 2), ("a", 4), ("b", 10)]
+
+
+def test_fsql_ignore_case_lowercase_save_load(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t.parquet")
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
+    fsql(f'save df overwrite parquet "{p}"', spark, df=df)
+    res = fsql(f'load parquet "{p}"\nyield dataframe as out', spark)
+    assert rows(res["out"]) == [(1,), (2,)]
+
+
+def test_fsql_ignore_case_false_is_reference_strict(spark):
+    """fsql_ignore_case=False (the reference DEFAULT): only exact-UPPERCASE
+    words are keywords — lowercase statements are errors, and lowercase
+    identifiers at line starts inside raw SQL are NOT statement boundaries."""
+    df = spark.createDataFrame(pd.DataFrame({"take": [1, 2], "b": ["x", "y"]}))
+    with pytest.raises(FugueSQLError, match="UPPERCASE"):
+        fsql("take 1 row from df", spark, df=df, fsql_ignore_case=False)
+    # a column literally named `take` starting a line stays inside the SELECT
+    res = fsql(
+        'SELECT\ntake\n, b FROM df WHERE take = 1\nYIELD DATAFRAME AS out',
+        spark, df=df, fsql_ignore_case=False,
+    )
+    assert rows(res["out"]) == [(1, "x")]
+    # conf-driven default (reference conf key fugue.sql.compile.ignore_case)
+    spark.conf.set("fugue.sql.compile.ignore_case", "false")
+    try:
+        with pytest.raises(FugueSQLError, match="UPPERCASE"):
+            fsql("take 1 row from df", spark, df=df)
+    finally:
+        spark.conf.set("fugue.sql.compile.ignore_case", "true")

@@ -370,11 +370,20 @@ def test_grouped_transform_plan_shape(spark):
     def agg(pdf: pd.DataFrame) -> dict:
         return {"k": int(pdf.k.iloc[0]), "s": int(pdf.v.sum())}
 
-    res = fa.transform(df, agg, schema="k:int,s:long", partition={"by": ["k"]})
+    # compile=False pins the PANDAS path here (auto-compile would turn this
+    # reducer into a native groupBy().agg — covered by the compile tests)
+    res = fa.transform(
+        df, agg, schema="k:int,s:long", partition={"by": ["k"]}, compile=False
+    )
     plan = physical_plan(res, "simple")
     assert "MapInArrow" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+    # and the DEFAULT path for the same function is the compiled aggregation
+    auto = fa.transform(df, agg, schema="k:int,s:long", partition={"by": ["k"]})
+    aplan = physical_plan(auto, "simple")
+    assert "MapInArrow" not in aplan and "HashAggregate" in aplan, aplan
+    assert sorted(rows(auto)) == sorted(rows(res))
 
 
 def test_hash_sample_plan_is_map_only(spark):
