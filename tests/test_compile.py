@@ -1115,3 +1115,51 @@ def test_dict_of_arrays_respects_array_typed_schema(spark):
     )
     got = {r.k: list(r.emb) for r in out.collect()}
     assert got == {1: [1.0, 2.0], 2: [5.0]}  # ONE row per group, array cell
+
+
+def test_auto_compile_matches_pandas_on_gate_queries(spark, monkeypatch):
+    """End-to-end auto-compile equivalence: every transform/cotransform gate
+    query produces the SAME result with auto-compile on (default) and off
+    (FUGUE_SPARK_AUTO_COMPILE=0 forces the pandas/arrow execution path).
+    This is the fallback-correctness contract for making the trace compiler
+    the default: the compiled plan may only engage when provably equal."""
+    from fugue_spark.benchmarks import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        n
+        for n in QUERIES
+        if n.startswith(("q11", "q12", "q13", "q20", "q21", "q25", "q26", "q27", "q28", "q29", "q30"))
+    ]
+    assert len(names) >= 10
+    for n in names:
+        monkeypatch.delenv("FUGUE_SPARK_AUTO_COMPILE", raising=False)
+        auto = QUERIES[n].spark_fn(spark, sf).toPandas()
+        monkeypatch.setenv("FUGUE_SPARK_AUTO_COMPILE", "0")
+        pandas_path = QUERIES[n].spark_fn(spark, sf).toPandas()
+        monkeypatch.delenv("FUGUE_SPARK_AUTO_COMPILE", raising=False)
+        a = auto.sort_values(list(auto.columns)).reset_index(drop=True)
+        b = pandas_path.sort_values(list(pandas_path.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True), n
+
+
+def test_auto_compile_fallback_engages_on_value_dependent_branch(spark):
+    """A value-dependent branch is untraceable; the DEFAULT path must fall
+    back to pandas execution silently and produce pandas-exact results."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2, 2, 2], "v": [1.0, 2.0, 30.0, 4.0, 5.0]})
+    )
+
+    def branchy(g):
+        s = float(g.v.sum())
+        if s > 10:  # value-dependent: forces TraceError at trace time
+            return {"k": int(g.k.iloc[0]), "out": s * 2}
+        return {"k": int(g.k.iloc[0]), "out": s}
+
+    res = transform(df, branchy, schema="k:long,out:double", partition={"by": ["k"]})
+    from fugue_spark.plans import physical_plan
+
+    plan = physical_plan(res, "simple")
+    assert "MapInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
+    got = {r.k: r.out for r in res.collect()}
+    assert got == {1: 3.0, 2: 78.0}
