@@ -50,12 +50,39 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 def warm_cache(spark: SparkSession, sf_dir: str, tables: "tuple[str, ...]" = TABLES) -> None:
     from pyspark import StorageLevel
 
+    from fugue_spark.session import _SMALL_PARTITION_BYTES
+
     n = spark.sparkContext.defaultParallelism
+    # parquet BYTES track compute for scan/join/agg tables, but badly
+    # under-represent it for the text/embedding/event pipelines (shingling,
+    # vector math — row-proportional with heavy per-row constants), so
+    # those always fan out to all cores.
+    compute_dense = {"documents", "embeddings", "events"}
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(path) or (sf_dir, t) in _TABLE_CACHE:
             continue
-        df = load_table(spark, sf_dir, t).repartition(n).persist(StorageLevel.MEMORY_AND_DISK)
+        # size the cache's partition count to the TABLE, not the core count:
+        # a 0.3 MB dim cached as 32 partitions makes every downstream stage
+        # pay 32 task dispatches for microseconds of work (measured: the
+        # dominant sf0.1 constant). Same granule tune_for_input uses for
+        # shuffle partitions; large tables still fan out to all cores.
+        size = os.path.getsize(path) if os.path.isfile(path) else 0
+        if size == 0 and os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        if t in compute_dense:
+            parts = n
+        else:
+            parts = max(1, min(n, size // _SMALL_PARTITION_BYTES + 1))
+        df = (
+            load_table(spark, sf_dir, t)
+            .repartition(parts)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         df.count()
         _TABLE_CACHE[(sf_dir, t)] = df
 

@@ -186,11 +186,16 @@ def near_duplicates_by_embedding(
     :func:`near_duplicates_lsh` (equi-join candidates, same exact verify).
     """
     if not allow_quadratic:
-        n = df.count()
+        # limit-probe, not count(): the guard job stops scanning after
+        # guard+1 rows instead of reading the whole input to learn it is
+        # too big (this API is test-only; the probe keeps even a misuse
+        # on a huge table cheap)
+        n = df.limit(_QUADRATIC_GUARD_ROWS + 1).count()
         if n > _QUADRATIC_GUARD_ROWS:
             raise ValueError(
-                f"all-pairs near-dup on {n} rows is quadratic; use "
-                "near_duplicates_lsh or pass allow_quadratic=True"
+                f"all-pairs near-dup on >{_QUADRATIC_GUARD_ROWS} rows is "
+                "quadratic; use near_duplicates_lsh or pass "
+                "allow_quadratic=True"
             )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
