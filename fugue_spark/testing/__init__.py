@@ -15,7 +15,7 @@ import pandas as pd
 
 from fugue_spark.benchmarks import TABLES
 
-__all__ = ["duckdb_connect", "run_oracle", "normalize", "assert_dataframes_match"]
+__all__ = ["duckdb_connect", "run_oracle", "normalize", "assert_dataframes_match", "df_eq"]
 
 
 def duckdb_connect(sf_dir: str):
@@ -119,3 +119,65 @@ def _dtype_family(s: pd.Series) -> str:
             if isinstance(x, (float, np.floating)):
                 return "float"
     return "other"
+
+
+def df_eq(
+    df: Any,
+    data: Any,
+    schema: Any = None,
+    digits: int = 8,
+    check_order: bool = False,
+    check_schema: bool = True,
+    check_content: bool = True,
+    throw: bool = False,
+) -> bool:
+    """Reference-parity test comparator (``fugue.dataframe.utils._df_eq``,
+    exposed to suites via ``fugue/test/plugins.py:187``): compare two
+    df-like operands after coercing both onto the engine. Unit-test only —
+    collects both sides to pandas.
+
+    Floats compare after rounding to ``digits``; row order is ignored
+    unless ``check_order``; ``check_schema`` compares the engine schema
+    strings. Returns bool, or raises the failing assertion when ``throw``.
+    """
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from fugue_spark.api import as_fugue_df
+
+    d1 = df if isinstance(df, SparkDataFrame) else as_fugue_df(df)
+    d2 = data if isinstance(data, SparkDataFrame) else as_fugue_df(data, schema=schema)
+    try:
+        p1, p2 = d1.toPandas(), d2.toPandas()
+        assert len(p1) == len(p2), f"count mismatch {len(p1)}, {len(p2)}"
+        if check_schema:
+            s1 = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in d1.schema)
+            s2 = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in d2.schema)
+            assert s1 == s2, f"schema mismatch {s1} vs {s2}"
+        if not check_content:
+            return True
+        assert list(p1.columns) == list(p2.columns), (
+            f"column mismatch {list(p1.columns)} vs {list(p2.columns)}"
+        )
+
+        def norm(p: pd.DataFrame) -> list[tuple]:
+            rows = []
+            for row in p.itertuples(index=False):
+                cells = []
+                for v in row:
+                    if isinstance(v, float):
+                        cells.append(
+                            "NaN" if v != v else format(round(v, digits), f".{digits}f")
+                        )
+                    else:
+                        cells.append(_norm_cell(v))
+                rows.append(tuple(cells))
+            return rows if check_order else sorted(rows, key=lambda t: tuple(map(str, t)))
+
+        a, b = norm(p1), norm(p2)
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        assert not bad, f"{len(bad)} mismatched rows; first: {bad[0]}"
+        return True
+    except AssertionError:
+        if throw:
+            raise
+        return False

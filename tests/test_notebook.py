@@ -88,3 +88,26 @@ def test_highlight_js_covers_tokenizer_keywords():
     for kw in ("transform", "outtransform", "prepartition", "yield"):
         assert kw in js
     assert "text/x-fsql" in js
+
+
+def test_df_eq_reference_comparator(spark):
+    """fugue_spark.testing.df_eq mirrors the reference's _df_eq test
+    comparator (fugue/dataframe/utils.py:24, exposed via
+    fugue/test/plugins.py:187): df-like coercion, digit-rounded float
+    compare, order-insensitive by default, bool-or-throw."""
+    import pandas as pd
+
+    from fugue_spark.testing import df_eq
+
+    d = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": [1.00000001, 2.0]}))
+    assert df_eq(d, [[2, 2.0], [1, 1.0]], schema="a:long,b:double", digits=6)
+    assert not df_eq(d, [[2, 2.0], [1, 1.0]], schema="a:long,b:double")  # 8 digits
+    assert not df_eq(d, [[2, 2.5], [1, 1.0]], schema="a:long,b:double", digits=6)
+    assert not df_eq(d, [[2, 2.0], [1, 1.0]], schema="a:int,b:double", digits=6)
+    assert df_eq(
+        d, [[2, 2.0], [1, 1.0]], schema="a:int,b:double", digits=6, check_schema=False
+    )
+    assert df_eq(d, d, check_order=True)
+    assert df_eq(d, pd.DataFrame({"a": [2, 1], "b": [2.0, 1.0]}), digits=6)
+    with pytest.raises(AssertionError, match="count mismatch"):
+        df_eq(d, [[9, 9.0]], schema="a:long,b:double", throw=True)
