@@ -44,6 +44,15 @@ def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, f
             spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as ex:  # noqa: BLE001
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+    # quiesce the JVM between the warm barrage and the timed phase: at the
+    # bigger scale points the warm pass leaves GC debt that lands on
+    # whichever query is timed FIRST (measured: q1@sf10 2.6s steady-state
+    # but 12-20s right after an 18-query warm pass)
+    try:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+    except Exception:  # noqa: BLE001 - hygiene only
+        pass
 
     # median of N timed passes per query: a single pass poisoned by machine
     # contention (another tenant, GC stall) cannot corrupt the artifact.
@@ -94,20 +103,31 @@ def run_duckdb(bench_specs, sf_dir: str, cpus: int, passes: int = 3) -> dict[str
                 f"CREATE OR REPLACE TEMP TABLE {t} AS SELECT * FROM read_parquet('{path}')"
             )
     timings: dict[str, float] = {}
+
+    def _run(sql: str) -> None:
+        # duck_bench SQL may be multi-statement (e.g. COPY out + read back);
+        # duckdb's execute() prepares one statement at a time.
+        for stmt in sql.split(";"):
+            if stmt.strip():
+                con.execute(stmt).fetchall()
+
     for name, spec in bench_specs:
-        if not spec.oracle:
+        # duck_bench: timing-only SQL for queries whose correctness oracle
+        # deliberately skips work the Spark side performs (q9 write+reload)
+        bench_sql = getattr(spec, "duck_bench", None) or spec.oracle
+        if not bench_sql:
             continue
         try:
-            con.execute(spec.oracle).fetchall()  # warm pass
+            _run(bench_sql)  # warm pass
             samples = []
             for _ in range(passes):
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                _run(bench_sql)
                 samples.append(time.perf_counter() - t0)
             # same adaptive spread rule as the Spark side (symmetric)
             while max(samples) > 1.5 * min(samples) and len(samples) < passes + 2:
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                _run(bench_sql)
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(median(samples), 3)
         except Exception as ex:  # noqa: BLE001
@@ -134,7 +154,63 @@ def with_ratios(out_point: dict, duck: dict[str, float]) -> None:
     out_point["total_ratio_vs_duckdb"] = round(spark_total / max(duck_total, 1e-9), 2)
 
 
+def sf10_child() -> None:
+    """Fresh-process sf10 point (invoked by main via subprocess): 18-query
+    subset, 2 passes, p5/p6 excluded from the DuckDB side (their oracles
+    are the EXACT all-pairs checks, which DNF at 5M docs — that asymmetry
+    is itself the scale argument for banded dedup). Prints ONE JSON line."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_sf1 import make_sf1 as _mk
+
+    sf10_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf10")
+    if not os.path.isdir(sf10_dir):
+        print("# generating sf10 (first use)", file=sys.stderr)
+        _mk(dst=sf10_dir, reps=100)
+
+    from fugue_spark.benchmarks import QUERIES
+    from fugue_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fugue_spark_bench_sf10",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        spark__ui__enabled="false",
+        spark__driver__memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+    names = [
+        "q1_pricing_summary", "q3_join_revenue_by_nation",
+        "q6_topk_per_customer", "q9_io_roundtrip",
+        "q11_transform_per_order", "q12_cotransform_order_lines",
+        "q13_fuguesql_script", "q22_transform_compiled",
+        "q29_transform_window_compiled", "q30_transform_running_compiled",
+        "p1_token_stats", "p2_quality_score", "p4_dedup_exact",
+        "p5_ngram_jaccard_pairs", "p6_minhash_lsh_pairs",
+        "p9_cosine_topk", "p13_training_data_pipeline",
+        "p41_budget_selection",
+    ]
+    specs = [(n, QUERIES[n]) for n in names if n in QUERIES]
+    t10 = run_queries(spark, specs, sf10_dir, passes=2)
+    point = {"value": round(sum(t10.values()), 3), "queries": t10}
+    try:
+        duck_specs = [
+            (n, s) for n, s in specs
+            if n not in ("p5_ngram_jaccard_pairs", "p6_minhash_lsh_pairs")
+        ]
+        with_ratios(point, run_duckdb(duck_specs, sf10_dir, cpus, passes=1))
+        point["excluded_from_duckdb"] = [
+            "p5_ngram_jaccard_pairs (exact all-pairs oracle DNF at 5M docs)",
+            "p6_minhash_lsh_pairs (exact all-pairs oracle DNF at 5M docs)",
+        ]
+    except Exception as ex:  # noqa: BLE001
+        print(f"# duckdb sf10 comparison failed: {ex}", file=sys.stderr)
+    print(json.dumps(point))
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SF10_CHILD"):
+        sf10_child()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -225,50 +301,30 @@ def main() -> None:
 
     # 100x scaling point: a standing subset at sf10 (1.8 GB) so the
     # crossover claim (Spark beats DuckDB once data amortizes the per-job
-    # constant) stays MEASURED every round, not a one-off artifact. Single
-    # pass per query (the runtimes are seconds — spread rule unnecessary);
-    # p5/p6 keep their Spark runs but are excluded from the DuckDB side
-    # (their oracles are the EXACT all-pairs checks, which DNF at 5M docs
-    # — that asymmetry is itself the scale argument for banded dedup).
+    # constant) stays MEASURED every round, not a one-off artifact. Runs in
+    # a FRESH SUBPROCESS: measured in-session after the sf0.1+sf1 phases,
+    # the same queries ran up to 10x slower (q3 30.8s vs 3.4s fresh — heap
+    # fragmentation/GC debris of ~3000 prior stages plus two in-process
+    # DuckDB materializations), so an in-session sf10 point measures
+    # session wear, not the engine.
     if abs(sf - 0.1) < 1e-9 and not os.environ.get("SPARK_GRAFT_NO_SF10"):
         try:
-            from make_sf1 import make_sf1 as _mk
+            import subprocess
 
-            sf10_dir = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), ".data", "sf10"
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SF10_CHILD"] = "1"
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=2400,
             )
-            if not os.path.isdir(sf10_dir):
-                print("# generating sf10 (first use)", file=sys.stderr)
-                _mk(dst=sf10_dir, reps=100)
-            from fugue_spark.benchmarks import QUERIES, release_cache
-
-            release_cache()  # drop all smaller-sf caches before the big one
-            sf10_names = [
-                "q1_pricing_summary", "q3_join_revenue_by_nation",
-                "q6_topk_per_customer", "q9_io_roundtrip",
-                "q11_transform_per_order", "q12_cotransform_order_lines",
-                "q13_fuguesql_script", "q22_transform_compiled",
-                "q29_transform_window_compiled", "q30_transform_running_compiled",
-                "p1_token_stats", "p2_quality_score", "p4_dedup_exact",
-                "p5_ngram_jaccard_pairs", "p6_minhash_lsh_pairs",
-                "p9_cosine_topk", "p13_training_data_pipeline",
-                "p41_budget_selection",
-            ]
-            sf10_specs = [(n, QUERIES[n]) for n in sf10_names if n in QUERIES]
-            t10 = run_queries(spark, sf10_specs, sf10_dir, passes=1)
-            point10 = {"value": round(sum(t10.values()), 3), "queries": t10}
-            try:
-                duck_specs = [
-                    (n, s) for n, s in sf10_specs
-                    if n not in ("p5_ngram_jaccard_pairs", "p6_minhash_lsh_pairs")
-                ]
-                with_ratios(point10, run_duckdb(duck_specs, sf10_dir, cpus, passes=1))
-                point10["excluded_from_duckdb"] = [
-                    "p5_ngram_jaccard_pairs (exact all-pairs oracle DNF at 5M docs)",
-                    "p6_minhash_lsh_pairs (exact all-pairs oracle DNF at 5M docs)",
-                ]
-            except Exception as ex:  # noqa: BLE001
-                print(f"# duckdb sf10 comparison failed: {ex}", file=sys.stderr)
+            sys.stderr.write(proc.stderr[-2000:])
+            point10 = None
+            for line in reversed(proc.stdout.splitlines()):
+                if line.startswith("{"):
+                    point10 = json.loads(line)
+                    break
+            if point10 is None:
+                raise RuntimeError(f"sf10 child produced no JSON (rc={proc.returncode})")
             out.setdefault("scaling", {})["sf10"] = point10
         except Exception as ex:  # noqa: BLE001 - scaling point is best-effort
             print(f"# sf10 scaling run failed: {ex}", file=sys.stderr)

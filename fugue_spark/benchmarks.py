@@ -128,6 +128,13 @@ class QuerySpec:
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # TIMING-only DuckDB SQL (correctness still checks ``oracle``): used when
+    # the oracle deliberately skips work the Spark side performs — e.g. q9's
+    # oracle aggregates the ORIGINAL table (equality proves the round trip
+    # lossless) while the Spark side does a real write+reload, so timing the
+    # oracle would compare an IO benchmark against a no-IO query. Statements
+    # are ';'-separated; the last one's result is fetched.
+    duck_bench: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -138,11 +145,12 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    duck_bench: str | None = None,
 ):
     """Decorator: add a (spark_fn, oracle) pair to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name, fn, oracle, tags, bench)
+        QUERIES[name] = QuerySpec(name, fn, oracle, tags, bench, duck_bench)
         return fn
 
     return deco

@@ -1779,9 +1779,17 @@ def p41_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB's global-window construction."""
     from fugue_spark.pipeline import select_until_budget
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "__ord__",
-        (F.lit(100000) - F.col("n_chars")) * 1000000 + F.col("doc_id"),
+    # project BEFORE the hierarchical pass: its range shuffle + checkpoint
+    # materialize whatever columns they are handed (the checkpoint severs
+    # lineage, so Catalyst cannot prune later) — shipping the document
+    # bodies through it would be ~100x the bytes for a 3-column answer
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ((F.lit(100000) - F.col("n_chars")) * 1000000 + F.col("doc_id")).alias(
+            "__ord__"
+        ),
     )
     out = select_until_budget(
         docs, budget=50_000, size_col="n_chars", order_by="__ord__"

@@ -296,6 +296,21 @@ def q8_assign_fillna_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("io",),
     bench=True,
+    # timing-only: the correctness oracle reads the ORIGINAL table (equality
+    # proves the round trip lossless) so timing it would compare a real
+    # write+reload against a no-IO aggregate; this does the identical
+    # partitioned-parquet write + reload on the DuckDB side
+    duck_bench="""
+    COPY (SELECT l_returnflag, l_quantity FROM lineitem)
+      TO '/tmp/duck_bench_q9.parquet'
+      (FORMAT PARQUET, PARTITION_BY (l_returnflag), OVERWRITE_OR_IGNORE);
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM read_parquet('/tmp/duck_bench_q9.parquet/*/*.parquet',
+                      hive_partitioning = 1)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
 )
 def q9_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: save partitioned parquet → reload → aggregate. The oracle runs
