@@ -104,30 +104,36 @@ def run_duckdb(bench_specs, sf_dir: str, cpus: int, passes: int = 3) -> dict[str
             )
     timings: dict[str, float] = {}
 
-    def _run(sql: str) -> None:
-        # duck_bench SQL may be multi-statement (e.g. COPY out + read back);
-        # duckdb's execute() prepares one statement at a time.
-        for stmt in sql.split(";"):
-            if stmt.strip():
-                con.execute(stmt).fetchall()
-
     for name, spec in bench_specs:
         # duck_bench: timing-only SQL for queries whose correctness oracle
-        # deliberately skips work the Spark side performs (q9 write+reload)
-        bench_sql = getattr(spec, "duck_bench", None) or spec.oracle
+        # deliberately skips work the Spark side performs (q9 write+reload).
+        # ONLY duck_bench is ';'-split into statements (it may COPY + read
+        # back); oracles run whole — they can contain ';' inside string
+        # literals (p2's punctuation regex).
+        duck_bench = getattr(spec, "duck_bench", None)
+        bench_sql = duck_bench or spec.oracle
         if not bench_sql:
             continue
+        stmts = (
+            [s for s in bench_sql.split(";") if s.strip()]
+            if duck_bench
+            else [bench_sql]
+        )
+
+        def _run(statements=stmts) -> None:
+            for stmt in statements:
+                con.execute(stmt).fetchall()
         try:
-            _run(bench_sql)  # warm pass
+            _run()  # warm pass
             samples = []
             for _ in range(passes):
                 t0 = time.perf_counter()
-                _run(bench_sql)
+                _run()
                 samples.append(time.perf_counter() - t0)
             # same adaptive spread rule as the Spark side (symmetric)
             while max(samples) > 1.5 * min(samples) and len(samples) < passes + 2:
                 t0 = time.perf_counter()
-                _run(bench_sql)
+                _run()
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(median(samples), 3)
         except Exception as ex:  # noqa: BLE001

@@ -91,14 +91,27 @@ def cosine_topk_bruteforce(
                 "all-pairs; use cosine_topk_lsh/cosine_topk_ivf or pass "
                 "allow_quadratic=True"
             )
+    # norms are factored out BELOW the join: computed once per corpus row
+    # (and once per query) instead of once per (query, corpus) pair — the
+    # values feeding the division are bit-identical, but the |Q|× redundant
+    # array folds disappear from the scored stage
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_e6", _cosine_e6(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_e6",
+            F.floor(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+                * 1000000
+            ).cast("long"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
@@ -146,21 +159,32 @@ def cosine_topk_lsh(
             tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
         return F.array(*tables)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cb = c.select("neighbor_id", "cv", F.explode(sketch(F.col("cv"))).alias("s")).select(
-        "neighbor_id", "cv", "s.tbl", "s.bucket"
-    )
-    qb = q.select("query_id", "qv", F.explode(sketch(F.col("qv"))).alias("s")).select(
-        "query_id", "qv", "s.tbl", "s.bucket"
-    )
+    # same norm factoring as the brute-force path: one fold per row, below
+    # the bucket join, instead of one per candidate pair
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    cb = c.select(
+        "neighbor_id", "cv", "cn", F.explode(sketch(F.col("cv"))).alias("s")
+    ).select("neighbor_id", "cv", "cn", "s.tbl", "s.bucket")
+    qb = q.select(
+        "query_id", "qv", "qn", F.explode(sketch(F.col("qv"))).alias("s")
+    ).select("query_id", "qv", "qn", "s.tbl", "s.bucket")
     cands = (
         cb.join(F.broadcast(qb), on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
     )
-    scored = cands.withColumn("cosine_e6", _cosine_e6(F.col("qv"), F.col("cv")))
+    scored = cands.withColumn(
+        "cosine_e6",
+        F.floor(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1000000
+        ).cast("long"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
     )
@@ -265,12 +289,22 @@ def near_duplicates_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms ride the per-id projections (one fold per row, not per pair)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "na", _norm(F.col("va"))
+    )
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "nb", _norm(F.col("vb"))
+    )
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .withColumn("cosine_e6", _cosine_e6(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine_e6",
+            F.floor(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000000
+            ).cast("long"),
+        )
         .filter(F.col("cosine_e6") >= int(threshold * 1000000))
         .select("id_a", "id_b", "cosine_e6")
     )
@@ -341,18 +375,25 @@ def cosine_topk_ivf(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign_udf(F.col(vec_col)).alias("cell"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     cands = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
     )
-    scored = cands.withColumn("cosine_e6", _cosine_e6(F.col("qv"), F.col("cv")))
+    scored = cands.withColumn(
+        "cosine_e6",
+        F.floor(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1000000
+        ).cast("long"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
     )
