@@ -136,3 +136,76 @@ def test_skew_plan_evidence(spark):
     exchange_pos = auto.find("Exchange")
     first_agg = auto.rfind("HashAggregate")
     assert first_agg > exchange_pos >= 0, auto  # partial agg below the exchange
+
+
+# ---------------- cotransform (zip engine) under the same skew ----------------
+
+
+def _make_pair_counts():
+    def _pair_counts(cursor, left, right):
+        return {
+            "k": cursor["k"],
+            "n_left": left.shape[0],
+            "n_right": right.shape[0],
+            "s": left.v.sum() + right.w.sum(),
+        }
+
+    return _pair_counts
+
+
+def _skew_pair(spark, skewed: bool):
+    left = (_skewed(spark) if skewed else _uniform(spark))
+    right = left.select("k", F.col("v").alias("w"))
+    return left, right
+
+
+def test_skew_hot_key_bounded_on_cotransform(spark):
+    """The zip engine's tagged union + ONE keyed exchange gives the same
+    skew posture as the map engine: the hot key serializes only its own
+    group; every other key parallelizes around it."""
+    from fugue_spark.cotransform import cotransform
+
+    def run(skewed: bool):
+        left, right = _skew_pair(spark, skewed)
+        out = cotransform(
+            [left, right], _make_pair_counts(),
+            schema="k:long,n_left:long,n_right:long,s:double",
+            partition={"by": ["k"]}, compile=False,
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    run(True); run(False)  # warm
+    t_skew = _best_of(lambda: run(True))
+    t_uni = _best_of(lambda: run(False))
+    assert t_skew <= 6.0 * t_uni + 0.5, (t_skew, t_uni)
+
+    # value sanity: hot group saw all its rows from BOTH sides in one call
+    left, right = _skew_pair(spark, True)
+    got = {
+        r.k: (r.n_left, r.n_right)
+        for r in cotransform(
+            [left, right], _make_pair_counts(),
+            schema="k:long,n_left:long,n_right:long,s:double",
+            partition={"by": ["k"]}, compile=False,
+        ).collect()
+    }
+    assert got[0] == (N // 2, N // 2)
+    assert len(got) == 201
+
+
+def test_skew_cotransform_plan_evidence(spark):
+    """ONE exchange total for the zip (tagged union shuffles once on the
+    keys — not one exchange per side), pandas stage above it."""
+    from fugue_spark.cotransform import cotransform
+
+    left, right = _skew_pair(spark, True)
+    plan = physical_plan(
+        cotransform(
+            [left, right], _make_pair_counts(),
+            schema="k:long,n_left:long,n_right:long,s:double",
+            partition={"by": ["k"]}, compile=False,
+        ),
+        "simple",
+    )
+    assert "hashpartitioning" in plan, plan
+    assert plan.count("Exchange") == 1, plan
