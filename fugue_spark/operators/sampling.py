@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from fugue_spark.partition import PartitionSpec, parse_presort
 
-__all__ = ["sample", "take", "hash_sample", "sample_per_key"]
+__all__ = ["sample", "take", "hash_sample", "sample_per_key", "temperature_mix"]
 
 
 def sample(
@@ -240,3 +240,60 @@ def weighted_hash_sample(
         "%015x", F.floor(w * F.lit(float(1 << 60))).cast("long")
     )
     return df.filter((w >= 1.0) | (u < thr))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    key_cols: "list[str]",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: deterministically downsample
+    each stratum (language, source, domain) so kept sizes follow
+    ``n_s**alpha`` — the standard multilingual rebalancing move (alpha=1
+    keeps the natural distribution, alpha=0 levels every stratum down to
+    the smallest; alpha around 0.3-0.7 is the usual training-mix range).
+
+    Rates are ANCHORED AT THE SMALLEST STRATUM (kept in full):
+    ``r_s = (n_min / n_s) ** (1 - alpha)``, quantized to 1e-9 by FLOOR.
+    This formulation deliberately avoids any cross-stratum SUM — min,
+    one division and one pow per stratum are reproducible bit-for-bit
+    across engines, so an external system (or the DuckDB oracle) derives
+    the identical rates from the identical counts; a normalized-share
+    formulation would make the selection depend on float summation order.
+
+    Selection is the :func:`weighted_hash_sample` md5 construction keyed
+    on ``key_cols`` — content-decided, partition/engine/rerun-invariant,
+    and leak-free when keyed on a grouping id. Cost: one count per
+    stratum (map-side combined; the collect is bounded by the number of
+    strata, like the IVF centroid sample) + one map-only filter pass —
+    no shuffle of the data itself.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not key_cols:
+        raise ValueError("temperature_mix needs at least one key column")
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    # per-stratum rate as a CASE of driver-computed literals (strata absent
+    # at count time — impossible on the same frame — would rate 0)
+    w_expr = F.lit(0.0)
+    for s in sorted(counts, key=str):
+        r = (n_min / counts[s]) ** (1.0 - alpha)
+        w = math.floor(r * 1e9) / 1e9
+        w_expr = F.when(F.col(strata_col) == F.lit(s), F.lit(float(w))).otherwise(
+            w_expr
+        )
+    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+    u = F.substring(F.md5(key), 1, 15)
+    thr = F.format_string(
+        "%015x", F.floor(w_expr * F.lit(float(1 << 60))).cast("long")
+    )
+    return df.filter((w_expr >= 1.0) | (u < thr))

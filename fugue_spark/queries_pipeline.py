@@ -1795,3 +1795,36 @@ def p41_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, budget=50_000, size_col="n_chars", order_by="__ord__"
     )
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "p42_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT MIN(n) AS n_min FROM c),
+         r AS (SELECT lang,
+                      FLOOR(POWER(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE), 0.5)
+                            * 1000000000) / 1000000000 AS w
+               FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE w >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+          < printf('%015x', CAST(FLOOR(w * 1152921504606846976.0) AS BIGINT))
+    ORDER BY doc_id
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def p42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language rebalancing (alpha=0.5): downsample
+    each language so kept sizes follow n**0.5, anchored at the smallest
+    language (kept whole). Rates use only min/divide/pow — no cross-
+    stratum float sum — and selection is the md5 construction, so the
+    oracle derives the identical subset from the identical counts. The
+    per-stratum count collect is bounded by the number of languages;
+    the data pass itself is map-only (one CASE + md5 filter)."""
+    from fugue_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", alpha=0.5, key_cols=["doc_id"])
+    return out.select("doc_id", "lang").orderBy("doc_id")

@@ -37,6 +37,7 @@ GATES = [
     "p16_sequence_packing",
     "p19_sequence_packing_global",
     "p18_hash_sample",
+    "p42_temperature_mix",
     "p24_tfidf_scores",
     "p30_asof_join",
     "p32_time_rollup",

@@ -1312,3 +1312,82 @@ def test_gopher_flags_null_text(spark):
     r = with_gopher_flags(df).collect()[0]
     assert r.n_words == 0
     assert r.gopher_pass == 0 and r.f_word_count == 0 and r.f_stopwords == 0
+
+
+# ---------------- temperature_mix ----------------
+
+
+def test_temperature_mix_matches_independent_reference(spark, sf_dir):
+    """Kept set equals a row-by-row pandas recomputation of the contract
+    (rates anchored at the smallest stratum, md5 60-bit threshold)."""
+    import hashlib
+    import math
+
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = 0.3
+    got = sorted(
+        r.doc_id
+        for r in temperature_mix(docs, "lang", alpha=alpha, key_cols=["doc_id"]).collect()
+    )
+
+    pdf = docs.select("doc_id", "lang").toPandas()
+    counts = pdf.lang.value_counts().to_dict()
+    n_min = min(counts.values())
+    expect = []
+    for doc_id, lang in zip(pdf.doc_id, pdf.lang):
+        w = math.floor((n_min / counts[lang]) ** (1 - alpha) * 1e9) / 1e9
+        u = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+        if w >= 1.0 or u < format(math.floor(w * float(1 << 60)), "015x"):
+            expect.append(doc_id)
+    assert got == sorted(expect)
+
+
+def test_temperature_mix_flattens_toward_alpha(spark, sf_dir):
+    """alpha=1 is the identity; alpha=0 levels every language to ~n_min;
+    kept sizes at alpha=0.5 sit between and follow n**0.5 ordering."""
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    n_min = min(base.values())
+
+    assert temperature_mix(docs, "lang", 1.0, ["doc_id"]).count() == sum(base.values())
+
+    flat = {
+        r.lang: r["count"]
+        for r in temperature_mix(docs, "lang", 0.0, ["doc_id"])
+        .groupBy("lang").count().collect()
+    }
+    for lang, kept in flat.items():
+        # binomial(n_l, n_min/n_l): mean n_min, sd < sqrt(n_min)
+        assert abs(kept - n_min) <= 4 * n_min**0.5 + 2, (lang, kept, n_min)
+
+    mid = {
+        r.lang: r["count"]
+        for r in temperature_mix(docs, "lang", 0.5, ["doc_id"])
+        .groupBy("lang").count().collect()
+    }
+    biggest = max(base, key=base.get)
+    assert n_min - 2 <= mid[biggest] <= base[biggest]
+    # expected kept for the head: n_min**0.5 * n_head**0.5
+    exp_head = (n_min * base[biggest]) ** 0.5
+    assert abs(mid[biggest] - exp_head) <= 4 * exp_head**0.5 + 2
+
+
+def test_temperature_mix_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, "lang", 1.5, ["doc_id"])
+    with _pytest.raises(ValueError, match="key column"):
+        temperature_mix(docs, "lang", 0.5, [])
