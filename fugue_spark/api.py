@@ -34,6 +34,7 @@ from fugue_spark.operators import (
     hash_sample,
     hash_sample_stratified,
     sample_per_key,
+    temperature_mix,
     intersect,
     join,
     range_join,
@@ -110,7 +111,7 @@ range_join = _ingests(0, 1)(range_join)
 for _n in (
     "aggregate", "assign", "broadcast", "distinct", "dropna", "fillna",
     "filter", "sample", "select", "take", "transform", "out_transform",
-    "repartition", "save", "hash_sample", "hash_sample_stratified",
+    "repartition", "save", "hash_sample", "hash_sample_stratified", "temperature_mix",
     "sample_per_key",
 ):
     globals()[_n] = _ingests(0)(globals()[_n])

@@ -11,6 +11,7 @@ from fugue_spark.operators.sampling import (
     sample_per_key,
     sample,
     take,
+    temperature_mix,
     weighted_hash_sample,
 )
 from fugue_spark.operators.select import aggregate, assign, filter, select
