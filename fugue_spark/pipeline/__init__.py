@@ -51,6 +51,7 @@ from fugue_spark.pipeline.similarity import (
 from fugue_spark.pipeline.text import (
     assign_pack_bins,
     select_until_budget,
+    select_until_budgets,
     chunk_documents,
     duplicate_spans,
     corpus_stats,

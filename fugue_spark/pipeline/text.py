@@ -752,6 +752,40 @@ def select_until_budget(
     return keep.filter(F.col("__cum__") <= F.lit(budget)).select(*cols)
 
 
+def select_until_budgets(
+    df: DataFrame,
+    budgets: "dict[str, int]",
+    strata_col: str,
+    size_col: str,
+    order_by: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-stratum budgeted selection — the explicit-weights mixture spec:
+    ``budgets`` maps each stratum (language, source, domain) to its own
+    ``size_col`` budget (e.g. ``{lang: int(total_tokens * weight)}``), and
+    within each stratum the documents are walked in ``order_by`` order
+    (typically best-quality-first), keeping rows while the INCLUSIVE
+    running total fits that stratum's budget. Strata absent from
+    ``budgets`` get ``default_budget`` (0 = drop).
+
+    The companion of :func:`select_until_budget` (one global budget) and
+    ``temperature_mix`` (rate-based rebalance): this is the form used when
+    the target mixture is given as explicit weights. ONE keyed window
+    exchange on ``strata_col`` — per-stratum running sums are independent,
+    so no hierarchical pass and no cross-stratum serial state; the budget
+    lookup is a CASE of literals, map-only. ``order_by`` should be unique
+    within a stratum (same contract as select_until_budget).
+    """
+    prefixed, start, cols = _exclusive_prefix(df, size_col, order_by, [strata_col])
+    if prefixed is None:
+        return df
+    bexpr = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        bexpr = F.when(F.col(strata_col) == F.lit(s), F.lit(int(b))).otherwise(bexpr)
+    keep = prefixed.withColumn("__cum__", start + F.col(size_col))
+    return keep.filter(F.col("__cum__") <= bexpr).select(*cols)
+
+
 def corpus_stats(
     df: DataFrame,
     value_col: str,

@@ -1828,3 +1828,48 @@ def p42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = temperature_mix(docs, "lang", alpha=0.5, key_cols=["doc_id"])
     return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "p43_mixture_budgets",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY (100000 - n_chars) * 1000000 + doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM c
+    WHERE cum <= CASE lang
+        WHEN 'en' THEN 12000 WHEN 'de' THEN 4500 WHEN 'es' THEN 4500
+        WHEN 'fr' THEN 4500 WHEN 'zh' THEN 4500 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    tags=("curation", "budget", "mixing"),
+)
+def p43_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-weights mixture under per-language char budgets (en 40%,
+    others 15% of a 30k-char target), best-doc-first within each language
+    (longest first, id tiebreak — deterministic total order). ONE keyed
+    window exchange; budgets are a CASE of literals. Integer running
+    sums — exact in any engine, any partitioning."""
+    from fugue_spark.pipeline import select_until_budgets
+
+    total = 30_000
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    budgets = {lang: int(total * w) for lang, w in weights.items()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ((F.lit(100000) - F.col("n_chars")) * 1000000 + F.col("doc_id")).alias(
+            "__ord__"
+        ),
+    )
+    out = select_until_budgets(
+        docs, budgets, strata_col="lang", size_col="n_chars", order_by="__ord__"
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -38,6 +38,7 @@ GATES = [
     "p19_sequence_packing_global",
     "p18_hash_sample",
     "p42_temperature_mix",
+    "p43_mixture_budgets",
     "p24_tfidf_scores",
     "p30_asof_join",
     "p32_time_rollup",

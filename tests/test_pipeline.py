@@ -1391,3 +1391,47 @@ def test_temperature_mix_validation(spark, sf_dir):
         temperature_mix(docs, "lang", 1.5, ["doc_id"])
     with _pytest.raises(ValueError, match="key column"):
         temperature_mix(docs, "lang", 0.5, [])
+
+
+# ---------------- select_until_budgets (per-stratum) ----------------
+
+
+def test_select_until_budgets_matches_pandas(spark, sf_dir):
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.pipeline import select_until_budgets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    budgets = {"en": 5000, "de": 2000}
+    got = sorted(
+        r.doc_id
+        for r in select_until_budgets(
+            docs, budgets, strata_col="lang", size_col="n_chars", order_by="doc_id"
+        ).collect()
+    )
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    expect = []
+    for lang, b in budgets.items():
+        g = pdf[pdf.lang == lang]
+        cum = g.n_chars.cumsum()
+        expect += list(g.doc_id[cum <= b])
+    assert got == sorted(expect)
+    # default_budget=0 drops strata not listed
+    langs = {r.lang for r in select_until_budgets(
+        docs, budgets, strata_col="lang", size_col="n_chars", order_by="doc_id"
+    ).select("lang").distinct().collect()}
+    assert langs <= set(budgets)
+
+
+def test_select_until_budgets_default_budget(spark, sf_dir):
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.pipeline import select_until_budgets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = select_until_budgets(
+        docs, {}, strata_col="lang", size_col="n_chars",
+        order_by="doc_id", default_budget=10**12,
+    )
+    assert out.count() == docs.count()
