@@ -169,6 +169,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 _GATE_FIRST = (
     "p42_temperature_mix",  # new in r08 — must land in the driver window
     "p43_mixture_budgets",  # new in r08 — must land in the driver window
+    "p44_mixture_report",   # new in r08 — must land in the driver window
     "q25_transform_filter_compiled",
     "q26_transform_condagg_compiled",
     "q27_transform_topk_compiled",

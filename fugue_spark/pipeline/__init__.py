@@ -52,6 +52,7 @@ from fugue_spark.pipeline.text import (
     assign_pack_bins,
     select_until_budget,
     select_until_budgets,
+    mixture_report,
     chunk_documents,
     duplicate_spans,
     corpus_stats,

@@ -26,6 +26,7 @@ __all__ = [
     "with_word_entropy",
     "winnowing_fingerprints",
     "winnowing_pairs",
+    "mixture_report",
     "LANG_MARKERS",
 ]
 
@@ -913,3 +914,42 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def mixture_report(
+    before: DataFrame,
+    after: DataFrame,
+    strata_col: str,
+    size_col: "str | None" = None,
+) -> DataFrame:
+    """Per-stratum before/after mixing report — the sanity artifact every
+    curation run ships with: doc counts (and optional ``size_col`` totals),
+    corpus shares, and keep rates, one row per stratum.
+
+    Shares and rates are integer-scaled (``x * 1e6 div total`` on longs) so
+    the report is exact and engine/partitioning-reproducible — no float
+    division anywhere. Cost: one map-side-combined agg per frame (the
+    grouped frames are #strata rows), a window total over those tiny
+    frames, one tiny join. The corpora themselves are scanned once each and
+    never shuffled.
+    """
+    def summarize(df: DataFrame, suffix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"n_{suffix}")]
+        if size_col is not None:
+            aggs.append(F.sum(F.col(size_col).cast("long")).alias(f"sz_{suffix}"))
+        g = df.groupBy(F.col(strata_col).alias("stratum")).agg(*aggs)
+        return g.withColumn(
+            f"share_{suffix}_e6",
+            F.expr(f"n_{suffix} * 1000000L div sum(n_{suffix}) over ()"),
+        )
+
+    b = summarize(before, "before")
+    a = summarize(after, "after")
+    out = b.join(a, on="stratum", how="left")
+    fill = {"n_after": 0, "share_after_e6": 0}
+    if size_col is not None:
+        fill["sz_after"] = 0
+    out = out.fillna(fill)
+    return out.withColumn(
+        "keep_rate_e6", F.expr("n_after * 1000000L div n_before")
+    ).orderBy("stratum")

@@ -1873,3 +1873,54 @@ def p43_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, budgets, strata_col="lang", size_col="n_chars", order_by="__ord__"
     )
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "p44_mixture_report",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT MIN(n) AS n_min FROM c),
+         r AS (SELECT lang,
+                      FLOOR(POWER(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE), 0.5)
+                            * 1000000000) / 1000000000 AS w
+               FROM c, m),
+         kept AS (
+           SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN r ON d.lang = r.lang
+           WHERE w >= 1.0
+              OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                 < printf('%015x', CAST(FLOOR(w * 1152921504606846976.0) AS BIGINT))
+         ),
+         b AS (
+           SELECT lang AS stratum, COUNT(*) AS n_before,
+                  CAST(SUM(n_chars) AS BIGINT) AS sz_before
+           FROM documents GROUP BY lang
+         ),
+         a AS (
+           SELECT lang AS stratum, COUNT(*) AS n_after,
+                  CAST(SUM(n_chars) AS BIGINT) AS sz_after
+           FROM kept GROUP BY lang
+         )
+    SELECT b.stratum, b.n_before, b.sz_before,
+           (b.n_before * 1000000) // (SUM(b.n_before) OVER ()) AS share_before_e6,
+           COALESCE(a.n_after, 0) AS n_after,
+           COALESCE(a.sz_after, 0) AS sz_after,
+           COALESCE((a.n_after * 1000000) // (SUM(a.n_after) OVER ()), 0) AS share_after_e6,
+           COALESCE(a.n_after, 0) * 1000000 // b.n_before AS keep_rate_e6
+    FROM b LEFT JOIN a ON b.stratum = a.stratum
+    ORDER BY b.stratum
+    """,
+    tags=("curation", "mixing", "report"),
+)
+def p44_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after mixing report over the p42 temperature rebalance:
+    per-language doc counts, char totals, corpus shares and keep rates —
+    ALL integer-scaled (x*1e6 div total on longs), so the report is exact
+    in any engine at any partitioning. Aggregations are map-side combined;
+    the window total runs over the #languages-row agg frames."""
+    from fugue_spark.operators.sampling import temperature_mix
+    from fugue_spark.pipeline import mixture_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    after = temperature_mix(docs, "lang", alpha=0.5, key_cols=["doc_id"])
+    return mixture_report(docs, after, strata_col="lang", size_col="n_chars")

@@ -1435,3 +1435,30 @@ def test_select_until_budgets_default_budget(spark, sf_dir):
         order_by="doc_id", default_budget=10**12,
     )
     assert out.count() == docs.count()
+
+
+def test_mixture_report_semantics(spark, sf_dir):
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.pipeline import mixture_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 'after' drops one language entirely: the report must keep its row
+    # with zeros rather than losing it
+    after = docs.filter("lang <> 'en'")
+    rep = {r.stratum: r.asDict() for r in mixture_report(
+        docs, after, strata_col="lang", size_col="n_chars"
+    ).collect()}
+    assert rep["en"]["n_after"] == 0 and rep["en"]["sz_after"] == 0
+    assert rep["en"]["keep_rate_e6"] == 0 and rep["en"]["share_after_e6"] == 0
+    for lang, row in rep.items():
+        if lang != "en":
+            assert row["n_after"] == row["n_before"]
+            assert row["keep_rate_e6"] == 1_000_000
+    # integer-floored shares sum to <= 1e6 and within #strata of it
+    for suffix in ("before", "after"):
+        tot = sum(r[f"share_{suffix}_e6"] for r in rep.values())
+        assert 1_000_000 - len(rep) <= tot <= 1_000_000
+
+    # without size_col the size columns are absent
+    slim = mixture_report(docs, after, strata_col="lang")
+    assert "sz_before" not in slim.columns and "sz_after" not in slim.columns
