@@ -721,3 +721,53 @@ def test_weighted_hash_sample_matches_duckdb(spark, seed):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_temperature_mix_cross_engine_fuzz(spark, seed):
+    """Cross-engine exactness fuzz for the temperature-mix contract:
+    random skewed strata and alphas (incl. the 0/1 endpoints) must select
+    the IDENTICAL subset in Spark (rates computed driver-side in Python)
+    and DuckDB (rates recomputed in SQL with POWER) — the no-cross-stratum-
+    float-sum design is exactly what makes this hold."""
+    import duckdb
+
+    rng = random.Random(4000 + seed)
+    alpha = rng.choice([0.0, 0.25, 0.3, 0.5, 0.7, 1.0, rng.random()])
+    n_strata = rng.randint(2, 8)
+    rows = []
+    i = 0
+    for s in range(n_strata):
+        # skewed sizes: 1 to ~300 rows per stratum
+        for _ in range(rng.choice([1, 3, 10, 40, 150, 300])):
+            rows.append([i, f"s{s}"])
+            i += 1
+    df = spark.createDataFrame(rows, parse_schema("id:long,grp:str"))
+    from fugue_spark.operators.sampling import temperature_mix
+
+    got = sorted(
+        r.id for r in temperature_mix(df, "grp", alpha, key_cols=["id"]).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE t (id BIGINT, grp VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH c AS (SELECT grp, COUNT(*) AS n FROM t GROUP BY grp),
+                 m AS (SELECT MIN(n) AS n_min FROM c),
+                 r AS (SELECT grp,
+                              FLOOR(POWER(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE),
+                                          1.0 - {alpha!r}) * 1000000000)
+                              / 1000000000 AS w
+                       FROM c, m)
+            SELECT t.id FROM t JOIN r ON t.grp = r.grp
+            WHERE w >= 1.0
+               OR substr(md5(CAST(t.id AS VARCHAR)), 1, 15)
+                  < printf('%015x', CAST(FLOOR(w * 1152921504606846976.0) AS BIGINT))
+            """
+        ).fetchall()
+    )
+    assert got == want, (alpha, len(got), len(want))
