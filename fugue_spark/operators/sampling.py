@@ -257,18 +257,25 @@ def temperature_mix(
 
     Rates are ANCHORED AT THE SMALLEST STRATUM (kept in full):
     ``r_s = (n_min / n_s) ** (1 - alpha)``, quantized to 1e-9 by FLOOR.
-    This formulation deliberately avoids any cross-stratum SUM — min,
-    one division and one pow per stratum are reproducible bit-for-bit
-    across engines, so an external system (or the DuckDB oracle) derives
-    the identical rates from the identical counts; a normalized-share
-    formulation would make the selection depend on float summation order.
+    A NULL stratum is a stratum like any other (counted, rated, kept at
+    its own rate — NULL rows are never silently dropped). The formulation
+    deliberately avoids any cross-stratum SUM: min, one division and one
+    pow per stratum, so an external system (or the DuckDB oracle) can
+    re-derive the rates from the counts alone — a normalized-share
+    formulation would additionally depend on float summation order.
+    (pow itself is libm-dependent in the last ulp; the 1e-9 FLOOR grid
+    makes a cross-libm boundary flip require the true rate to sit within
+    an ulp of a grid point — verify against your own stack if the kept
+    set must be bit-stable across toolchains.)
 
-    Selection is the :func:`weighted_hash_sample` md5 construction keyed
-    on ``key_cols`` — content-decided, partition/engine/rerun-invariant,
-    and leak-free when keyed on a grouping id. Cost: one count per
-    stratum (map-side combined; the collect is bounded by the number of
-    strata, like the IVF centroid sample) + one map-only filter pass —
-    no shuffle of the data itself.
+    Selection delegates to :func:`weighted_hash_sample` (md5-decided,
+    content-keyed — partition/engine/rerun-invariant, leak-free when
+    keyed on a grouping id). Cost: one count per stratum (map-side
+    combined; the collect is bounded by the number of strata, like the
+    IVF centroid sample), then a broadcast join of the #strata-row rate
+    table (flat cost at ANY stratum cardinality — a CASE chain would
+    build an unboundedly deep expression tree for e.g. per-domain
+    strata) + the map-only filter. The data itself never shuffles.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
@@ -276,24 +283,32 @@ def temperature_mix(
         raise ValueError("temperature_mix needs at least one key column")
     import math
 
+    from pyspark.sql import types as T
+
     counts = {
         r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
     }
     if not counts:
         return df
     n_min = min(counts.values())
-    # per-stratum rate as a CASE of driver-computed literals (strata absent
-    # at count time — impossible on the same frame — would rate 0)
-    w_expr = F.lit(0.0)
-    for s in sorted(counts, key=str):
-        r = (n_min / counts[s]) ** (1.0 - alpha)
-        w = math.floor(r * 1e9) / 1e9
-        w_expr = F.when(F.col(strata_col) == F.lit(s), F.lit(float(w))).otherwise(
-            w_expr
-        )
-    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
-    u = F.substring(F.md5(key), 1, 15)
-    thr = F.format_string(
-        "%015x", F.floor(w_expr * F.lit(float(1 << 60))).cast("long")
+    rows = []
+    for s, n in counts.items():
+        r = (n_min / n) ** (1.0 - alpha)
+        rows.append((s, math.floor(r * 1e9) / 1e9))
+    rates = df.sparkSession.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("__stratum__", df.schema[strata_col].dataType, True),
+                T.StructField("__w__", T.DoubleType(), False),
+            ]
+        ),
     )
-    return df.filter((w_expr >= 1.0) | (u < thr))
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(strata_col).eqNullSafe(F.col("__stratum__")),
+        "left",
+    )
+    return weighted_hash_sample(joined, "__w__", key_cols, sep).drop(
+        "__stratum__", "__w__"
+    )

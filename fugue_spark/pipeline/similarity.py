@@ -62,6 +62,14 @@ def _cosine_e6(a, b) -> F.Column:
     return F.floor(cos * 1000000).cast("long")
 
 
+def _cosine_e6_prenormed(a, b, na, nb) -> F.Column:
+    """`_cosine_e6` with the norms already materialized on the rows (one
+    fold per row below the join instead of per pair) — operand values are
+    identical, so results are bit-equal to `_cosine_e6`. The e6-floor
+    contract lives HERE and in `_cosine_e6` only."""
+    return F.floor(_dot(a, b) / (na * nb) * 1000000).cast("long")
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,11 +114,7 @@ def cosine_topk_bruteforce(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_e6",
-            F.floor(
-                _dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn"))
-                * 1000000
-            ).cast("long"),
+            _cosine_e6_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -181,9 +185,7 @@ def cosine_topk_lsh(
     )
     scored = cands.withColumn(
         "cosine_e6",
-        F.floor(
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1000000
-        ).cast("long"),
+        _cosine_e6_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
@@ -301,9 +303,7 @@ def near_duplicates_lsh(
         .join(vb, on="id_b")
         .withColumn(
             "cosine_e6",
-            F.floor(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000000
-            ).cast("long"),
+            _cosine_e6_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
         .filter(F.col("cosine_e6") >= int(threshold * 1000000))
         .select("id_a", "id_b", "cosine_e6")
@@ -390,9 +390,7 @@ def cosine_topk_ivf(
     )
     scored = cands.withColumn(
         "cosine_e6",
-        F.floor(
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1000000
-        ).cast("long"),
+        _cosine_e6_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col("neighbor_id").asc()

@@ -27,6 +27,8 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_pairs",
     "mixture_report",
+    "select_until_budget",
+    "select_until_budgets",
     "LANG_MARKERS",
 ]
 
@@ -944,8 +946,12 @@ def mixture_report(
         )
 
     b = summarize(before, "before")
-    a = summarize(after, "after")
-    out = b.join(a, on="stratum", how="left")
+    # null-safe join: a NULL stratum is a stratum (a plain equi-join would
+    # report it as entirely dropped even when every row was kept)
+    a = summarize(after, "after").withColumnRenamed("stratum", "__stratum__")
+    out = b.join(
+        a, b["stratum"].eqNullSafe(a["__stratum__"]), how="left"
+    ).drop("__stratum__")
     fill = {"n_after": 0, "share_after_e6": 0}
     if size_col is not None:
         fill["sz_after"] = 0

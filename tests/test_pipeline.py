@@ -1462,3 +1462,38 @@ def test_mixture_report_semantics(spark, sf_dir):
     # without size_col the size columns are absent
     slim = mixture_report(docs, after, strata_col="lang")
     assert "sz_before" not in slim.columns and "sz_after" not in slim.columns
+
+
+def test_temperature_mix_null_stratum_is_a_stratum(spark):
+    """NULL strata are counted, rated, and kept at their own rate — never
+    silently dropped (review r08: a plain CASE on equality would drop
+    them and let a tiny NULL group wrongly anchor every real rate)."""
+    from fugue_spark.operators.sampling import temperature_mix
+    from fugue_spark.schema import parse_schema
+
+    rows = [[i, "en"] for i in range(200)] + [[200 + i, None] for i in range(40)]
+    df = spark.createDataFrame(rows, parse_schema("id:long,lang:str"))
+    # alpha=1: identity — every row, including the NULL stratum, survives
+    assert temperature_mix(df, "lang", 1.0, ["id"]).count() == 240
+    # alpha=0: every stratum levels to ~n_min=40; NULL rows all kept
+    out = temperature_mix(df, "lang", 0.0, ["id"]).toPandas()
+    nulls = out[out.lang.isna()]
+    assert len(nulls) == 40  # the anchor stratum is kept in full
+    kept_en = len(out) - len(nulls)
+    assert abs(kept_en - 40) <= 4 * 40**0.5 + 2
+
+
+def test_mixture_report_null_stratum_join(spark):
+    """A NULL stratum kept in full must report keep_rate_e6=1e6, not 0
+    (equi-join on the stratum would drop the NULL match)."""
+    from fugue_spark.pipeline import mixture_report
+    from fugue_spark.schema import parse_schema
+
+    rows = [[i, "en"] for i in range(10)] + [[10 + i, None] for i in range(5)]
+    df = spark.createDataFrame(rows, parse_schema("id:long,lang:str"))
+    rep = {
+        r.stratum: r.asDict()
+        for r in mixture_report(df, df, strata_col="lang").collect()
+    }
+    assert rep[None]["n_after"] == 5 and rep[None]["keep_rate_e6"] == 1_000_000
+    assert rep["en"]["keep_rate_e6"] == 1_000_000
