@@ -950,7 +950,7 @@ def mixture_report(
     # report it as entirely dropped even when every row was kept)
     a = summarize(after, "after").withColumnRenamed("stratum", "__stratum__")
     out = b.join(
-        a, b["stratum"].eqNullSafe(a["__stratum__"]), how="left"
+        F.broadcast(a), b["stratum"].eqNullSafe(a["__stratum__"]), how="left"
     ).drop("__stratum__")
     fill = {"n_after": 0, "share_after_e6": 0}
     if size_col is not None:

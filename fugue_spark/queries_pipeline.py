@@ -1902,11 +1902,11 @@ def p43_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM kept GROUP BY lang
          )
     SELECT b.stratum, b.n_before, b.sz_before,
-           (b.n_before * 1000000) // (SUM(b.n_before) OVER ()) AS share_before_e6,
+           CAST((b.n_before * 1000000) // (SUM(b.n_before) OVER ()) AS BIGINT) AS share_before_e6,
            COALESCE(a.n_after, 0) AS n_after,
            COALESCE(a.sz_after, 0) AS sz_after,
-           COALESCE((a.n_after * 1000000) // (SUM(a.n_after) OVER ()), 0) AS share_after_e6,
-           COALESCE(a.n_after, 0) * 1000000 // b.n_before AS keep_rate_e6
+           CAST(COALESCE((a.n_after * 1000000) // (SUM(a.n_after) OVER ()), 0) AS BIGINT) AS share_after_e6,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // b.n_before AS BIGINT) AS keep_rate_e6
     FROM b LEFT JOIN a ON b.stratum = a.stratum
     ORDER BY b.stratum
     """,
