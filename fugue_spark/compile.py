@@ -1624,6 +1624,140 @@ def _compile_map_shape(
     return _widen_nullable(_analyzed(plan.select(*outs)))
 
 
+# modules whose attributes are safe to touch at trace time: their functions
+# either dispatch through the proxy protocol (numpy via NEP-18, pandas via
+# the _Vec/_TraceFrame surface) or are pure scalar math — none can carry a
+# per-group side effect out of the trace
+_PURE_MODULE_ROOTS = frozenset(
+    {"numpy", "pandas", "math", "statistics", "builtins", "pyarrow", "operator"}
+)
+# builtins that ARE side effects (or escape hatches to them): a traced
+# function that calls these would fire them at plan time with proxy garbage
+_IMPURE_BUILTINS = frozenset(
+    {
+        "print",
+        "open",
+        "input",
+        "exec",
+        "eval",
+        "compile",
+        "__import__",
+        "setattr",
+        "delattr",
+        "globals",
+        "locals",
+        "vars",
+        "breakpoint",
+        "exit",
+        "quit",
+        "memoryview",
+        "id",
+        "hash",
+    }
+)
+_PURE_VALUE_TYPES = (int, float, str, bool, bytes, complex, type(None))
+
+
+def _purity_check_value(name: str, v: Any) -> None:
+    import types as _types
+
+    if isinstance(v, _types.ModuleType):
+        if v.__name__.split(".")[0] not in _PURE_MODULE_ROOTS:
+            raise TraceError(
+                f"auto-compile refused: references module {name!r} "
+                f"({v.__name__}) outside the traceable surface"
+            )
+        return
+    if isinstance(v, _PURE_VALUE_TYPES):
+        return
+    if isinstance(v, (tuple, frozenset)):
+        for item in v:
+            _purity_check_value(name, item)
+        return
+    import builtins as _bi
+
+    if v is getattr(_bi, getattr(v, "__name__", ""), object()):
+        if v.__name__ in _IMPURE_BUILTINS:
+            raise TraceError(
+                f"auto-compile refused: calls side-effectful builtin {name!r}"
+            )
+        return
+    raise TraceError(
+        f"auto-compile refused: global/closure {name!r} is a "
+        f"{type(v).__name__}, outside the provably-pure surface"
+    )
+
+
+def assert_statically_pure(fn: Callable) -> None:
+    """Refuse (with :class:`TraceError`) any function whose bytecode could
+    carry side effects out of — or fire them during — a plan-time trace.
+
+    Auto-compile executes the user function at PLAN time against symbolic
+    proxies; a function that writes a global, calls ``print``/``open``, or
+    reaches a non-whitelisted module would either lose its per-group side
+    effects (they run once, at trace time, with proxy values) or fire
+    external effects with garbage. The reference always executes
+    transformers as real Python (reference:
+    fugue/execution/execution_engine.py map_dataframe contract), so only
+    provably pure reducers may be traded for a compiled plan silently.
+    This is a conservative static gate: it scans the code object (and all
+    nested code objects) for STORE_GLOBAL/DELETE_GLOBAL, resolves every
+    LOAD_GLOBAL / IMPORT_NAME / closure cell, and accepts only whitelisted
+    modules (numpy/pandas/math/...), immutable constants, and
+    non-side-effectful builtins. Explicit ``compile=True``/``"strict"``
+    skips this gate — the user has opted in to trace semantics.
+    """
+    import builtins as _bi
+    import dis
+    import types as _types
+
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        raise TraceError("auto-compile refused: no inspectable code object")
+    globs = getattr(fn, "__globals__", {})
+    loads: "set[str]" = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        for instr in dis.get_instructions(c):
+            op = instr.opname
+            if op in ("STORE_GLOBAL", "DELETE_GLOBAL"):
+                raise TraceError(
+                    f"auto-compile refused: writes global {instr.argval!r} "
+                    "(per-group side effects would vanish under compilation)"
+                )
+            if op == "LOAD_GLOBAL":
+                loads.add(instr.argval)
+            elif op == "IMPORT_NAME":
+                root = str(instr.argval).split(".")[0]
+                if root not in _PURE_MODULE_ROOTS:
+                    raise TraceError(
+                        f"auto-compile refused: imports {instr.argval!r} "
+                        "outside the traceable surface"
+                    )
+        for const in c.co_consts:
+            if isinstance(const, _types.CodeType):
+                stack.append(const)
+    for name in loads:
+        if name in globs:
+            _purity_check_value(name, globs[name])
+        elif name in _IMPURE_BUILTINS:
+            raise TraceError(
+                f"auto-compile refused: calls side-effectful builtin {name!r}"
+            )
+        elif not hasattr(_bi, name):
+            # would NameError at trace time anyway; let the trace surface it
+            pass
+    closure = getattr(fn, "__closure__", None) or ()
+    for name, cell in zip(code.co_freevars, closure):
+        try:
+            _purity_check_value(name, cell.cell_contents)
+        except ValueError as e:
+            if isinstance(e, TraceError):
+                raise
+            raise TraceError(f"auto-compile refused: unbound closure cell {name!r}")
+
+
 def try_compile_aggregation(
     df: DataFrame,
     fn: Callable,
@@ -1635,6 +1769,7 @@ def try_compile_aggregation(
     name_to_safe: "dict | None" = None,
     in_schema: "T.StructType | None" = None,
     allow_ungrouped_agg: bool = True,
+    purity_check: bool = False,
 ) -> DataFrame:
     """Trace ``fn`` over one frame and return the compiled
     ``groupBy().agg`` plan.
@@ -1652,6 +1787,8 @@ def try_compile_aggregation(
     """
     schema = in_schema or df.schema
     nts = name_to_safe or {}
+    if purity_check:
+        assert_statically_pure(fn)
     fn = _rewrite_casts(fn)
 
     def run_trace(trace: int):
@@ -1720,6 +1857,7 @@ def try_compile_cotransform(
     kwargs: dict,
     wants_cursor: bool,
     how: str,
+    purity_check: bool = False,
 ) -> DataFrame:
     """Trace a zip co-transformer over N side frames and compile it to
     per-side ``groupBy(keys).agg`` joined on the keys.
@@ -1734,6 +1872,8 @@ def try_compile_cotransform(
     if not keys:
         raise TraceError("cross zip does not compile")
     n = len(dfs)
+    if purity_check:
+        assert_statically_pure(fn)
     fn = _rewrite_casts(fn)
 
     def run_trace(trace: int):

@@ -360,16 +360,34 @@ def cotransform(
 
         try:
             return try_compile_cotransform(
-                dfs, using, keys, spec.presort, out_schema, kwargs, wants_cursor, how
+                dfs,
+                using,
+                keys,
+                spec.presort,
+                out_schema,
+                kwargs,
+                wants_cursor,
+                how,
+                purity_check=(compile == "auto"),
             )
         except TraceError:
             if compile == "strict":
                 raise
             # fall through to the zip engine unchanged
-        except Exception:
-            # auto-compile must never break a call the zip engine can run
-            if compile == "strict":
+        except Exception as exc:
+            # non-TraceError = compiler defect: surface it for explicit
+            # compile=True/strict; for "auto" warn and use the zip engine
+            if compile == "strict" or compile is True:
                 raise
+            import warnings
+
+            warnings.warn(
+                "fugue_spark auto-compile failed unexpectedly "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "zip execution path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     dummy_cursor = PartitionCursor(keys, [None] * len(keys), 0)
 

@@ -271,38 +271,43 @@ def temperature_mix(
     Selection delegates to :func:`weighted_hash_sample` (md5-decided,
     content-keyed — partition/engine/rerun-invariant, leak-free when
     keyed on a grouping id). Cost: one count per stratum (map-side
-    combined; the collect is bounded by the number of strata, like the
-    IVF centroid sample), then a broadcast join of the #strata-row rate
-    table (flat cost at ANY stratum cardinality — a CASE chain would
-    build an unboundedly deep expression tree for e.g. per-domain
-    strata) + the map-only filter. The data itself never shuffles.
+    combined, stays IN-PLAN — stratum cardinality never touches the
+    driver), an in-plan global ``min`` reduced to one row and
+    broadcast-joined back onto the counts frame to form the #strata-row
+    rate table, then a broadcast join of that table onto the data (flat
+    cost at ANY stratum cardinality — a CASE chain would build an
+    unboundedly deep expression tree for e.g. per-domain strata) + the
+    map-only filter. The data itself never shuffles.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     if not key_cols:
         raise ValueError("temperature_mix needs at least one key column")
-    import math
-
-    from pyspark.sql import types as T
-
-    counts = {
-        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
-    }
-    if not counts:
-        return df
-    n_min = min(counts.values())
-    rows = []
-    for s, n in counts.items():
-        r = (n_min / n) ** (1.0 - alpha)
-        rows.append((s, math.floor(r * 1e9) / 1e9))
-    rates = df.sparkSession.createDataFrame(
-        rows,
-        T.StructType(
-            [
-                T.StructField("__stratum__", df.schema[strata_col].dataType, True),
-                T.StructField("__w__", T.DoubleType(), False),
-            ]
-        ),
+    for reserved in ("__stratum__", "__w__"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"temperature_mix reserves column name {reserved!r}; "
+                "rename it before calling (it would collide with the "
+                "internal rate-table columns)"
+            )
+    counts = df.groupBy(F.col(strata_col).alias("__stratum__")).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    n_min = counts.agg(F.min("__n__").alias("__n_min__"))
+    # rate per stratum, anchored at the global min (1-row broadcast —
+    # bounded); FLOOR to the 1e-9 grid exactly as documented above
+    rates = counts.join(F.broadcast(n_min)).select(
+        F.col("__stratum__"),
+        (
+            F.floor(
+                F.pow(
+                    F.col("__n_min__").cast("double") / F.col("__n__").cast("double"),
+                    F.lit(1.0 - alpha),
+                )
+                * F.lit(1e9)
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("__w__"),
     )
     joined = df.join(
         F.broadcast(rates),

@@ -776,16 +776,46 @@ def select_until_budgets(
     the target mixture is given as explicit weights. ONE keyed window
     exchange on ``strata_col`` — per-stratum running sums are independent,
     so no hierarchical pass and no cross-stratum serial state; the budget
-    lookup is a CASE of literals, map-only. ``order_by`` should be unique
-    within a stratum (same contract as select_until_budget).
+    lookup is a broadcast join of a #budgets-row frame (flat Catalyst cost
+    at ANY budgets cardinality — a CASE-of-literals chain would build an
+    unboundedly deep expression tree for e.g. per-domain budgets; same
+    rationale as ``temperature_mix``'s rate table). A NULL-keyed budgets
+    entry matches NULL strata (null-safe join). ``order_by`` should be
+    unique within a stratum (same contract as select_until_budget).
     """
+    for reserved in ("__cum__", "__budget_stratum__", "__budget__"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"select_until_budgets reserves column name {reserved!r}; "
+                "rename it before calling"
+            )
     prefixed, start, cols = _exclusive_prefix(df, size_col, order_by, [strata_col])
     if prefixed is None:
         return df
-    bexpr = F.lit(int(default_budget))
-    for s, b in sorted(budgets.items()):
-        bexpr = F.when(F.col(strata_col) == F.lit(s), F.lit(int(b))).otherwise(bexpr)
     keep = prefixed.withColumn("__cum__", start + F.col(size_col))
+    default_lit = F.lit(int(default_budget))
+    if budgets:
+        from pyspark.sql import types as T
+
+        bdf = df.sparkSession.createDataFrame(
+            [(s, int(b)) for s, b in sorted(budgets.items(), key=lambda kv: (kv[0] is None, kv[0]))],
+            T.StructType(
+                [
+                    T.StructField(
+                        "__budget_stratum__", df.schema[strata_col].dataType, True
+                    ),
+                    T.StructField("__budget__", T.LongType(), False),
+                ]
+            ),
+        )
+        keep = keep.join(
+            F.broadcast(bdf),
+            F.col(strata_col).eqNullSafe(F.col("__budget_stratum__")),
+            "left",
+        )
+        bexpr = F.coalesce(F.col("__budget__"), default_lit)
+    else:
+        bexpr = default_lit
     return keep.filter(F.col("__cum__") <= bexpr).select(*cols)
 
 

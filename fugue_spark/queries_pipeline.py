@@ -1807,7 +1807,7 @@ def p41_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * 1000000000) / 1000000000 AS w
                FROM c, m)
     SELECT d.doc_id, d.lang
-    FROM documents d JOIN r ON d.lang = r.lang
+    FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
     WHERE w >= 1.0
        OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
           < printf('%015x', CAST(FLOOR(w * 1152921504606846976.0) AS BIGINT))
@@ -1886,7 +1886,7 @@ def p43_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM c, m),
          kept AS (
            SELECT d.doc_id, d.lang, d.n_chars
-           FROM documents d JOIN r ON d.lang = r.lang
+           FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
            WHERE w >= 1.0
               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
                  < printf('%015x', CAST(FLOOR(w * 1152921504606846976.0) AS BIGINT))
@@ -1907,8 +1907,8 @@ def p43_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(a.sz_after, 0) AS sz_after,
            CAST(COALESCE((a.n_after * 1000000) // (SUM(a.n_after) OVER ()), 0) AS BIGINT) AS share_after_e6,
            CAST(COALESCE(a.n_after, 0) * 1000000 // b.n_before AS BIGINT) AS keep_rate_e6
-    FROM b LEFT JOIN a ON b.stratum = a.stratum
-    ORDER BY b.stratum
+    FROM b LEFT JOIN a ON b.stratum IS NOT DISTINCT FROM a.stratum
+    ORDER BY b.stratum NULLS FIRST
     """,
     tags=("curation", "mixing", "report"),
 )

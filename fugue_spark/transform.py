@@ -1076,16 +1076,29 @@ def transform(
                 name_to_safe,
                 in_schema=input_schema,
                 allow_ungrouped_agg=(compile != "auto"),
+                purity_check=(compile == "auto"),
             )
         except TraceError:
             if compile == "strict":
                 raise
             # fall through to the pandas/arrow execution paths unchanged
-        except Exception:
-            # auto-compile must never break a call the pandas path can run:
-            # any compile-side failure (analysis, tracer defect) falls back
-            if compile == "strict":
+        except Exception as exc:
+            # a non-TraceError here is a compiler defect, not an
+            # untraceable function: surface it when the user explicitly
+            # asked for compilation; for "auto" warn (a silent fallback
+            # would hide tracer regressions) and run the pandas path,
+            # which must always be able to run the call
+            if compile == "strict" or compile is True:
                 raise
+            import warnings
+
+            warnings.warn(
+                "fugue_spark auto-compile failed unexpectedly "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "pandas execution path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     if keys:
         contiguous = False

@@ -1163,3 +1163,135 @@ def test_auto_compile_fallback_engages_on_value_dependent_branch(spark):
     assert "MapInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
     got = {r.k: r.out for r in res.collect()}
     assert got == {1: 3.0, 2: 78.0}
+
+
+# ---------------- auto-compile purity guard (round 9) ----------------
+
+
+def _py_stage(df) -> bool:
+    from fugue_spark.plans import physical_plan
+
+    plan = physical_plan(df, "simple")
+    return any(
+        t in plan
+        for t in (
+            "MapInArrow",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+        )
+    )
+
+
+def test_assert_statically_pure_unit():
+    """The static gate accepts whitelisted-module/builtin-only functions and
+    refuses global writes, side-effectful builtins, non-whitelisted imports,
+    and mutable closures."""
+    from fugue_spark.compile import TraceError, assert_statically_pure
+
+    def pure(pdf):
+        import numpy as np
+
+        return {"k": int(pdf.k.iloc[0]), "n": len(pdf), "s": float(np.round(1.5))}
+
+    assert_statically_pure(pure)  # no raise
+
+    def writes_global(pdf):
+        global _SOME_COUNTER
+        _SOME_COUNTER = 1
+        return {"n": len(pdf)}
+
+    with pytest.raises(TraceError, match="writes global"):
+        assert_statically_pure(writes_global)
+
+    def uses_print(pdf):
+        print(len(pdf))
+        return {"n": len(pdf)}
+
+    with pytest.raises(TraceError, match="side-effectful builtin"):
+        assert_statically_pure(uses_print)
+
+    def bad_import(pdf):
+        import os
+
+        return {"n": os.getpid()}
+
+    with pytest.raises(TraceError, match="imports"):
+        assert_statically_pure(bad_import)
+
+    sink = []
+
+    def mutable_closure(pdf):
+        sink.append(len(pdf))
+        return {"n": len(pdf)}
+
+    with pytest.raises(TraceError, match="closure"):
+        assert_statically_pure(mutable_closure)
+
+    threshold = 5  # immutable closure captures stay traceable
+
+    def scalar_closure(pdf):
+        return {"n": len(pdf) + threshold}
+
+    assert_statically_pure(scalar_closure)
+
+
+def test_auto_compile_purity_guard_end_to_end(spark):
+    """A side-effectful-but-traceable reducer must NOT be auto-compiled (its
+    per-group effects would silently vanish); it runs on the pandas path.
+    Explicit compile=True opts into trace semantics and still compiles."""
+    df = _li(spark)
+    sink = []
+
+    def impure(pdf):
+        sink.append(len(pdf))  # external accumulation per group
+        return {"k": pdf.k.iloc[0], "n": len(pdf)}
+
+    out = transform(df, impure, schema="k:long,n:long", partition={"by": ["k"]})
+    assert _py_stage(out), "auto-compile must refuse the impure reducer"
+    expected = df.groupBy("k").count().count()
+    assert out.count() == expected
+
+    def pure(pdf):
+        return {"k": pdf.k.iloc[0], "n": len(pdf)}
+
+    assert not _py_stage(
+        transform(df, pure, schema="k:long,n:long", partition={"by": ["k"]})
+    ), "the pure twin must still auto-compile"
+
+    # explicit opt-in bypasses the purity gate (documented trace semantics)
+    forced = transform(
+        df, impure, schema="k:long,n:long", partition={"by": ["k"]}, compile=True
+    )
+    assert not _py_stage(forced)
+    assert sorted_rows(forced) == sorted_rows(out)
+
+
+def test_unexpected_compile_failure_warns_auto_raises_explicit(spark, monkeypatch):
+    """A non-TraceError out of the compiler is a defect: 'auto' must warn
+    (not silently hide it) and fall back; compile=True must surface it."""
+    import warnings
+
+    import fugue_spark.compile as C
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic tracer defect")
+
+    monkeypatch.setattr(C, "try_compile_aggregation", boom)
+    df = _li(spark)
+
+    def pure(pdf):
+        return {"k": pdf.k.iloc[0], "n": len(pdf)}
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = transform(df, pure, schema="k:long,n:long", partition={"by": ["k"]})
+        assert out.count() == df.select("k").distinct().count()
+    assert any("auto-compile failed unexpectedly" in str(w.message) for w in rec)
+
+    with pytest.raises(RuntimeError, match="synthetic tracer defect"):
+        transform(
+            df, pure, schema="k:long,n:long", partition={"by": ["k"]}, compile=True
+        )

@@ -1497,3 +1497,88 @@ def test_mixture_report_null_stratum_join(spark):
     }
     assert rep[None]["n_after"] == 5 and rep[None]["keep_rate_e6"] == 1_000_000
     assert rep["en"]["keep_rate_e6"] == 1_000_000
+
+
+# -------- round 9: mixing operators at high stratum cardinality --------
+
+
+def test_select_until_budgets_many_strata_bounded(spark):
+    """5k-entry budgets dict must plan in bounded time: the budget lookup is
+    a broadcast-joined #budgets-row frame, NOT a CASE-of-literals chain
+    (which grows Catalyst analysis linearly in the dict size)."""
+    import time
+
+    import pandas as pd
+
+    from fugue_spark.pipeline import select_until_budgets
+
+    n_strata = 5000
+    n_rows = 4 * n_strata
+    pdf = pd.DataFrame(
+        {
+            "lang": [f"s{i % n_strata}" for i in range(n_rows)],
+            "doc_id": list(range(n_rows)),
+            "n_tok": [30] * n_rows,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    budgets = {f"s{i}": 100 for i in range(n_strata)}
+    t0 = time.time()
+    out = select_until_budgets(df, budgets, "lang", "n_tok", "doc_id")
+    cnt = out.count()
+    elapsed = time.time() - t0
+    # 4 rows of 30 per stratum; budget 100 keeps the first 3 (90 <= 100)
+    assert cnt == 3 * n_strata
+    assert elapsed < 120, f"5k-strata plan took {elapsed:.1f}s — CASE-chain regression?"
+    # absent stratum honors default_budget via coalesce
+    few = select_until_budgets(
+        df, {"s0": 100}, "lang", "n_tok", "doc_id", default_budget=30
+    )
+    got = few.groupBy("lang").count().toPandas()
+    assert got[got.lang == "s0"]["count"].iloc[0] == 3
+    assert (got[got.lang != "s0"]["count"] == 1).all()
+
+
+def test_select_until_budgets_reserved_names(spark):
+    import pandas as pd
+
+    from fugue_spark.pipeline import select_until_budgets
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lang": ["a"], "doc_id": [1], "n_tok": [5], "__budget__": [1]})
+    )
+    with pytest.raises(ValueError, match="__budget__"):
+        select_until_budgets(df, {"a": 10}, "lang", "n_tok", "doc_id")
+
+
+def test_temperature_mix_many_strata_in_plan(spark):
+    """10k strata: rates are derived fully in-plan (no driver collect of the
+    stratum counts) and every equal-size stratum keeps all rows at any
+    alpha (n_min == n_s => rate 1.0)."""
+    import time
+
+    import pandas as pd
+
+    from fugue_spark.operators.sampling import temperature_mix
+
+    n_strata = 10000
+    pdf = pd.DataFrame(
+        {
+            "lang": [f"s{i % n_strata}" for i in range(2 * n_strata)],
+            "doc_id": list(range(2 * n_strata)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    t0 = time.time()
+    assert temperature_mix(df, "lang", 0.5, ["doc_id"]).count() == 2 * n_strata
+    assert time.time() - t0 < 120
+
+
+def test_temperature_mix_reserved_names(spark):
+    import pandas as pd
+
+    from fugue_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(pd.DataFrame({"lang": ["a"], "__w__": [1.0]}))
+    with pytest.raises(ValueError, match="__w__"):
+        temperature_mix(df, "lang", 0.5, ["lang"])
