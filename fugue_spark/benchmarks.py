@@ -161,41 +161,42 @@ from fugue_spark import queries_relational  # noqa: E402,F401
 from fugue_spark import queries_pipeline  # noqa: E402,F401
 
 # Gate-order priority: the driver's correctness checker walks ``queries()``
-# in dict order under a budget, so gates ROTATE — the 26 families whose
-# latest driver-artifact row is oldest (r08: everything attested only by
-# GATE_FULL_r07.json, i.e. outside r07's 50-query window) run FIRST, so
-# every operator family re-earns a driver row at least every other round.
-# Everything else keeps its registration order.
+# in dict order under a budget (historically truncating at ~50 rows), so
+# gates ROTATE — the 29 families whose latest driver-artifact row is oldest
+# (r09: everything outside r08's 50-query window, attested only by
+# GATE_FULL_r08.json) run FIRST, so every operator family re-earns a
+# driver row at least every other round. Everything else keeps its
+# registration order.
 _GATE_FIRST = (
-    "p42_temperature_mix",  # new in r08 — must land in the driver window
-    "p43_mixture_budgets",  # new in r08 — must land in the driver window
-    "p44_mixture_report",   # new in r08 — must land in the driver window
-    "q25_transform_filter_compiled",
-    "q26_transform_condagg_compiled",
-    "q27_transform_topk_compiled",
-    "q28_transform_dedup_compiled",
-    "p1_token_stats",
-    "p2_quality_score",
-    "p3_lang_id",
-    "p4_dedup_exact",
-    "p5_ngram_jaccard_pairs",
-    "p6_minhash_lsh_pairs",
-    "p7_simhash_pairs",
-    "p14_simhash_planted_pairs",
-    "p15_near_dedup_corpus",
-    "p16_sequence_packing",
-    "p17_corpus_length_stats",
-    "p18_hash_sample",
-    "p19_sequence_packing_global",
-    "p20_repetition_stats",
-    "p21_ngram_topk",
-    "p22_ngram_overlap",
-    "p23_stratified_mix",
-    "p24_tfidf_scores",
-    "p25_scrub_text",
-    "p26_chunk_documents",
-    "p27_duplicate_spans",
-    "p28_word_entropy",
+    "q22_transform_compiled",
+    "q23_cotransform_compiled",
+    "q29_transform_window_compiled",
+    "q30_transform_running_compiled",
+    "q19_sample_seeded",
+    "p8_embedding_neardup",
+    "p9_cosine_topk",
+    "p10_media_meta",
+    "p11_media_features",
+    "p12_embedding_norm_stats",
+    "p13_training_data_pipeline",
+    "p29_sessionize",
+    "p30_asof_join",
+    "p31_range_join",
+    "p32_time_rollup",
+    "p33_audio_resample",
+    "p34_winnowing_pairs",
+    "p35_jpeg_features",
+    "p36_video_frames",
+    "p37_sample_per_key",
+    "p38_cross_corpus_neardup",
+    "p39_gopher_filters",
+    "p40_weighted_sample",
+    "p41_budget_selection",
+    "s1_streaming_windowed_agg",
+    "s2_streaming_text_pipeline",
+    "s3_stream_static_join",
+    "s4_stream_dedup",
+    "s5_stream_session_agg",
 )
 
 

@@ -1368,6 +1368,41 @@ def _nan_safe_group(col: Column, dt: T.DataType) -> Column:
     return col
 
 
+def _null_free_default(dt: T.DataType) -> "Column | None":
+    """A type-default literal used to normalize a nullable group key into a
+    non-nullable ``(coalesce(key, default), isnull(key))`` pair — the same
+    rewrite Spark applies internally to null-safe equality. Collisions with
+    real values are harmless (the isnull flag disambiguates); returns None
+    for types without an obvious default (caller falls back to an
+    eqNullSafe join)."""
+    import datetime
+
+    if isinstance(
+        dt,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.DateType):
+        return F.lit(datetime.date(1970, 1, 1))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.lit(datetime.datetime(1970, 1, 1)).cast(dt)
+    if isinstance(dt, T.BinaryType):
+        return F.lit(b"")
+    return None
+
+
 def _key_value_out(col: Column, dt: T.DataType) -> Column:
     """Emitted value for a returned group key: on the pandas path a float64
     key column renders every NULL as NaN (Arrow→pandas conversion), so the
@@ -1892,20 +1927,38 @@ def try_compile_cotransform(
     _check_invariant(res, res2, ctx, ctx2, out_cols, n)
 
     key_dt = {k: dfs[0].schema[k].dataType for k in keys}
-    outs = _assemble_outputs(
-        res,
-        res2,
-        ctx,
-        out_schema,
-        n,
-        key_resolver=lambda k: _key_value_out(F.col(k), key_dt[k]),
-    )
     # per-side aggregation over the SAME keys, then inner-join the sides:
     # each side shuffles only its partial agg states — the zip engine's
     # single tagged-union exchange carries whole rows instead. Float keys
     # group NaN/NULL as one key per side (pandas-path parity), and the join
-    # is null-safe so those merged groups — and plain NULL-keyed groups,
-    # which the zip engine's sorted-run pairing also aligns — still pair.
+    # still pairs those merged groups — and plain NULL-keyed groups, which
+    # the zip engine's sorted-run pairing also aligns.
+    #
+    # Join-key layout: grouping directly on the key and joining with
+    # eqNullSafe forces Spark to RE-EXCHANGE both aggregated sides (the
+    # null-safe join hashes on (coalesce(k, 0), isnull(k)), which does not
+    # match the groupBy's hashpartitioning(k)) — at sf10 that was 4
+    # exchanges + 2 full sorts for q12. Instead each side groups on the
+    # normalized non-nullable pair (coalesce(nan_safe(k), default),
+    # isnull(nan_safe(k))) and the sides join on PLAIN equality of those
+    # pairs, so the join reuses the aggregation's shuffle layout: two
+    # exchanges total, no re-shuffle, identical null/NaN semantics. Key
+    # types without a type-default literal fall back to the eqNullSafe
+    # join (extra exchange, same semantics).
+    defaults = {k: _null_free_default(key_dt[k]) for k in keys}
+    use_norm = all(d is not None for d in defaults.values())
+    kv = {k: f"__zkv{ki}__" for ki, k in enumerate(keys)}
+    kn = {k: f"__zkn{ki}__" for ki, k in enumerate(keys)}
+    if use_norm:
+        key_resolver = lambda k: _key_value_out(  # noqa: E731
+            F.when(~F.col(kn[k]), F.col(kv[k])), key_dt[k]
+        )
+    else:
+        key_resolver = lambda k: _key_value_out(F.col(k), key_dt[k])  # noqa: E731
+    # NOTE: _assemble_outputs may APPEND leaves to ctx (len() sentinel sums
+    # decode into count leaves there), so it must run before the per-side
+    # agg lists below are materialized
+    outs = _assemble_outputs(res, res2, ctx, out_schema, n, key_resolver=key_resolver)
     sides: list[DataFrame] = []
     for i, df in enumerate(dfs):
         aggs = [
@@ -1915,19 +1968,29 @@ def try_compile_cotransform(
         ]
         if not aggs:
             aggs = [F.count(F.lit(1)).alias(f"__present_{i}__")]
-        sides.append(
-            df.groupBy(
-                *[
-                    _nan_safe_group(F.col(k), df.schema[k].dataType).alias(k)
-                    for k in keys
-                ]
-            ).agg(*aggs)
-        )
+        if use_norm:
+            gcols = []
+            for k in keys:
+                nk = _nan_safe_group(F.col(k), df.schema[k].dataType)
+                gcols.append(F.coalesce(nk, defaults[k]).alias(kv[k]))
+                gcols.append(nk.isNull().alias(kn[k]))
+        else:
+            gcols = [
+                _nan_safe_group(F.col(k), df.schema[k].dataType).alias(k)
+                for k in keys
+            ]
+        sides.append(df.groupBy(*gcols).agg(*aggs))
     joined = sides[0]
     for g in sides[1:]:
-        cond = None
-        for k in keys:
-            c = joined[k].eqNullSafe(g[k])
-            cond = c if cond is None else cond & c
-        joined = joined.join(g, on=cond, how="inner").drop(*[g[k] for k in keys])
+        if use_norm:
+            jnames = [c for k in keys for c in (kv[k], kn[k])]
+            joined = joined.join(g, on=jnames, how="inner")
+        else:
+            cond = None
+            for k in keys:
+                c = joined[k].eqNullSafe(g[k])
+                cond = c if cond is None else cond & c
+            joined = joined.join(g, on=cond, how="inner").drop(
+                *[g[k] for k in keys]
+            )
     return _widen_nullable(_analyzed(joined.select(*outs)))

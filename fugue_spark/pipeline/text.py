@@ -684,6 +684,16 @@ def _exclusive_prefix(
     shard offsets on the driver, and each shard runs its own window
     prefix-sum plus its offset — parallel sort + scan, one long of serial
     state per shard. Returns ``(None, None, cols)`` for an empty input.
+
+    ADAPTIVE small-input path: when Catalyst's size estimate for the
+    (already column-pruned) input fits one partition's sort budget
+    (``fugue.spark.global_order.single_partition_bytes``, default 128 MB),
+    the hierarchical machinery is skipped for the plain single-partition
+    global window DuckDB would use — the two-pass constant (range-sample
+    + checkpoint + offsets collect, 3 extra jobs) never amortizes below
+    that size, and a 128 MB in-partition sort is cheap. Above the
+    threshold — including any genuinely large corpus, where the estimate
+    is the parquet scan size — the hierarchical plan is unchanged.
     """
     cols = df.columns
     if by:
@@ -695,6 +705,22 @@ def _exclusive_prefix(
         return df, F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)), cols
 
     spark = df.sparkSession
+    threshold = int(
+        spark.conf.get(
+            "fugue.spark.global_order.single_partition_bytes", str(128 << 20)
+        )
+    )
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        est = None
+    if est is not None and est <= threshold:
+        w = (
+            Window.orderBy(F.col(order_by))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df, F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)), cols
+
     shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # contiguous global ranges; shard id pinned by the checkpoint so the
     # totals pass and the window pass see identical shard boundaries
@@ -740,12 +766,41 @@ def select_until_budget(
     A row is kept iff ``running_sum_inclusive <= budget``; the first row
     that would overflow (and everything after it) is dropped, so the kept
     total never exceeds ``budget``. With ``by`` the budget applies per
-    group (e.g. per language); without it the global running sum uses the
-    same hierarchical two-pass as :func:`assign_pack_bins` — no
-    single-partition sort at any size. ``order_by`` should be unique
+    group (e.g. per language); without it the kept set is first BOUNDED:
+    every kept row contributes at least ``min(size_col)``, so at most
+    ``budget // min + 1`` rows can ever be kept — when that bound is
+    modest (``fugue.spark.budget_select.topk_rows``, default 5M) the plan
+    is a per-partition top-K merge (``TakeOrderedAndProject`` — no global
+    sort, NO shuffle of the data) followed by a window over just the K
+    candidate rows. This is the right 100 TB plan whenever the budget
+    selects a bounded prefix (the common case for token budgets); when
+    sizes can be <= 0 or the bound explodes, the global running sum falls
+    back to the same hierarchical two-pass as :func:`assign_pack_bins` —
+    no single-partition sort at any size. ``order_by`` should be unique
     (ties at a range-shard boundary have engine-arbitrary relative order).
     """
     budget = int(budget)
+    if not by:
+        spark = df.sparkSession
+        cap = int(
+            spark.conf.get("fugue.spark.budget_select.topk_rows", str(5_000_000))
+        )
+        # bounded control-plane read: one aggregated row
+        m = df.agg(F.min(F.col(size_col))).collect()[0][0]
+        if m is not None and m > 0 and budget // int(m) + 1 <= cap:
+            k = budget // int(m) + 1
+            cols = df.columns
+            top = df.orderBy(F.col(order_by)).limit(k)
+            w = (
+                Window.orderBy(F.col(order_by))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            keep = top.withColumn(
+                "__cum__",
+                F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+                + F.col(size_col),
+            )
+            return keep.filter(F.col("__cum__") <= F.lit(budget)).select(*cols)
     prefixed, start, cols = _exclusive_prefix(df, size_col, order_by, by)
     if prefixed is None:
         return df

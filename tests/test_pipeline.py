@@ -1582,3 +1582,56 @@ def test_temperature_mix_reserved_names(spark):
     df = spark.createDataFrame(pd.DataFrame({"lang": ["a"], "__w__": [1.0]}))
     with pytest.raises(ValueError, match="__w__"):
         temperature_mix(df, "lang", 0.5, ["lang"])
+
+
+def test_select_until_budget_topk_and_fallback_agree(spark):
+    """The bounded top-K plan (budget // min_size + 1 candidates, no global
+    shuffle) and the hierarchical two-pass must select the identical set;
+    the adaptive single-window path (small input estimate) likewise."""
+    import pandas as pd
+
+    from fugue_spark.pipeline import select_until_budget
+
+    rng_rows = [(i, (i * 37) % 90 + 10, (i * 17) % 1000000) for i in range(3000)]
+    pdf = pd.DataFrame(rng_rows, columns=["doc_id", "n_tok", "ord"])
+    df = spark.createDataFrame(pdf)
+
+    def run():
+        out = select_until_budget(df, 5000, "n_tok", "ord")
+        return sorted(r.doc_id for r in out.collect())
+
+    base = run()
+    assert len(base) > 0
+    # force the hierarchical fallback (top-K cap 0, single-window bytes 0)
+    spark.conf.set("fugue.spark.budget_select.topk_rows", "0")
+    spark.conf.set("fugue.spark.global_order.single_partition_bytes", "0")
+    try:
+        assert run() == base
+    finally:
+        spark.conf.unset("fugue.spark.budget_select.topk_rows")
+        spark.conf.unset("fugue.spark.global_order.single_partition_bytes")
+    # non-positive sizes must refuse the top-K bound (falls back, still right)
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "n_tok"] = 0
+    df2 = spark.createDataFrame(pdf2)
+    out2 = select_until_budget(df2, 5000, "n_tok", "ord")
+    # pandas reference
+    ref = pdf2.sort_values("ord")
+    ref = ref[ref.n_tok.cumsum() <= 5000]
+    assert sorted(r.doc_id for r in out2.collect()) == sorted(ref.doc_id.tolist())
+
+
+def test_select_until_budget_topk_plan_has_no_exchange(spark):
+    """The top-K path must compile to TakeOrderedAndProject (per-partition
+    top-K merge) — not a full-sort exchange of the data."""
+    import pandas as pd
+
+    from fugue_spark.pipeline import select_until_budget
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "n_tok": [50] * 1000, "ord": range(1000)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = select_until_budget(df, 500, "n_tok", "ord")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
