@@ -457,13 +457,26 @@ def test_assign_pack_bins_global_hierarchical(spark):
         expect.append(run // 16)
         run += t
     assert out.pack_bin.tolist() == expect
-    # plan really is multi-shard: the window runs per __shard__ partition
-    # (the range exchange itself sits behind the pinned checkpoint), never
-    # over a single global partition
+    # at this size the adaptive path legitimately uses the plain global
+    # window (the input fits one partition's sort budget); force the
+    # hierarchical plan to assert its shape — multi-shard: the window runs
+    # per __shard__ partition (the range exchange itself sits behind the
+    # pinned checkpoint), never over a single global partition
+    key = "fugue.spark.global_order.single_partition_bytes"
+    spark.conf.set(key, "0")
+    try:
+        plan = assign_pack_bins(df, budget=16, token_col="tok", order_by="i")
+        explained = plan._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(__shard__" in explained
+        assert "SinglePartition" not in explained
+        hier = plan.toPandas().sort_values("i").reset_index(drop=True)
+        assert hier.pack_bin.tolist() == expect
+    finally:
+        spark.conf.unset(key)
+    # and the adaptive default on a small input IS the single window
     plan = assign_pack_bins(df, budget=16, token_col="tok", order_by="i")
     explained = plan._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(__shard__" in explained
-    assert "SinglePartition" not in explained
+    assert "__shard__" not in explained
 
 
 def test_dedup_near_score_survivor(spark):
