@@ -26,7 +26,13 @@ import sys
 import time
 
 
-def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, float]:
+def run_queries(
+    spark,
+    bench_specs,
+    sf_dir: str,
+    passes: int = 3,
+    spreads_out: "dict | None" = None,
+) -> dict[str, float]:
     from statistics import median
 
     from fugue_spark.benchmarks import warm_cache
@@ -73,6 +79,17 @@ def run_queries(spark, bench_specs, sf_dir: str, passes: int = 3) -> dict[str, f
             spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(median(samples), 3)
+        if spreads_out is not None:
+            # per-query sample spread pinned into the artifact: this box
+            # swings 2-5x on identical work (BASELINE.md §4a), so cross-round
+            # comparisons need min/med/max to separate engine changes from
+            # box weather
+            spreads_out[name] = {
+                "min": round(min(samples), 3),
+                "med": timings[name],
+                "max": round(max(samples), 3),
+                "n": len(samples),
+            }
         print(
             f"# {sf_dir}: {name}: median {timings[name]}s of "
             f"{[round(s, 3) for s in samples]}",
@@ -196,8 +213,13 @@ def sf10_child() -> None:
         "p41_budget_selection",
     ]
     specs = [(n, QUERIES[n]) for n in names if n in QUERIES]
-    t10 = run_queries(spark, specs, sf10_dir, passes=2)
-    point = {"value": round(sum(t10.values()), 3), "queries": t10}
+    spreads: dict = {}
+    t10 = run_queries(spark, specs, sf10_dir, passes=2, spreads_out=spreads)
+    point = {
+        "value": round(sum(t10.values()), 3),
+        "queries": t10,
+        "spread": spreads,
+    }
     try:
         duck_specs = [
             (n, s) for n, s in specs

@@ -50,3 +50,18 @@ def __getattr__(name):  # lazy heavy imports (keep `import fugue_spark` light)
 
 
 __version__ = "0.1.0"
+
+
+def _jupyter_nbextension_paths():
+    """Classic-notebook extension discovery hook (reference:
+    fugue_notebook/__init__.py + nbextension/ — installed via
+    ``jupyter nbextension install --py fugue_spark [--user]`` then
+    ``jupyter nbextension enable fugue_spark/main``)."""
+    return [
+        {
+            "section": "notebook",
+            "src": "nbextension",
+            "dest": "fugue_spark",
+            "require": "fugue_spark/main",
+        }
+    ]

@@ -275,7 +275,7 @@ def _infer_keys(dfs: list[DataFrame], spec: PartitionSpec) -> list[str]:
 def cotransform(
     dfs: "list[DataFrame]",
     using: Callable,
-    schema: Any,
+    schema: Any = None,
     partition: "PartitionSpec | dict | None" = None,
     how: str = "inner",
     params: "dict | None" = None,
@@ -318,6 +318,17 @@ def cotransform(
         keys: list = []
     else:
         keys = _infer_keys(dfs, spec)
+    if schema is None:
+        # the reference's `# schema:` comment hint works for cotransformers
+        # too (fugue/extensions/cotransformer/convert.py)
+        from fugue_spark.transform import _schema_from_comment
+
+        schema = _schema_from_comment(using)
+        if schema is None:
+            raise ValueError(
+                "cotransform requires an output schema (schema= or "
+                "'# schema:' hint)"
+            )
     out_schema = parse_schema(schema)
     out_cols = [f.name for f in out_schema.fields]
     kwargs = dict(params or {})
@@ -325,6 +336,16 @@ def cotransform(
     sig_params = list(inspect.signature(using).parameters.values())
     wants_cursor = bool(sig_params) and sig_params[0].name == "cursor"
     data_params = sig_params[1:] if wants_cursor else sig_params
+    # extra config parameters are not dataframe slots: anything supplied
+    # via params, plus trailing defaulted params beyond the zip width
+    # (reference cotransformer convert: only positional df params count)
+    data_params = [p for p in data_params if p.name not in kwargs]
+    while (
+        len(data_params) > len(dfs)
+        and data_params
+        and data_params[-1].default is not inspect.Parameter.empty
+    ):
+        data_params.pop()
     n_data = len(data_params)
     if n_data != len(dfs):
         raise ValueError(

@@ -186,6 +186,29 @@ require(["codemirror/lib/codemirror"]);
 """
 
 
+def install_nbextension(user: bool = True, enable: bool = True) -> None:
+    """Install the classic-notebook extension (reference: the
+    ``jupyter nbextension`` setup shipped under fugue_notebook/nbextension
+    — see /root/reference/fugue_notebook/env.py:1). Equivalent to::
+
+        jupyter nbextension install --py fugue_spark [--user]
+        jupyter nbextension enable fugue_spark/main [--user]
+
+    Requires the classic ``notebook`` package; JupyterLab/IPython users
+    don't need it — ``setup()`` or ``%load_ext fugue_spark.notebook``
+    covers those in-session."""
+    try:
+        from notebook import nbextensions
+    except ImportError as ex:  # pragma: no cover - container without notebook
+        raise ImportError(
+            "classic-notebook extension install requires the 'notebook' "
+            "package; in IPython/JupyterLab use setup() instead"
+        ) from ex
+    nbextensions.install_nbextension_python("fugue_spark", user=user)
+    if enable:
+        nbextensions.enable_nbextension_python("fugue_spark", user=user)
+
+
 def load_ipython_extension(ip: Any) -> None:
     """Entry point for ``%load_ext fugue_spark.notebook`` (reference:
     fugue_notebook/__init__.py load_ipython_extension)."""

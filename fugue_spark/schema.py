@@ -182,12 +182,16 @@ def is_schema_hint(s: str) -> bool:
 def apply_schema_hint(hint: str, input_schema: T.StructType) -> T.StructType:
     """Resolve a transform schema hint against the input schema.
 
-    Tokens (comma-separated at depth 0):
+    Tokens (comma-separated at depth 0); each token may chain operator
+    segments, e.g. ``*~k+AA:str`` = all input columns, minus ``k``, plus
+    ``AA:str``:
       ``*``          all input columns (in order)
       ``name:type``  append a new column (or ``+name:type``)
       ``-name``      remove column (error if absent)
       ``~name``      remove column if present
-    (reference DSL: fugue/sql/_visitors.py:125-137 visitFugueWildSchema)
+    (reference DSL: fugue/sql/_visitors.py:125-137 visitFugueWildSchema →
+    triad schema transformation expressions; ``+`` after a removal starts
+    an addition, as in the reference's ``schema *~k+AA:str,bb:int``)
     """
     fields: list[T.StructField] = []
     removed: set[str] = set()
@@ -197,11 +201,32 @@ def apply_schema_hint(hint: str, input_schema: T.StructType) -> T.StructType:
         tok = raw.strip()
         if not tok:
             continue
-        if tok.startswith("*") and len(tok) > 1:  # "*-b" / "*~b" inline form
-            tokens.extend(["*", tok[1:]])
-        else:
-            tokens.append(tok)
+        # split chained operator segments at depth 0 (types never contain
+        # + - ~ *, so only brace/bracket/paren depth and backtick-quoted
+        # names — which may contain anything — need tracking)
+        depth = 0
+        in_bt = False
+        seg_start = 0
+        for i, ch in enumerate(tok):
+            if ch == "`":
+                in_bt = not in_bt
+            elif in_bt:
+                continue
+            elif ch in "{[(":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch in "+-~*" and depth == 0 and i > seg_start:
+                tokens.append(tok[seg_start:i].strip())
+                seg_start = i
+            elif ch == "*" and depth == 0 and i == seg_start and len(tok) > 1:
+                tokens.append("*")
+                seg_start = i + 1
+        if seg_start < len(tok):
+            tokens.append(tok[seg_start:].strip())
     for tok in tokens:
+        if not tok:
+            continue
         if tok == "*":
             if saw_star:
                 raise SchemaParseError("duplicate * in schema hint")
@@ -209,11 +234,11 @@ def apply_schema_hint(hint: str, input_schema: T.StructType) -> T.StructType:
             fields.extend(input_schema.fields)
         elif tok.startswith("-") or tok.startswith("~"):
             optional = tok.startswith("~")
-            for name in (n.strip() for n in tok[1:].split("+")):
-                present = any(f.name == name for f in fields)
-                if not present and not optional:
-                    raise SchemaParseError(f"cannot remove missing column {name!r}")
-                removed.add(name)
+            name = tok[1:].strip()
+            present = any(f.name == name for f in fields)
+            if not present and not optional:
+                raise SchemaParseError(f"cannot remove missing column {name!r}")
+            removed.add(name)
         else:
             if tok.startswith("+"):
                 tok = tok[1:]

@@ -32,8 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 import fugue_spark.api as fa
 from fugue_spark.cotransform import cotransform
 from fugue_spark.partition import PartitionSpec
-from fugue_spark.sql.tokenizer import STATEMENT_KEYWORDS, Token, split_statements
+from fugue_spark.sql.tokenizer import (
+    STATEMENT_KEYWORDS,
+    Token,
+    _is_kw,
+    split_statements,
+)
 from fugue_spark.transform import out_transform, transform
+
+# keywords that may START a postfix modifier chain (reference grammar:
+# fugue_sql_antlr fugueDataFrame* tails — persist/broadcast/checkpoint/
+# yield/print may suffix any dataframe-producing statement on one line,
+# e.g. ``a=create using f persist broadcast yield dataframe``)
+_CHAIN_START = {
+    "PERSIST", "BROADCAST", "CHECKPOINT", "LAZY", "WEAK", "STRONG",
+    "DETERMINISTIC", "YIELD", "PRINT",
+}
+_SETOP_KWS = ("UNION", "INTERSECT", "EXCEPT", "MINUS")
 
 __all__ = ["fsql", "FugueSQLError", "FugueSQLResult", "register_extension"]
 
@@ -333,6 +348,68 @@ class _Executor:
             c.match(",")
         return out
 
+    def _params_or_bare(self, c: _Cursor, stop: "set[str] | frozenset" = frozenset()) -> dict[str, Any]:
+        """Reference grammar accepts both param forms (fugue-sql-antlr
+        fugueParams): parenthesized ``f(a=1, b:2)`` and bare
+        ``PARAMS a:1, b:2`` terminated by a stop keyword or end."""
+        if c.peek() is not None and c.peek().value == "(":
+            return self._params(c)
+        if c.match("PARAMS"):
+            if c.peek() is not None and c.peek().value == "(":
+                return self._params(c)
+            out: dict[str, Any] = {}
+            while not c.done:
+                t = c.peek()
+                if t.kind == "word" and t.upper in stop and c._kw_ok(t):
+                    break
+                key = c.pop().value
+                if not (c.match(":") or c.match("=")):
+                    raise FugueSQLError(f"expected : or = after param {key!r}")
+                out[key] = self._literal(c)
+                c.match(",")
+            return out
+        return {}
+
+    def _df_ref_list_labeled(self, c: _Cursor) -> "tuple[list, list]":
+        """Dataframe refs with optional reference-style labels —
+        ``df1=(create using f), df2:other`` (tests/fugue/sql/
+        test_workflow_parse.py:110-124 dict-like dataframes; labels bind
+        to the extension's parameter names). Returns (labels, names);
+        labels are all None when unlabeled."""
+        labels: list = []
+        names: list = []
+        while True:
+            label = None
+            t, t1 = c.peek(), c.peek(1)
+            if (
+                t is not None
+                and t.kind == "word"
+                and t1 is not None
+                and t1.value in (":", "=")
+            ):
+                t2 = c.peek(2)
+                if t2 is not None and (
+                    t2.value == "("
+                    or (t2.kind == "word" and self._is_df_word(t2))
+                ):
+                    c.pop()
+                    c.pop()
+                    label = t.value
+            n = self._maybe_df_ref(c)
+            if n is None:
+                if label is not None:
+                    raise FugueSQLError(f"expected dataframe after label {label!r}")
+                break
+            labels.append(label)
+            names.append(n)
+            if not c.match(","):
+                break
+        if any(x is not None for x in labels) and not all(
+            x is not None for x in labels
+        ):
+            raise FugueSQLError("either all dataframe refs are labeled or none")
+        return labels, names
+
     def _literal(self, c: _Cursor) -> Any:
         t = c.pop()
         if t.kind == "string":
@@ -366,31 +443,47 @@ class _Executor:
     def _prepartition(self, c: _Cursor) -> "PartitionSpec | None":
         if not c.match("PREPARTITION"):
             return None
-        num = 0
-        if c.peek() is not None and c.peek().kind == "number":
-            num = int(c.pop().value)
+        num: "int | str" = 0
+        # number or num-expr over ROWCOUNT/CONCURRENCY (reference
+        # PartitionSpec num expressions, e.g. ``PREPARTITION ROWCOUNT / 2``)
+        expr_parts: list[str] = []
+        while not c.done:
+            t = c.peek()
+            if t.kind == "number" or t.value in ("*", "/", "+", "-", "(", ")"):
+                expr_parts.append(c.pop().value)
+            elif t.kind == "word" and t.upper in ("ROWCOUNT", "CONCURRENCY"):
+                expr_parts.append(c.pop().upper)
+            else:
+                break
+        if expr_parts:
+            joined = "".join(expr_parts)
+            try:
+                num = int(joined)
+            except ValueError:
+                num = joined
         by: list[str] = []
         if c.match("BY"):
             by = self._columns_list(c)
         presort = None
         if c.match("PRESORT"):
-            items = []
-            while True:
-                col = c.pop().value
-                direction = "ASC"
-                if c.peek() is not None and c.peek().upper in ("ASC", "DESC"):
-                    direction = c.pop().upper
-                items.append(f"{col} {direction}")
-                if not c.match(","):
-                    break
-            presort = ", ".join(items)
+            presort = self._presort_clause(c)
         return PartitionSpec(by=by, presort=presort, num=num)
+
+    def _presort_clause(self, c: _Cursor) -> str:
+        items = []
+        while True:
+            col = c.pop().value
+            direction = "ASC"
+            if c.peek() is not None and c.peek().upper in ("ASC", "DESC"):
+                direction = c.pop().upper
+            items.append(f"{col} {direction}")
+            if not c.match(","):
+                break
+        return ", ".join(items)
 
     # ---------------- statements ----------------
 
     def run_statement(self, tokens: list[Token]) -> None:
-        from fugue_spark.sql.tokenizer import _is_kw
-
         c = _Cursor(tokens, self.ignore_case)
         target: "str | None" = None
         if (
@@ -401,23 +494,12 @@ class _Executor:
         ):
             target = c.pop().value
             c.pop()  # '='
-        first = c.peek()
-        if first is None:
+        body = c.rest()
+        if not body:
             return
-        kw = first.upper
-        if not c._kw_ok(first):
-            raise FugueSQLError(
-                f"unsupported statement {first.value!r} (keywords must be "
-                "UPPERCASE under fsql_ignore_case=False)"
-            )
-        if kw in ("SELECT", "WITH"):
-            res = self._sql_select(c.rest())
-        else:
-            c.pop()
-            handler = getattr(self, f"_st_{kw.lower()}", None)
-            if handler is None:
-                raise FugueSQLError(f"unsupported statement {first.value!r}")
-            res = handler(c)
+        body, chain = self._split_postfix(body)
+        res = self._run_body(body)
+        res = self._apply_chain(res, chain, target)
         if res is not None:
             if not isinstance(res, (dict, list, tuple)):
                 self.last = res
@@ -430,6 +512,267 @@ class _Executor:
         for name in [n for n in self.vars if n.startswith("__fugue_nested_ref_")]:
             del self.vars[name]
 
+    # -- statement bodies, set ops, postfix modifier chains --
+
+    def _exec_statement_tokens(self, tokens: list[Token]) -> Any:
+        """Dispatch one fugue statement (no assignment, no postfix chain).
+        Trailing tokens a handler leaves unconsumed are a script error —
+        clause typos must not silently vanish (the reference's ANTLR
+        grammar rejects them at parse time)."""
+        c = _Cursor(tokens, self.ignore_case)
+        first = c.peek()
+        if first is None:
+            return None
+        if not c._kw_ok(first):
+            raise FugueSQLError(
+                f"unsupported statement {first.value!r} (keywords must be "
+                "UPPERCASE under fsql_ignore_case=False)"
+            )
+        if first.upper in ("SELECT", "WITH"):
+            return self._sql_select(c.rest())
+        c.pop()
+        handler = getattr(self, f"_st_{first.upper.lower()}", None)
+        if handler is None:
+            raise FugueSQLError(f"unsupported statement {first.value!r}")
+        res = handler(c)
+        if not c.done:
+            bad = " ".join(t.value for t in c.rest()[:8])
+            raise FugueSQLError(
+                f"unexpected tokens after {first.upper} statement: {bad!r}"
+            )
+        return res
+
+    def _run_body(self, tokens: list[Token]) -> Any:
+        """One statement body: either a general set op between fugue
+        statements (reference: tests/fugue/sql/test_workflow_parse.py:468
+        ``create using f union select * from b``) or a single statement."""
+        segs = self._split_setops(tokens)
+        if segs is None:
+            return self._exec_statement_tokens(tokens)
+        df = self._run_segment(segs[0][2])
+        for op, distinct, toks in segs[1:]:
+            rhs = self._run_segment(toks)
+            from fugue_spark.operators import setops
+
+            if op == "UNION":
+                df = setops.union(df, rhs, distinct=distinct)
+            elif op == "INTERSECT":
+                df = setops.intersect(df, rhs, distinct=distinct)
+            else:  # EXCEPT / MINUS
+                df = setops.subtract(df, rhs, distinct=distinct)
+        return df
+
+    def _split_setops(self, tokens: list[Token]):
+        """Split at depth-0 UNION/INTERSECT/EXCEPT/MINUS between fugue
+        statements. Returns None when the statement is pure SQL (every
+        segment starts with SELECT/WITH — Catalyst's job) or when any
+        segment does not start with a statement keyword (e.g. Spark's
+        ``SELECT * EXCEPT (a)`` syntax)."""
+        depth = 0
+        segs: list = []
+        cur: list[Token] = []
+        ops: list = [("", True)]
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.value in "([{":
+                depth += 1
+            elif t.value in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and cur
+                and t.kind == "word"
+                and _is_kw(t, _SETOP_KWS, self.ignore_case)
+            ):
+                distinct = True
+                j = i + 1
+                if (
+                    j < len(tokens)
+                    and tokens[j].kind == "word"
+                    and tokens[j].upper in ("ALL", "DISTINCT")
+                ):
+                    distinct = tokens[j].upper == "DISTINCT"
+                    j += 1
+                segs.append(cur)
+                ops.append((t.upper, distinct))
+                cur = []
+                i = j
+                continue
+            cur.append(t)
+            i += 1
+        if cur:
+            segs.append(cur)
+        if len(segs) <= 1:
+            return None
+        if any(
+            not s
+            or s[0].kind != "word"
+            or not _is_kw(s[0], STATEMENT_KEYWORDS, self.ignore_case)
+            for s in segs
+        ):
+            return None
+        if all(s[0].upper in ("SELECT", "WITH") for s in segs):
+            return None
+        return [(op, d, s) for (op, d), s in zip(ops, segs)]
+
+    def _run_segment(self, tokens: list[Token]) -> DataFrame:
+        if tokens[0].upper in ("SELECT", "WITH"):
+            return self._sql_select(list(tokens))
+        return self._run_nested(tokens)
+
+    def _split_postfix(self, tokens: list[Token]):
+        """Strip a trailing postfix modifier chain. The scan accepts the
+        FIRST depth-0 chain keyword whose entire tail parses as a chain;
+        anything else (a column literally named ``persist`` mid-SQL) stays
+        in the body."""
+        depth = 0
+        # a statement whose HEAD is the two-word DETERMINISTIC CHECKPOINT
+        # must not lose its own CHECKPOINT to the chain scan
+        start = 2 if tokens and tokens[0].upper == "DETERMINISTIC" else 1
+        for i, t in enumerate(tokens):
+            if i < start:
+                if t.value in "([{":
+                    depth += 1
+                elif t.value in ")]}":
+                    depth -= 1
+                continue
+            if t.value in "([{":
+                depth += 1
+            elif t.value in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and i > 0
+                and t.kind == "word"
+                and _is_kw(t, _CHAIN_START, self.ignore_case)
+            ):
+                ops = self._try_parse_chain(tokens[i:])
+                if ops is not None:
+                    return tokens[:i], ops
+        return tokens, []
+
+    def _try_parse_chain(self, tokens: list[Token]):
+        """Parse a full postfix chain or return None (not a chain)."""
+        c = _Cursor(tokens, self.ignore_case)
+        ops: list = []
+        try:
+            while not c.done:
+                lazy = c.match("LAZY")
+                if c.match("PERSIST"):
+                    self._params(c)  # storage-level opts accepted (single-engine)
+                    ops.append(("persist", {"lazy": lazy}))
+                elif c.match("WEAK"):
+                    if not c.match("CHECKPOINT"):
+                        return None
+                    self._params(c)
+                    ops.append(("persist", {"lazy": lazy}))
+                elif c.match("STRONG") or (
+                    c.peek() is not None and c.peek().upper == "CHECKPOINT"
+                ):
+                    if not c.match("CHECKPOINT"):
+                        return None
+                    kw = {"lazy": lazy}
+                    kw.update(self._checkpoint_opts(c))
+                    ops.append(("strong_checkpoint", kw))
+                elif c.match("DETERMINISTIC"):
+                    if lazy or not c.match("CHECKPOINT"):
+                        return None
+                    ops.append(("deterministic_checkpoint", self._checkpoint_opts(c)))
+                elif not lazy and c.match("BROADCAST"):
+                    ops.append(("broadcast", {}))
+                elif not lazy and c.match("PRINT"):
+                    kw = {}
+                    if c.peek() is not None and c.peek().kind == "number":
+                        kw["n"] = int(c.pop().value)
+                        c.match("ROWS") or c.match("ROW")
+                    if c.match("TITLE"):
+                        kw["title"] = _unquote(c.pop().value)
+                    ops.append(("print", kw))
+                elif not lazy and c.match("YIELD"):
+                    kind = c.expect("DATAFRAME", "FILE", "TABLE", "LOCAL").upper
+                    if kind == "LOCAL":
+                        kind = c.expect("DATAFRAME", "FILE").upper
+                    name = None
+                    if c.match("AS"):
+                        name = c.pop().value
+                    ops.append(("yield", {"kind": kind, "name": name}))
+                else:
+                    return None
+        except FugueSQLError:
+            return None
+        return ops
+
+    def _checkpoint_opts(self, c: _Cursor) -> dict[str, Any]:
+        """[namespace-string] [PREPARTITION …] [SINGLE] [params] after a
+        CHECKPOINT keyword (reference workflow.py checkpoint options)."""
+        out: dict[str, Any] = {}
+        t = c.peek()
+        if t is not None and t.kind == "string":
+            out["namespace"] = _unquote(c.pop().value)
+        spec = self._prepartition(c)
+        if spec is not None:
+            out["spec"] = spec
+        if c.match("SINGLE"):
+            out["single"] = True
+        params = self._params_or_bare(c, stop=_CHAIN_START)
+        if params:
+            out["params"] = params
+        return out
+
+    def _apply_chain(self, res: Any, ops: list, target: "str | None") -> Any:
+        for kind, kw in ops:
+            if not isinstance(res, DataFrame):
+                raise FugueSQLError(
+                    f"postfix {kind.upper()} needs a dataframe-producing statement"
+                )
+            if kind == "persist":
+                res = fa.persist(res, lazy=kw.get("lazy", False))
+            elif kind == "broadcast":
+                res = fa.broadcast(res)
+            elif kind == "strong_checkpoint":
+                res = self._apply_checkpoint(res, deterministic=False, **kw)
+            elif kind == "deterministic_checkpoint":
+                res = self._apply_checkpoint(res, deterministic=True, **kw)
+            elif kind == "print":
+                fa.show(res, kw.get("n", 10), title=kw.get("title"))
+            elif kind == "yield":
+                name = kw.get("name") or target
+                if name is None:
+                    raise FugueSQLError(
+                        "YIELD needs AS <name> or an assignment target"
+                    )
+                self._do_yield(res, kw["kind"], name)
+        return res
+
+    def _apply_checkpoint(
+        self,
+        df: DataFrame,
+        *,
+        deterministic: bool = False,
+        lazy: bool = False,
+        namespace: str = "",
+        spec: "PartitionSpec | None" = None,
+        single: bool = False,
+        params: "dict | None" = None,
+    ) -> DataFrame:
+        from fugue_spark.workflow import deterministic_checkpoint, strong_checkpoint
+
+        if spec is not None:
+            try:
+                num = int(spec.num)
+            except (TypeError, ValueError):
+                num = 0
+            if spec.by:
+                df = df.repartition(*(c for c in spec.by)) if not num else df.repartition(num, *spec.by)
+            elif num:
+                df = df.repartition(num)
+        if single:
+            df = df.coalesce(1)
+        if deterministic:
+            return deterministic_checkpoint(df, namespace=namespace)
+        return strong_checkpoint(df, lazy=lazy)
+
     # -- raw SQL --
 
     def _run_nested(self, tokens: list[Token]) -> DataFrame:
@@ -438,14 +781,12 @@ class _Executor:
         against the same variable scope; ``last`` is restored afterwards
         (the nested task is an expression, not a pipeline step — mirrors
         ref fugue/sql/_visitors.py:398 visitFugueDataFrameNested)."""
-        c = _Cursor(tokens, self.ignore_case)
-        first = c.pop()
-        handler = getattr(self, f"_st_{first.upper.lower()}", None)
-        if handler is None:
-            raise FugueSQLError(f"unsupported nested statement {first.value!r}")
+        first = tokens[0] if tokens else None
+        if first is None:
+            raise FugueSQLError("empty nested statement")
         saved_last = self.last
         try:
-            res = handler(c)
+            res = self._exec_statement_tokens(tokens)
         finally:
             self.last = saved_last
         if not isinstance(res, DataFrame):
@@ -526,11 +867,36 @@ class _Executor:
 
     # -- create / load / save --
 
+    def _coerce_schema(self, df: DataFrame, schema: str) -> DataFrame:
+        """Apply a SCHEMA clause to an extension's output positionally
+        (rename + cast), as the reference interprets a creator/processor
+        output with the declared schema."""
+        from pyspark.sql import functions as F
+
+        from fugue_spark.schema import parse_schema
+
+        st = parse_schema(schema)
+        if len(st.fields) != len(df.columns):
+            raise FugueSQLError(
+                f"SCHEMA {schema!r} has {len(st.fields)} columns but the "
+                f"extension produced {len(df.columns)}"
+            )
+        return df.select(
+            *(
+                F.col(c0).cast(f.dataType).alias(f.name)
+                for c0, f in zip(df.columns, st.fields)
+            )
+        )
+
     def _st_create(self, c: _Cursor) -> DataFrame:
         if c.match("USING"):
             fn = self._resolve_fn(self._dotted_name(c))
-            params = self._params(c)
-            return fn(self.spark, **params)
+            params = self._params_or_bare(c, stop={"SCHEMA"})
+            df = fn(self.spark, **params)
+            if c.match("SCHEMA"):
+                schema = self._schema_tokens(c, STATEMENT_KEYWORDS)
+                df = self._coerce_schema(df, schema)
+            return df
         rows_tokens: list[str] = []
         depth = 0
         while not c.done:
@@ -551,9 +917,25 @@ class _Executor:
         c.expect("SCHEMA")
         schema = self._schema_tokens(c, STATEMENT_KEYWORDS)
         data = ast.literal_eval("".join(rows_tokens)) if rows_tokens else []
+        from pyspark.sql import types as T
+
         from fugue_spark.schema import parse_schema
 
-        return self.spark.createDataFrame(data, parse_schema(schema))
+        st = parse_schema(schema)
+        # int literals fill float/double fields (the reference's CREATE
+        # accepts ``[[1, 2]] schema a:double, b:double``)
+        is_float = [
+            isinstance(f.dataType, (T.DoubleType, T.FloatType)) for f in st.fields
+        ]
+        if data and any(is_float):
+            data = [
+                [
+                    float(v) if (b and v is not None) else v
+                    for v, b in zip(row, is_float)
+                ]
+                for row in data
+            ]
+        return self.spark.createDataFrame(data, st)
 
     def _st_load(self, c: _Cursor) -> DataFrame:
         fmt = None
@@ -607,7 +989,9 @@ class _Executor:
         spec = self._prepartition(c) or PartitionSpec()
         c.expect("USING")
         fn = self._resolve_fn(self._dotted_name(c))
-        params = self._params(c)
+        params = self._params_or_bare(
+            c, stop={"SCHEMA", "CALLBACK"} | STATEMENT_KEYWORDS
+        )
         schema = None
         if c.match("SCHEMA"):
             schema = self._schema_tokens(c, STATEMENT_KEYWORDS - {"SELECT"} | {"CALLBACK"})
@@ -621,15 +1005,18 @@ class _Executor:
         inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
         if len(inputs) == 1 and isinstance(inputs[0], ZippedFrames):
             z = inputs[0]
-            if schema is None:
-                raise FugueSQLError("TRANSFORM on zipped input requires SCHEMA")
+            # schema may be None: cotransform resolves a `# schema:` hint
+            zspec = z.spec
+            # TRANSFORM PREPARTITION <n> on a zipped input sets the bucket
+            # count for the zip's keys (reference test_workflow_parse.py:153
+            # ``zip … transform prepartition 3 using cotransformer``)
+            if getattr(spec, "num", 0) and not getattr(zspec, "num", 0):
+                zspec = PartitionSpec(zspec, num=spec.num)
             return cotransform(
-                z.dfs, fn, schema=schema, partition=z.spec, how=z.how, params=params,
+                z.dfs, fn, schema=schema, partition=zspec, how=z.how, params=params,
                 compile=compile_arg,
             )
         if len(inputs) > 1:
-            if schema is None:
-                raise FugueSQLError("multi-input TRANSFORM requires SCHEMA")
             return cotransform(
                 inputs, fn, schema=schema, partition=spec, params=params,
                 compile=compile_arg,
@@ -645,21 +1032,47 @@ class _Executor:
     def _st_outtransform(self, c: _Cursor) -> None:
         return self._st_transform(c, discard=True)
 
-    def _st_process(self, c: _Cursor) -> DataFrame:
-        names = self._df_ref_list(c)
+    def _call_extension_with_refs(
+        self, c: _Cursor, spec: "PartitionSpec | None" = None, lead_spark: bool = False
+    ):
+        """Shared PROCESS/OUTPUT/SUB body: [labeled] refs, USING fn,
+        params; labeled refs bind to the callable's parameter names."""
+        labels, names = self._df_ref_list_labeled(c)
+        spec = spec or self._prepartition(c)
         c.expect("USING")
         fn = self._resolve_fn(self._dotted_name(c))
-        params = self._params(c)
-        inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
-        return fn(*inputs, **params)
+        params = self._params_or_bare(c, stop={"SCHEMA"} | STATEMENT_KEYWORDS)
+        schema = None
+        if c.match("SCHEMA"):
+            schema = self._schema_tokens(c, STATEMENT_KEYWORDS)
+        inputs = [self._get_df(n) for n in names]
+        if not inputs and not (labels and labels[0] is not None):
+            if lead_spark:
+                if self.last is not None:
+                    inputs = [self.last]
+            else:
+                inputs = [self._get_df(None)]
+        if spec is not None and (spec.by or spec.num):
+            from fugue_spark.partition import apply_partition_spec
+
+            inputs = [
+                apply_partition_spec(d, spec) if isinstance(d, DataFrame) else d
+                for d in inputs
+            ]
+        lead = (self.spark,) if lead_spark else ()
+        if labels and labels[0] is not None:
+            res = fn(*lead, **{l: d for l, d in zip(labels, inputs)}, **params)
+        else:
+            res = fn(*lead, *inputs, **params)
+        if schema is not None and isinstance(res, DataFrame):
+            res = self._coerce_schema(res, schema)
+        return res
+
+    def _st_process(self, c: _Cursor) -> DataFrame:
+        return self._call_extension_with_refs(c)
 
     def _st_output(self, c: _Cursor) -> None:
-        names = self._df_ref_list(c)
-        c.expect("USING")
-        fn = self._resolve_fn(self._dotted_name(c))
-        params = self._params(c)
-        inputs = [self._get_df(n) for n in names] if names else [self._get_df(None)]
-        fn(*inputs, **params)
+        self._call_extension_with_refs(c)
         return None
 
     def _st_zip(self, c: _Cursor) -> ZippedFrames:
@@ -682,7 +1095,7 @@ class _Executor:
             by = self._columns_list(c)
         presort = None
         if c.match("PRESORT"):
-            presort = self._schema_tokens(c, STATEMENT_KEYWORDS).replace(",", ", ")
+            presort = self._presort_clause(c)
         spec = PartitionSpec(by=by, presort=presort)
         return ZippedFrames([self._get_df(n) for n in names], how, spec)
 
@@ -695,6 +1108,9 @@ class _Executor:
             c.match("ROWS") or c.match("ROW")
         names = []
         if c.match("FROM"):
+            names = self._df_ref_list(c)
+        else:
+            # FROM is optional in the reference grammar: ``print dfs[0]``
             names = self._df_ref_list(c)
         rowcount = c.match("ROWCOUNT")
         title = None
@@ -822,29 +1238,22 @@ class _Executor:
 
     def _st_persist(self, c: _Cursor) -> DataFrame:
         lazy = c.match("LAZY")
+        self._params(c)  # storage-level opts accepted (single-engine)
         name = self._maybe_from(c) or self._maybe_df_ref(c)
         return fa.persist(self._get_df(name), lazy=lazy)
 
     def _st_checkpoint(self, c: _Cursor) -> DataFrame:
         # reference CHECKPOINT = per-run strong (file) checkpoint
         # (fugue/workflow/workflow.py:908); WEAK CHECKPOINT = persist
-        from fugue_spark.workflow import strong_checkpoint
-
-        return strong_checkpoint(self._get_df(None))
+        opts = self._checkpoint_opts(c)
+        return self._apply_checkpoint(self._get_df(None), deterministic=False, **opts)
 
     def _st_deterministic(self, c: _Cursor) -> DataFrame:
         c.expect("CHECKPOINT")
-        from fugue_spark.workflow import deterministic_checkpoint
+        opts = self._checkpoint_opts(c)
+        return self._apply_checkpoint(self._get_df(None), deterministic=True, **opts)
 
-        return deterministic_checkpoint(self._get_df(None))
-
-    def _st_yield_impl(self, c: _Cursor) -> None:
-        kind = c.expect("DATAFRAME", "FILE", "TABLE", "LOCAL").upper
-        if kind == "LOCAL":
-            kind = c.expect("DATAFRAME", "FILE").upper
-        c.expect("AS")
-        name = c.pop().value
-        df = self._get_df(None)
+    def _do_yield(self, df: DataFrame, kind: str, name: str) -> None:
         if kind == "DATAFRAME":
             self.result[name] = df
         elif kind == "FILE":
@@ -855,29 +1264,75 @@ class _Executor:
         else:
             df.write.mode("overwrite").saveAsTable(name)
             self.result[name] = name
+
+    def _st_yield_impl(self, c: _Cursor) -> None:
+        kind = c.expect("DATAFRAME", "FILE", "TABLE", "LOCAL").upper
+        if kind == "LOCAL":
+            kind = c.expect("DATAFRAME", "FILE").upper
+        c.expect("AS")
+        name = c.pop().value
+        self._do_yield(self._get_df(None), kind, name)
         return None
 
     _st_yield = _st_yield_impl
 
-    def _st_connect(self, c: _Cursor) -> None:
-        c.rest()  # single-engine: accept and ignore (SURVEY §2.6)
-        return None
+    def _st_connect(self, c: _Cursor) -> "DataFrame | None":
+        """CONNECT <engine>[(params)] <statement…> — single-engine build:
+        the engine spec is validated and ignored (SURVEY §2.6); the inner
+        statement runs on Spark."""
+        self._dotted_name(c)
+        self._params(c)
+        rest = c.rest()
+        if not rest:
+            return None
+        return self._run_body(rest)
 
     def _st_sub(self, c: _Cursor) -> "DataFrame | None":
         return self._st_module(c)
 
     def _st_module(self, c: _Cursor) -> "DataFrame | None":
         """Reusable sub-workflow (reference: SUB/MODULE USING m,
-        fugue/workflow/module.py): a python function taking (spark, *dfs)
-        that composes engine calls and returns a dataframe (or None)."""
-        names = self._df_ref_list(c)
+        fugue/workflow/module.py): a python function composing engine
+        calls. Like the reference's ``@module`` decorator, the signature
+        is introspected — an optional leading session parameter (named
+        spark/wf/dag or annotated SparkSession) receives the session, and
+        a module with no required dataframe parameters is not fed the
+        previous result. Labeled refs (``sub df2:a,df1:b using merge``)
+        bind to the module's parameter names, as in the reference."""
+        import inspect
+
+        labels, names = self._df_ref_list_labeled(c)
         c.expect("USING")
         fn = self._resolve_fn(self._dotted_name(c))
-        params = self._params(c)
+        params = self._params_or_bare(c, stop=STATEMENT_KEYWORDS)
         inputs = [self._get_df(n) for n in names]
-        if not inputs and self.last is not None:
+        try:
+            sig = list(inspect.signature(fn).parameters.values())
+        except (TypeError, ValueError):
+            sig = []
+        takes_spark = bool(sig) and (
+            sig[0].name in ("spark", "spark_", "wf", "dag", "session")
+            or "SparkSession" in str(sig[0].annotation)
+        )
+        dfs_sig = sig[1:] if takes_spark else sig
+        required = [
+            p
+            for p in dfs_sig
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+            and p.name not in params
+        ]
+        labeled = bool(labels) and labels[0] is not None
+        if not inputs and not labeled and required and self.last is not None:
             inputs = [self.last]
-        return fn(self.spark, *inputs, **params)
+        lead = (self.spark,) if takes_spark else ()
+        if labeled:
+            return fn(*lead, **{l: d for l, d in zip(labels, inputs)}, **params)
+        return fn(*lead, *inputs, **params)
 
 
 _JINJA_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")

@@ -23,7 +23,7 @@ _TOKEN_RE = re.compile(
   | (?P<sqstring>'(?:[^'\\]|\\.)*')
   | (?P<backtick>`(?:[^`]|``)*`)
   | (?P<number>\d+\.\d+|\.\d+|\d+)
-  | (?P<op>==|!=|<=|>=|<>|::|[-+*/%(),;:=<>\[\]{}.])
+  | (?P<op>==|!=|<=|>=|<>|::|[-+*/%(),;:=<>\[\]{}.~])
   | (?P<word>[A-Za-z_一-鿿][A-Za-z0-9_一-鿿]*)
     """,
     re.VERBOSE,
@@ -135,15 +135,37 @@ def _is_boundary(
         # "UNION\nSELECT …" continues the current raw-SQL statement
         if cur and _is_kw(cur[-1], _SQL_CONTINUATORS, ignore_case):
             return False
+        # "WITH x AS (…)\nSELECT …" — the WITH statement's body select is
+        # a continuation until the CTE list has its main SELECT
+        if (
+            _is_kw(t, ("SELECT",), ignore_case)
+            and cur
+            and _is_kw(cur[0], ("WITH",), ignore_case)
+        ):
+            depth = 0
+            has_body = False
+            for ct in cur[1:]:
+                if ct.value in "([{":
+                    depth += 1
+                elif ct.value in ")]}":
+                    depth -= 1
+                elif depth == 0 and _is_kw(ct, ("SELECT",), ignore_case):
+                    has_body = True
+                    break
+            if not has_body:
+                return False
         return True
     if _is_raw_sql(cur, ignore_case):
         return False  # inside SQL, `a = 5` on a new line is not an assignment
-    # assignment: IDENT = (not ==)
+    # assignment: IDENT = <statement>  (the RHS must start with a statement
+    # keyword — a labeled dataframe ref continuation line like
+    # ``df1=(create using f),`` is NOT a new statement)
     if (
         t.kind == "word"
-        and i + 1 < len(tokens)
+        and i + 2 < len(tokens)
         and tokens[i + 1].value == "="
-        and (i + 2 >= len(tokens) or tokens[i + 2].value != "=")
+        and tokens[i + 2].kind == "word"
+        and _is_kw(tokens[i + 2], STATEMENT_KEYWORDS, ignore_case)
     ):
         return True
     return False

@@ -15,7 +15,43 @@ import pandas as pd
 
 from fugue_spark.benchmarks import TABLES
 
-__all__ = ["duckdb_connect", "run_oracle", "normalize", "assert_dataframes_match", "df_eq"]
+__all__ = [
+    "duckdb_connect",
+    "run_oracle",
+    "normalize",
+    "assert_dataframes_match",
+    "df_eq",
+    # conformance suites + pytest plugin surface (ft.* in the reference)
+    "DataFrameSuite",
+    "ExecutionEngineSuite",
+    "BuiltinSuite",
+    "FugueTestBackend",
+    "FugueTestContext",
+    "FugueTestSuite",
+    "fugue_test_backend",
+    "fugue_test_suite",
+]
+
+
+def __getattr__(name: str):
+    """Lazy re-exports: the suites import pyspark/pandas-heavy modules and
+    the plugin imports pytest; defer both so ``fugue_spark.testing`` stays
+    cheap for the oracle helpers above."""
+    if name in ("DataFrameSuite", "ExecutionEngineSuite", "BuiltinSuite"):
+        from fugue_spark.testing import suites
+
+        return getattr(suites, name)
+    if name in (
+        "FugueTestBackend",
+        "FugueTestContext",
+        "FugueTestSuite",
+        "fugue_test_backend",
+        "fugue_test_suite",
+    ):
+        from fugue_spark.testing import plugins
+
+        return getattr(plugins, name)
+    raise AttributeError(name)
 
 
 def duckdb_connect(sf_dir: str):

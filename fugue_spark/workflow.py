@@ -44,19 +44,43 @@ def _checkpoint_dir() -> str:
     return _CHECKPOINT_DIR
 
 
-def plan_signature(df: DataFrame, namespace: str = "") -> str:
+def plan_signature(df: DataFrame, namespace: str = "") -> "str | None":
     """Determinism key for a dataframe: hash of the analyzed logical plan
     (+ namespace), mirroring the reference's task uuid
-    (fugue/workflow/_tasks.py:85-98) but derived from Spark's plan."""
+    (fugue/workflow/_tasks.py:85-98) but derived from Spark's plan.
+
+    Expression ids (``col#123``) are normalized out — they encode only
+    creation order within a session, so keeping them would break legit
+    cross-run cache hits for identical file-backed plans.
+
+    Returns ``None`` for plans rooted in raw driver data (LogicalRDD /
+    LocalRelation): their plan text carries NO data content, so two
+    different datasets could share a key across runs. The reference has
+    the same rule — ``df(...)`` creations are non-deterministic unless an
+    explicit ``data_determiner`` hashes the data
+    (fugue/workflow/workflow.py df() / _tasks.py CreateData determinism).
+    """
+    import re as _re
+
     plan = df._jdf.queryExecution().analyzed().toString()
+    if "LogicalRDD" in plan or "LocalRelation" in plan:
+        return None
+    plan = _re.sub(r"#\d+", "#", plan)
     return hashlib.sha256((namespace + "\n" + plan).encode()).hexdigest()[:32]
 
 
 def deterministic_checkpoint(df: DataFrame, namespace: str = "") -> DataFrame:
     """Materialize once per unique plan: the parquet file is keyed by the
     plan hash; a re-run with the same plan reloads instead of recomputing
-    (cross-run caching — reference _checkpoint.py:65-96 semantics)."""
+    (cross-run caching — reference _checkpoint.py:65-96 semantics).
+
+    Plans rooted in raw driver data have no plan-derivable determinism key
+    (see ``plan_signature``); they degrade to a per-run strong checkpoint,
+    exactly as the reference treats determinerless ``df(...)`` creations.
+    """
     key = plan_signature(df, namespace)
+    if key is None:
+        return strong_checkpoint(df)
     path = os.path.join(_checkpoint_dir(), f"ckpt_{key}.parquet")
     spark = df.sparkSession
     if not os.path.exists(path):

@@ -111,3 +111,40 @@ def test_df_eq_reference_comparator(spark):
     assert df_eq(d, pd.DataFrame({"a": [2, 1], "b": [2.0, 1.0]}), digits=6)
     with pytest.raises(AssertionError, match="count mismatch"):
         df_eq(d, [[9, 9.0]], schema="a:long,b:double", throw=True)
+
+
+def test_nbextension_machinery():
+    """Classic-notebook extension parity (reference fugue_notebook/
+    nbextension): the discovery hook points at a real main.js whose
+    keyword set stays in sync with the tokenizer."""
+    import os
+
+    import fugue_spark
+    from fugue_spark.sql.tokenizer import STATEMENT_KEYWORDS
+
+    paths = fugue_spark._jupyter_nbextension_paths()
+    assert paths[0]["require"] == "fugue_spark/main"
+    base = os.path.join(os.path.dirname(fugue_spark.__file__), paths[0]["src"])
+    main_js = os.path.join(base, "main.js")
+    assert os.path.exists(main_js)
+    js = open(main_js).read()
+    assert "text/x-fsql" in js and "%%fsql" in js
+    for kw in STATEMENT_KEYWORDS:
+        assert kw.lower() in js, f"main.js keyword set misses {kw!r}"
+
+
+def test_install_nbextension_gated():
+    """Without the classic 'notebook' package the installer raises a clear
+    ImportError instead of failing obscurely."""
+    import pytest
+
+    from fugue_spark.notebook import install_nbextension
+
+    try:
+        import notebook  # noqa: F401
+
+        pytest.skip("classic notebook package present; install path live")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="notebook"):
+        install_nbextension()

@@ -294,8 +294,11 @@ def test_deterministic_checkpoint_statement(spark, tmp_path):
         spark=spark,
     )
     assert rows(res["out"]) == [(1,), (2,)]
-    ckpts = [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")]
-    assert len(ckpts) == 1
+    # raw driver data has no plan-derivable determinism key (the reference
+    # needs an explicit data_determiner for df() creations) — it degrades
+    # to a per-run strong checkpoint, never a cross-run ckpt_ file
+    assert [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")] == []
+    assert [f for f in os.listdir(str(tmp_path)) if f.startswith("run_")]
 
 
 def test_checkpoint_kinds_semantics(spark, tmp_path):
@@ -338,10 +341,22 @@ def test_checkpoint_kinds_semantics(spark, tmp_path):
     assert len(strongs) == 2
     assert "parquet" in plan_of(s1).lower() and "InMemoryRelation" not in plan_of(s1)
 
-    # deterministic: same plan -> ONE file, second call reloads it
+    # deterministic on raw driver data: no plan-derivable key (reference
+    # df() needs a data_determiner) -> degrades to per-run strong; two
+    # LOCAL frames with different data must never share a cache entry
     d1 = deterministic_checkpoint(df)
-    d2 = deterministic_checkpoint(df)
-    assert rows(d1) == [(1,), (2,)] and rows(d2) == [(1,), (2,)]
+    other = spark.createDataFrame([[7], [8]], parse_schema("x:long"))
+    d2 = deterministic_checkpoint(other)
+    assert rows(d1) == [(1,), (2,)] and rows(d2) == [(7,), (8,)]
+    assert [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")] == []
+
+    # deterministic on a file-backed plan: same plan -> ONE ckpt_ file,
+    # second call reloads it instead of recomputing
+    src = os.path.join(str(tmp_path), "src.parquet")
+    df.write.parquet(src)
+    f1 = deterministic_checkpoint(spark.read.parquet(src).filter("x > 1"))
+    f2 = deterministic_checkpoint(spark.read.parquet(src).filter("x > 1"))
+    assert rows(f1) == [(2,)] and rows(f2) == [(2,)]
     ckpts = [f for f in os.listdir(str(tmp_path)) if f.startswith("ckpt_")]
     assert len(ckpts) == 1
 
