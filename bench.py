@@ -232,6 +232,18 @@ def sf10_child() -> None:
         ]
     except Exception as ex:  # noqa: BLE001
         print(f"# duckdb sf10 comparison failed: {ex}", file=sys.stderr)
+    # compute-vs-floor audit at sf10 for everything over the 2x bar: the
+    # measured proof separating scheduling constants from plan work at the
+    # amortized scale point (same methodology as the sf0.1 audit in main)
+    try:
+        from overhead_audit import audit as _overhead_audit
+
+        over = point.get("over_2x", [])
+        if over:
+            audit_specs = [(n, s) for n, s in specs if n in over]
+            point["overhead_audit"] = _overhead_audit(spark, audit_specs, sf10_dir)
+    except Exception as ex:  # noqa: BLE001 - audit is best-effort
+        print(f"# sf10 overhead audit failed: {ex}", file=sys.stderr)
     print(json.dumps(point))
 
 

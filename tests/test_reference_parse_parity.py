@@ -885,6 +885,38 @@ def test_module_forms(spark):
     assert rows(res["y"]) == [(2,)]
 
 
+# --- postfix-scanner robustness: chain keywords as identifiers ---------------
+
+
+def test_chain_keyword_as_column_stays_sql(spark):
+    # a column literally named `persist` mid-SQL must NOT be eaten by the
+    # postfix scanner (the tail `persist from t` is not a valid chain)
+    df = spark.createDataFrame([[1]], "persist long")
+    res = run(
+        spark,
+        """
+    out = select persist from t
+    yield dataframe as out
+    """,
+        t=df,
+    )
+    assert rows(res["out"]) == [(1,)]
+
+
+def test_trailing_chain_keyword_is_modifier(spark):
+    # ... while a TRAILING bare `broadcast` IS the postfix modifier — same
+    # reservation the reference's ANTLR grammar makes
+    res = run(
+        spark,
+        """
+    a = create [[1]] schema x:long
+    out = select * from a broadcast
+    yield dataframe as out
+    """,
+    )
+    assert rows(res["out"]) == [(1,)]
+
+
 # --- strictness: clause typos are rejected, not silently dropped -------------
 
 
