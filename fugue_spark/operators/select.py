@@ -55,6 +55,13 @@ def select(
         return out
     if where is not None:
         df = df.filter(ensure_column(where))
+    # duplicate OUTPUT names are an error, as in the reference
+    # (SelectColumns.assert_all_with_names, fugue/column/sql.py — Spark
+    # itself would silently produce an ambiguous duplicate column)
+    out_names = [e.output_name for e in exprs if e.output_name]
+    dups = {n for n in out_names if out_names.count(n) > 1}
+    if dups:
+        raise ValueError(f"duplicate output column names in select: {sorted(dups)}")
     has_agg = any(e.has_agg for e in exprs)
     if not has_agg:
         if having is not None:

@@ -54,24 +54,91 @@ ROWCOUNT = "ROWCOUNT"
 CONCURRENCY = "CONCURRENCY"
 
 
-def parse_presort(presort: "str | list[tuple[str, bool]] | None") -> list[tuple[str, bool]]:
-    """``"b DESC, c ASC"`` → ``[("b", False), ("c", True)]`` (True=asc)."""
+def _split_presort_items(s: str) -> list[str]:
+    """Split on commas OUTSIDE backtick quotes."""
+    items: list[str] = []
+    cur: list[str] = []
+    in_bt = False
+    for ch in s:
+        if ch == "`":
+            in_bt = not in_bt
+            cur.append(ch)
+        elif ch == "," and not in_bt:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    return items
+
+
+def _parse_presort_item(item: str) -> "tuple[str, bool] | None":
+    item = item.strip()
+    if not item:
+        return None
+    if item.startswith("`"):
+        # backtick-quoted name, doubled backticks escape a literal one
+        # (reference parse_presort_exp: `` empty, ```` a literal backtick,
+        # `a b` names with spaces — tests/fugue/collections/
+        # test_partition.py:36-40)
+        i = 1
+        name_chars: list[str] = []
+        while i < len(item):
+            if item[i] == "`":
+                if i + 1 < len(item) and item[i + 1] == "`":
+                    name_chars.append("`")
+                    i += 2
+                    continue
+                i += 1
+                break
+            name_chars.append(item[i])
+            i += 1
+        rest = item[i:].strip()
+        name = "".join(name_chars)
+    else:
+        parts = item.split(None, 1)
+        name = parts[0]
+        rest = parts[1].strip() if len(parts) > 1 else ""
+    if not rest:
+        return (name, True)
+    if rest.upper() in ("ASC", "DESC"):
+        return (name, rest.upper() == "ASC")
+    raise ValueError(f"invalid presort item {item!r} (expected ASC/DESC)")
+
+
+def parse_presort(
+    presort: "str | list | None",
+) -> list[tuple[str, bool]]:
+    """``"b DESC, c ASC"`` → ``[("b", False), ("c", True)]`` (True=asc).
+
+    Accepts the reference's full input surface (fugue/collections/
+    partition.py parse_presort_exp): backtick-quoted names (spaces,
+    unicode, escaped backticks), list entries as ``(name, bool)`` pairs
+    or bare name strings; non-bool directions in pairs and duplicate
+    names are errors."""
     if presort is None:
         return []
-    if isinstance(presort, list):
-        return presort
     out: list[tuple[str, bool]] = []
-    for item in presort.split(","):
-        item = item.strip()
-        if not item:
-            continue
-        parts = item.split()
-        if len(parts) == 1:
-            out.append((parts[0], True))
-        elif len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
-            out.append((parts[0], parts[1].upper() == "ASC"))
-        else:
-            raise ValueError(f"invalid presort item {item!r}")
+    if isinstance(presort, (list, tuple)):
+        for entry in presort:
+            if isinstance(entry, str):
+                out.append((entry, True))
+            elif (
+                isinstance(entry, tuple)
+                and len(entry) == 2
+                and isinstance(entry[0], str)
+                and isinstance(entry[1], bool)
+            ):
+                out.append(entry)
+            else:
+                raise ValueError(
+                    f"presort list entries must be 'name' or (name, bool): {entry!r}"
+                )
+    else:
+        for raw in _split_presort_items(presort):
+            parsed = _parse_presort_item(raw)
+            if parsed is not None:
+                out.append(parsed)
     names = [n for n, _ in out]
     if len(names) != len(set(names)):
         raise ValueError(f"duplicate presort columns in {presort!r}")
@@ -106,12 +173,28 @@ class PartitionSpec:
                 num, algo = ROWCOUNT, "even"
             elif spec.lower() == "per_partition":
                 algo = algo or "coarse"
+            elif spec.lstrip().startswith("{"):
+                # JSON spec string (reference: PartitionSpec(json.dumps(...)),
+                # tests/fugue/collections/test_partition.py:77)
+                import json as _json
+
+                return self.__init__(
+                    _json.loads(spec), by=by, presort=presort, num=num, algo=algo
+                )
             else:
-                raise ValueError(f"unknown partition shorthand {spec!r}")
+                # a bare name is a partition-by column, as in the reference
+                # (PartitionSpec("abc") == PartitionSpec(by=["abc"]))
+                by = by or [spec]
+        elif isinstance(spec, (list, tuple)) and all(
+            isinstance(x, str) for x in spec
+        ):
+            # PartitionSpec(["a","b"]) == PartitionSpec(by=["a","b"])
+            by = by or list(spec)
         elif isinstance(spec, dict):
-            by = by or spec.get("by", [])
+            # accept the reference's long-form key aliases too
+            by = by or spec.get("by", spec.get("partition_by", []))
             presort = presort if presort is not None else spec.get("presort")
-            num = num or spec.get("num", 0)
+            num = num or spec.get("num", spec.get("num_partitions", 0))
             algo = algo or spec.get("algo", "")
         elif spec is not None:
             raise ValueError(f"invalid partition spec {spec!r}")

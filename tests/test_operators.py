@@ -887,3 +887,84 @@ def test_tune_for_input_small_and_large(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", baseline)
+
+
+def test_select_duplicate_output_names_rejected(spark):
+    """Reference parity (SelectColumns.assert_all_with_names,
+    fugue/column/sql.py + tests/fugue/column/test_sql.py:36-38):
+    duplicate OUTPUT names in a select are an error, not a silently
+    ambiguous duplicate column."""
+    import pytest
+
+    df = make_df(spark, [[1, 2]], "a:int,b:int")
+    with pytest.raises(ValueError, match="duplicate output"):
+        fa.select(df, ff.col("a").alias("x"), ff.col("b").alias("x"))
+    with pytest.raises(ValueError, match="duplicate output"):
+        fa.select(df, ff.col("a"), ff.sum(ff.col("b")).alias("a"))
+    # non-duplicates still fine, including computed group keys
+    res = fa.select(df, ff.col("a").alias("x"), ff.col("b").alias("y"))
+    assert res.columns == ["x", "y"]
+
+
+def test_partition_spec_reference_corpus():
+    """PartitionSpec construction forms from the reference's corpus
+    (tests/fugue/collections/test_partition.py:61-120)."""
+    import json
+
+    import pytest
+
+    from fugue_spark.partition import ROWCOUNT, parse_presort
+
+    assert PartitionSpec().empty
+    assert PartitionSpec(None).empty
+    assert PartitionSpec(PartitionSpec()).empty
+
+    p = PartitionSpec(json.dumps(dict(partition_by=["a", "b", "c"], num_partitions=1)))
+    assert p.by == ["a", "b", "c"] and int(p.num) == 1
+
+    p = PartitionSpec(dict(by=["a", "b", "c"], presort="d asc,e desc"))
+    assert p.by == ["a", "b", "c"]
+    assert p.presort == [("d", True), ("e", False)]
+
+    assert PartitionSpec("per_row") == PartitionSpec(num=ROWCOUNT, algo="even")
+    assert PartitionSpec(by="abc") == PartitionSpec(by=["abc"])
+    assert PartitionSpec("abc") == PartitionSpec(by=["abc"])
+    assert PartitionSpec(["abc"]) == PartitionSpec(by=["abc"])
+    assert PartitionSpec(["abc", "def"]) == PartitionSpec(by=["abc", "def"])
+    assert PartitionSpec(("abc", "def")) == PartitionSpec(by=["abc", "def"])
+    assert PartitionSpec(4) == PartitionSpec(num=4)
+
+    # partition-by overlapping presort is an error
+    with pytest.raises(ValueError, match="overlap"):
+        PartitionSpec(by=["a"], presort="a desc")
+
+    # presort corpus (ref test_parse_presort_exp)
+    assert parse_presort(None) == []
+    assert parse_presort("c") == [("c", True)]
+    assert parse_presort("         c") == [("c", True)]
+    assert parse_presort("c           desc") == [("c", False)]
+    assert parse_presort("b desc, c asc") == [("b", False), ("c", True)]
+    assert parse_presort("DESC DESC, ASC ASC") == [("DESC", False), ("ASC", True)]
+    assert parse_presort([("b", False), ("c", True)]) == [("b", False), ("c", True)]
+    assert parse_presort("B DESC, C ASC") == [("B", False), ("C", True)]
+    assert parse_presort("`` desc, `a b` asc, ````, `中国`") == [
+        ("", False),
+        ("a b", True),
+        ("`", True),
+        ("中国", True),
+    ]
+    assert parse_presort([("", False), ("a b", True), "中国"]) == [
+        ("", False),
+        ("a b", True),
+        ("中国", True),
+    ]
+    with pytest.raises(ValueError):
+        parse_presort("b dsc, c asc")  # misspelled desc
+    with pytest.raises(ValueError):
+        parse_presort("c true")
+    with pytest.raises(ValueError):
+        parse_presort("c desc, c desc")  # duplicates
+    with pytest.raises(ValueError):
+        parse_presort("a b dsc, c asc")  # unquoted name with space
+    with pytest.raises(ValueError):
+        parse_presort([("b", "desc")])  # direction must be bool
