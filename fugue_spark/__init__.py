@@ -34,6 +34,74 @@ def __getattr__(name):  # lazy heavy imports (keep `import fugue_spark` light)
         from fugue_spark.ingest import to_df
 
         return to_df
+    if name in (
+        # extension decorators + class forms + DataFrames container
+        # (reference top-level surface: fugue/__init__.py)
+        "DataFrames",
+        "CoTransformer",
+        "OutputTransformer",
+        "OutputCoTransformer",
+        "Creator",
+        "Processor",
+        "Outputter",
+        "transformer",
+        "cotransformer",
+        "output_transformer",
+        "output_cotransformer",
+        "creator",
+        "processor",
+        "outputter",
+        "module",
+        "register_transformer",
+        "register_output_transformer",
+        "register_creator",
+        "register_processor",
+        "register_outputter",
+    ):
+        import fugue_spark.extensions as _e
+
+        return getattr(_e, name)
+    if name in (
+        "RPCServer",
+        "RPCClient",
+        "RPCHandler",
+        "EmptyRPCHandler",
+        "to_rpc_handler",
+        "make_rpc_server",
+    ):
+        import fugue_spark.rpc as _r
+
+        return getattr(_r, name)
+    if name == "as_fugue_dataset":
+        from fugue_spark.api import as_fugue_dataset
+
+        return as_fugue_dataset
+    if name == "DataFrame":
+        # this engine's DataFrame IS Spark's (reference: the abstract
+        # fugue.DataFrame — single-engine build re-exports the native one)
+        from pyspark.sql import DataFrame
+
+        return DataFrame
+    if name in ("AnyDataFrame", "AnyDataset"):
+        import pandas as _pd
+        import pyarrow as _pa
+        from pyspark.sql import DataFrame as _SDF
+
+        from typing import Union
+
+        return Union[_SDF, _pd.DataFrame, _pa.Table]
+    if name == "Schema":
+        # reference fugue.Schema (triad) — the constructor use
+        # ``Schema("a:int,b:str")`` maps to parse_schema → StructType
+        from fugue_spark.schema import parse_schema
+
+        return parse_schema
+    if name == "make_execution_engine":
+        # reference make_execution_engine → this engine's session
+        # resolution order (session factory / engine_context / global)
+        from fugue_spark.context import current_spark
+
+        return current_spark
     if name in ("engine_context", "current_spark", "raw_sql"):
         import fugue_spark.context as _c
 

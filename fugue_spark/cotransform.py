@@ -319,15 +319,18 @@ def cotransform(
     else:
         keys = _infer_keys(dfs, spec)
     if schema is None:
-        # the reference's `# schema:` comment hint works for cotransformers
-        # too (fugue/extensions/cotransformer/convert.py)
+        # decorator-attached schema (@cotransformer("a:int")) or the
+        # reference's `# schema:` comment hint
+        # (fugue/extensions/cotransformer/convert.py)
         from fugue_spark.transform import _schema_from_comment
 
-        schema = _schema_from_comment(using)
+        schema = getattr(using, "__fugue_schema__", None)
+        if schema is None:
+            schema = _schema_from_comment(using)
         if schema is None:
             raise ValueError(
-                "cotransform requires an output schema (schema= or "
-                "'# schema:' hint)"
+                "cotransform requires an output schema (schema=, "
+                "@cotransformer, or '# schema:' hint)"
             )
     out_schema = parse_schema(schema)
     out_cols = [f.name for f in out_schema.fields]

@@ -32,7 +32,17 @@ import struct
 import threading
 from typing import Any, Callable
 
-__all__ = ["RPCServer", "RPCClient", "HTTPRPCServer", "HTTPRPCClient", "start_callback_server"]
+__all__ = [
+    "RPCServer",
+    "RPCClient",
+    "HTTPRPCServer",
+    "HTTPRPCClient",
+    "RPCHandler",
+    "EmptyRPCHandler",
+    "to_rpc_handler",
+    "make_rpc_server",
+    "start_callback_server",
+]
 
 _MAC_LEN = hashlib.sha256().digest_size
 
@@ -281,6 +291,82 @@ class HTTPRPCClient:
 
 
 _SERVERS: list[Any] = []  # keep alive for the app's lifetime
+
+
+class RPCHandler:
+    """Callable callback-handler base (reference: fugue/rpc/base.py
+    ``RPCHandler`` — start/stop lifecycle + ``__call__``). The engine's
+    callback channel accepts any callable; subclassing this adds the
+    start/stop hooks the reference exposes."""
+
+    def __init__(self):
+        self._started = False
+
+    @property
+    def running(self) -> bool:
+        return self._started
+
+    def start_handler(self) -> None:
+        pass
+
+    def stop_handler(self) -> None:
+        pass
+
+    def start(self) -> "RPCHandler":
+        if not self._started:
+            self.start_handler()
+            self._started = True
+        return self
+
+    def stop(self) -> None:
+        if self._started:
+            self.stop_handler()
+            self._started = False
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        raise NotImplementedError
+
+    def __enter__(self) -> "RPCHandler":
+        return self.start()
+
+    def __exit__(self, *ex: Any) -> None:
+        self.stop()
+
+
+class EmptyRPCHandler(RPCHandler):
+    """The no-callback placeholder (reference: fugue/rpc/base.py)."""
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        raise ValueError("EmptyRPCHandler: no callback handler was provided")
+
+
+class _FuncRPCHandler(RPCHandler):
+    def __init__(self, fn: Callable):
+        super().__init__()
+        self._fn = fn
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        return self._fn(*args, **kwargs)
+
+
+def to_rpc_handler(obj: Any) -> RPCHandler:
+    """Coerce None/callable/handler to an :class:`RPCHandler`
+    (reference: fugue/rpc/base.py ``to_rpc_handler``)."""
+    if obj is None:
+        return EmptyRPCHandler()
+    if isinstance(obj, RPCHandler):
+        return obj
+    if callable(obj):
+        return _FuncRPCHandler(obj)
+    raise ValueError(f"cannot convert {obj!r} to an RPCHandler")
+
+
+def make_rpc_server(conf: "dict | None" = None) -> RPCServer:
+    """Build (not start) a callback server from conf (reference:
+    fugue/rpc/base.py ``make_rpc_server``; conf key ``fugue.rpc.server``
+    selects the transport — ``http`` for the HTTP/JSON transport)."""
+    transport = str((conf or {}).get("fugue.rpc.server", "tcp")).lower()
+    return HTTPRPCServer() if "http" in transport else RPCServer()
 
 
 def start_callback_server(

@@ -896,6 +896,9 @@ class _Executor:
             if c.match("SCHEMA"):
                 schema = self._schema_tokens(c, STATEMENT_KEYWORDS)
                 df = self._coerce_schema(df, schema)
+            elif getattr(fn, "__fugue_schema__", None) is not None:
+                # @creator("a:int")-attached schema
+                df = self._coerce_schema(df, fn.__fugue_schema__)
             return df
         rows_tokens: list[str] = []
         depth = 0
@@ -1060,10 +1063,32 @@ class _Executor:
                 for d in inputs
             ]
         lead = (self.spark,) if lead_spark else ()
-        if labels and labels[0] is not None:
+        # a first parameter annotated DataFrames receives ALL inputs as
+        # one named/positional container (reference: extensions taking
+        # `dfs: DataFrames`, fugue/dataframe/dataframes.py)
+        import inspect as _inspect
+
+        try:
+            sigp = list(_inspect.signature(fn).parameters.values())
+        except (TypeError, ValueError):
+            sigp = []
+        wants_dfs = bool(sigp) and "DataFrames" in str(sigp[0].annotation)
+        if wants_dfs:
+            from fugue_spark.extensions import DataFrames
+
+            if labels and labels[0] is not None:
+                arg: Any = DataFrames({l: d for l, d in zip(labels, inputs)})
+            else:
+                arg = DataFrames(inputs)
+            res = fn(*lead, arg, **params)
+        elif labels and labels[0] is not None:
             res = fn(*lead, **{l: d for l, d in zip(labels, inputs)}, **params)
         else:
             res = fn(*lead, *inputs, **params)
+        if schema is None and isinstance(res, DataFrame):
+            attached = getattr(fn, "__fugue_schema__", None)
+            if attached is not None:
+                schema = attached
         if schema is not None and isinstance(res, DataFrame):
             res = self._coerce_schema(res, schema)
         return res

@@ -380,13 +380,26 @@ def _conform(pdf: pd.DataFrame, out_cols: list[str], name: str) -> pd.DataFrame:
 
 
 def _resolve_fn(using: Any) -> tuple[Any, "str | None", bool]:
-    """→ (callable-or-instance, comment-schema, is_class_transformer)."""
+    """→ (callable-or-instance, attached-or-comment schema, is_class)."""
     if isinstance(using, type) and issubclass(using, Transformer):
         return using(), None, True
     if isinstance(using, Transformer):
         return using, None, True
+    # OutputTransformer class forms (reference: transformer.py
+    # OutputTransformer — override process(); output is discarded)
+    from fugue_spark.extensions import OutputTransformer as _OT
+
+    if isinstance(using, type) and issubclass(using, _OT):
+        using = using()
+    if isinstance(using, _OT):
+        return using.process, None, False
     if callable(using):
-        return using, _schema_from_comment(using), False
+        attached = getattr(using, "__fugue_schema__", None)
+        return (
+            using,
+            attached if attached is not None else _schema_from_comment(using),
+            False,
+        )
     raise ValueError(f"cannot use {using!r} as a transformer")
 
 

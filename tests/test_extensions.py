@@ -1,0 +1,232 @@
+"""Extension decorators / class forms / DataFrames container
+(reference surface: fugue/extensions/*/convert.py decorators,
+fugue/dataframe/dataframes.py, top-level fugue/__init__.py exports)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import fugue_spark.api as fa
+from fugue_spark.schema import parse_schema
+from fugue_spark.sql import fsql
+
+
+def rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(map(str, t)))
+
+
+def test_top_level_exports():
+    import fugue_spark as fs
+
+    for name in (
+        "transformer", "cotransformer", "output_transformer", "creator",
+        "processor", "outputter", "module", "DataFrames", "Transformer",
+        "CoTransformer", "OutputTransformer", "Creator", "Processor",
+        "Outputter", "DataFrame", "Schema", "make_execution_engine",
+        "AnyDataFrame",
+    ):
+        assert getattr(fs, name) is not None, name
+    # Schema("a:int") builds a real StructType
+    st = fs.Schema("a:int,b:str")
+    assert [f.name for f in st.fields] == ["a", "b"]
+
+
+def test_dataframes_container(spark):
+    from fugue_spark import DataFrames
+
+    d1 = spark.createDataFrame([[1]], "a long")
+    d2 = spark.createDataFrame([[2]], "a long")
+    dfs = DataFrames(df1=d1, df2=d2)
+    assert dfs[0] is d1 and dfs["df2"] is d2
+    dfs2 = DataFrames([d1, d2])
+    assert dfs2[1] is d2
+    dfs3 = DataFrames(d1, d2)
+    assert dfs3[0] is d1
+
+
+def test_transformer_decorator(spark):
+    from fugue_spark import transformer
+
+    @transformer("a:int,doubled:int")
+    def tf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(doubled=pdf.a * 2)
+
+    df = spark.createDataFrame([[1], [2]], parse_schema("a:int"))
+    out = fa.transform(df, tf)  # no schema= needed: decorator attached it
+    assert rows(out) == [(1, 2), (2, 4)]
+
+    # validation rules attach and fire
+    from fugue_spark import transformer as tr
+
+    @tr("a:int", partitionby_has=["a"])
+    def tf2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["a"]]
+
+    with pytest.raises(ValueError, match="partition keys"):
+        fa.transform(df, tf2)
+    assert rows(fa.transform(df, tf2, partition={"by": ["a"]})) == [(1,), (2,)]
+
+
+def test_cotransformer_decorator(spark):
+    from fugue_spark import cotransformer
+
+    @cotransformer("k:long,n:long")
+    def merge(cursor, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [cursor["k"]], "n": [len(a) + len(b)]})
+
+    l = spark.createDataFrame([[1, 10], [2, 20]], parse_schema("k:long,x:long"))
+    r = spark.createDataFrame([[1, 30]], parse_schema("k:long,y:long"))
+    out = fa.cotransform([l, r], merge, partition={"by": ["k"]})
+    assert rows(out) == [(1, 2)]
+
+
+def test_output_transformer_class_and_decorator(spark, tmp_path):
+    import os
+
+    from fugue_spark import OutputTransformer, output_transformer
+
+    marker = str(tmp_path)
+
+    class OT(OutputTransformer):
+        def process(self, df, n=0):
+            import uuid
+
+            with open(os.path.join(marker, f"c_{uuid.uuid4().hex}"), "w") as f:
+                f.write(str(len(df) + n))
+
+    fa.out_transform(
+        spark.createDataFrame([[1], [2]], parse_schema("a:int")), OT, params={"n": 2}
+    )
+    assert len(os.listdir(marker)) >= 1
+
+    @output_transformer()
+    def ot_fn(pdf: pd.DataFrame) -> None:
+        import uuid
+
+        with open(os.path.join(marker, f"f_{uuid.uuid4().hex}"), "w") as f:
+            f.write(str(len(pdf)))
+
+    fa.out_transform(spark.createDataFrame([[1]], parse_schema("a:int")), ot_fn)
+    assert any(f.startswith("f_") for f in os.listdir(marker))
+
+
+def test_creator_processor_outputter_in_fsql(spark):
+    from fugue_spark import DataFrames, creator, outputter, processor
+
+    @creator("a:int")
+    def make(spark_, n=2):
+        # returns long; the attached creator schema coerces to int
+        return spark_.createDataFrame([[n]], parse_schema("a:long"))
+
+    @processor()
+    def combine(dfs: DataFrames, n=0):
+        tot = None
+        for d in dfs.values():
+            tot = d if tot is None else tot.unionAll(d)
+        return tot
+
+    seen = []
+
+    @outputter()
+    def sink(dfs: DataFrames):
+        seen.append(sum(d.count() for d in dfs.values()))
+
+    res = fsql(
+        """
+        a = create using make(n=1)
+        b = create using make(n=2)
+        both = process a, b using combine
+        output both using sink
+        yield dataframe as both
+        """,
+        spark=spark,
+        functions={"make": make, "combine": combine, "sink": sink},
+    )
+    assert rows(res["both"]) == [(1,), (2,)]
+    assert res["both"].schema["a"].dataType.simpleString() == "int"
+    assert seen == [2]
+
+
+def test_class_form_processor_outputter(spark):
+    from fugue_spark import DataFrames, Outputter, Processor
+
+    class Comb(Processor):
+        def process(self, dfs: DataFrames):
+            out = None
+            for d in dfs.values():
+                out = d if out is None else out.unionAll(d)
+            return out
+
+    counts = []
+
+    class Sink(Outputter):
+        def process(self, dfs: DataFrames) -> None:
+            counts.append(sum(d.count() for d in dfs.values()))
+
+    d1 = spark.createDataFrame([[1]], "a long")
+    d2 = spark.createDataFrame([[2]], "a long")
+    out = Comb()(d1, d2)
+    assert rows(out) == [(1,), (2,)]
+    Sink()(d1, d2)
+    assert counts == [2]
+
+
+def test_module_decorator(spark):
+    from fugue_spark import module
+
+    @module
+    def pipeline(spark_, df):
+        return df.selectExpr("a + 1 as a")
+
+    assert getattr(pipeline, "__fugue_module__", False)
+    res = fsql(
+        """
+        src = create [[1]] schema a:long
+        out = sub src using pipeline
+        yield dataframe as out
+        """,
+        spark=spark,
+        functions={"pipeline": pipeline},
+    )
+    assert rows(res["out"]) == [(2,)]
+
+
+def test_rpc_handler_surface():
+    from fugue_spark import EmptyRPCHandler, RPCHandler, make_rpc_server, to_rpc_handler
+
+    h = to_rpc_handler(lambda x: x + 1)
+    assert isinstance(h, RPCHandler)
+    with h as hh:
+        assert hh(1) == 2
+    assert isinstance(to_rpc_handler(None), EmptyRPCHandler)
+    with pytest.raises(ValueError):
+        to_rpc_handler(None)(1)
+    assert to_rpc_handler(h) is h
+    with pytest.raises(ValueError):
+        to_rpc_handler(123)
+
+    srv = make_rpc_server({})
+    srv.register("f", lambda v: v * 2).start()
+    try:
+        assert srv.client("f")(21) == 42
+    finally:
+        srv.stop()
+
+
+def test_register_extension_aliases(spark):
+    from fugue_spark import register_transformer
+
+    @register_transformer("reg_tf_r09")
+    def tf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(b=pdf.a + 1)
+
+    res = fsql(
+        """
+        create [[1]] schema a:long
+        transform using reg_tf_r09 schema a:long,b:long
+        yield dataframe as out
+        """,
+        spark=spark,
+    )
+    assert rows(res["out"]) == [(1, 2)]
