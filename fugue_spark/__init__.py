@@ -110,7 +110,13 @@ def __getattr__(name):  # lazy heavy imports (keep `import fugue_spark` light)
         from fugue_spark.partition import PartitionSpec
 
         return PartitionSpec
-    if name in ("FugueWorkflow", "WorkflowDataFrame", "FugueWorkflowError"):
+    if name in (
+        "FugueWorkflow",
+        "WorkflowDataFrame",
+        "WorkflowDataFrames",
+        "FugueSQLWorkflow",
+        "FugueWorkflowError",
+    ):
         import fugue_spark.dag as _d
 
         return getattr(_d, name)

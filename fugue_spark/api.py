@@ -319,6 +319,14 @@ def get_native_as_df(df):
     return df
 
 
+def as_spark(df, schema=None, spark=None):
+    """Coerce any df-like operand to a native Spark DataFrame (reference
+    spark backend: fugue_spark registers ``as_spark`` on fugue.api)."""
+    if isinstance(df, _SparkDataFrame):
+        return df
+    return as_fugue_df(df, schema=schema, spark=spark)
+
+
 def fugue_sql(query: str, spark=None, **kwargs):
     """Reference-named alias of :func:`fugue_spark.sql.fsql` returning the
     single yielded frame when exactly one YIELD exists, else the result

@@ -443,3 +443,64 @@ class FugueWorkflow:
 
     def yields(self) -> dict:
         return dict(self._yields)
+
+
+class WorkflowDataFrames(dict):
+    """Named collection of deferred frames (reference fugue/workflow/
+    workflow.py ``WorkflowDataFrames``): dict or positional init,
+    ``[i]`` by index or name."""
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__()
+        serial = 0
+        for a in args:
+            if isinstance(a, dict):
+                for k, v in a.items():
+                    self[k] = v
+            elif isinstance(a, (list, tuple)):
+                for v in a:
+                    self[f"_{serial}"] = v
+                    serial += 1
+            else:
+                self[f"_{serial}"] = a
+                serial += 1
+        for k, v in kwargs.items():
+            self[k] = v
+
+    def __getitem__(self, key: Any):  # type: ignore[override]
+        if isinstance(key, int):
+            return list(self.values())[key]
+        return super().__getitem__(key)
+
+
+class FugueSQLWorkflow(FugueWorkflow):
+    """Deferred-DAG workflow whose instances are ALSO FugueSQL hosts
+    (reference: fugue/sql/workflow.py ``FugueSQLWorkflow`` — ``dag(...)``
+    appends a SQL block). Calling the workflow with a script defers it;
+    at :meth:`run` the script executes with the given variables —
+    ``WorkflowDataFrame``/``WorkflowDataFrames`` arguments resolve to
+    live frames, callables become USING-resolvable functions — and the
+    script's YIELDs merge into the run result."""
+
+    def __call__(self, script: str, **variables: Any) -> None:
+        def eff(run: _Run) -> None:
+            from fugue_spark.sql import fsql
+
+            functions = {}
+            resolved = {}
+            for k, v in variables.items():
+                if isinstance(v, WorkflowDataFrame):
+                    resolved[k] = v._compute(run)
+                elif isinstance(v, WorkflowDataFrames):
+                    resolved[k] = {
+                        kk: (vv._compute(run) if isinstance(vv, WorkflowDataFrame) else vv)
+                        for kk, vv in v.items()
+                    }
+                elif callable(v) and not isinstance(v, DataFrame):
+                    functions[k] = v
+                else:
+                    resolved[k] = v
+            res = fsql(script, spark=run.spark, functions=functions, **resolved)
+            self._yields.update(res)
+
+        self._effects.append(eff)

@@ -230,3 +230,40 @@ def test_register_extension_aliases(spark):
         spark=spark,
     )
     assert rows(res["out"]) == [(1, 2)]
+
+
+def test_fugue_sql_workflow(spark):
+    """FugueSQLWorkflow (reference fugue/sql/workflow.py): calling the
+    dag with a script defers it; frames/functions pass as variables;
+    YIELDs land in the run result."""
+    from fugue_spark import FugueSQLWorkflow, WorkflowDataFrames
+
+    dag = FugueSQLWorkflow()
+    src = dag.df([[1], [2]], "a:long")
+
+    def double(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(a=pdf.a * 2)
+
+    dag(
+        """
+        out = transform src using double schema a:long
+        yield dataframe as out
+        """,
+        src=src,
+        double=double,
+    )
+    res = dag.run(spark)
+    assert rows(res["out"]) == [(2,), (4,)]
+
+    # WorkflowDataFrames resolve to a member-accessible collection
+    dag2 = FugueSQLWorkflow()
+    pair = WorkflowDataFrames(lo=dag2.df([[1]], "a:long"), hi=dag2.df([[9]], "a:long"))
+    dag2(
+        """
+        out = select * from pair[lo] union all select * from pair[hi]
+        yield dataframe as out
+        """,
+        pair=pair,
+    )
+    res2 = dag2.run(spark)
+    assert rows(res2["out"]) == [(1,), (9,)]
