@@ -712,3 +712,26 @@ def test_fsql_ignore_case_false_is_reference_strict(spark):
             fsql("take 1 row from df", spark, df=df)
     finally:
         spark.conf.set("fugue.sql.compile.ignore_case", "true")
+
+
+def test_strict_mode_postfix_and_setops(spark):
+    """fsql_ignore_case=False with the r09 grammar additions: UPPERCASE
+    postfix chains and general set ops parse; lowercase chain keywords
+    are NOT modifiers in strict mode (they'd be trailing garbage)."""
+    res = fsql(
+        """
+        A = CREATE [[1]] SCHEMA x:long PERSIST BROADCAST
+        CREATE [[2]] SCHEMA x:long UNION SELECT * FROM A
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        fsql_ignore_case=False,
+    )
+    assert rows(res["out"]) == [(1,), (2,)]
+    # lowercase 'persist' under strict mode is not a chain keyword
+    with pytest.raises(FugueSQLError):
+        fsql(
+            "A = CREATE [[1]] SCHEMA x:long persist",
+            spark=spark,
+            fsql_ignore_case=False,
+        )
