@@ -482,13 +482,55 @@ class FugueSQLWorkflow(FugueWorkflow):
     live frames, callables become USING-resolvable functions — and the
     script's YIELDs merge into the run result."""
 
-    def __call__(self, script: str, **variables: Any) -> None:
+    def __call__(self, script: str, *variable_dicts: dict, **variables: Any) -> None:
+        # caller-scope capture (reference get_caller_global_local_vars:
+        # python variables are visible to the SQL by name without being
+        # passed explicitly — tests/fugue/sql/test_workflow.py:124-248)
+        import inspect
+
+        import pandas as _pd
+
+        captured: dict = {}
+        frame = inspect.currentframe()
+        caller = frame.f_back if frame is not None else None
+        if caller is not None:
+            for scope in (caller.f_globals, caller.f_locals):
+                for k, v in scope.items():
+                    if k.startswith("_"):
+                        continue
+                    if isinstance(
+                        v,
+                        (
+                            WorkflowDataFrame,
+                            WorkflowDataFrames,
+                            DataFrame,
+                            _pd.DataFrame,
+                            int,
+                            float,
+                            str,
+                            bool,
+                        ),
+                    ) or (callable(v) and not inspect.isclass(v) and not inspect.ismodule(v)):
+                        captured[k] = v
+        merged = dict(captured)
+        for d in variable_dicts:
+            merged.update(d)
+        merged.update(variables)
+
         def eff(run: _Run) -> None:
+            import pandas as _pd
+
             from fugue_spark.sql import fsql
 
+            # per-run shared scope: frames a previous dag(...) block
+            # defined are visible to this one by name
+            state = getattr(run, "_fsql_state", None)
+            if state is None:
+                state = {}
+                run._fsql_state = state  # type: ignore[attr-defined]
             functions = {}
             resolved = {}
-            for k, v in variables.items():
+            for k, v in merged.items():
                 if isinstance(v, WorkflowDataFrame):
                     resolved[k] = v._compute(run)
                 elif isinstance(v, WorkflowDataFrames):
@@ -496,11 +538,21 @@ class FugueSQLWorkflow(FugueWorkflow):
                         kk: (vv._compute(run) if isinstance(vv, WorkflowDataFrame) else vv)
                         for kk, vv in v.items()
                     }
+                elif isinstance(v, _pd.DataFrame):
+                    from fugue_spark.ingest import to_df
+
+                    resolved[k] = to_df(run.spark, v)
                 elif callable(v) and not isinstance(v, DataFrame):
                     functions[k] = v
                 else:
                     resolved[k] = v
-            res = fsql(script, spark=run.spark, functions=functions, **resolved)
+            res = fsql(
+                script,
+                resolved,
+                spark=run.spark,
+                functions=functions,
+                state=state,
+            )
             self._yields.update(res)
 
         self._effects.append(eff)

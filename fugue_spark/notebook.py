@@ -106,7 +106,7 @@ def _run_cell(
             ):
                 fns[k] = v
         res = fsql(
-            cell, spark, functions=fns, fsql_ignore_case=fsql_ignore_case, **dfs
+            cell, spark=spark, functions=fns, fsql_ignore_case=fsql_ignore_case, **dfs
         )
         for name, frame in res.items():
             ns[name] = frame

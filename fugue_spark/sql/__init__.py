@@ -836,11 +836,53 @@ class _Executor:
             df.createOrReplaceTempView(view)
             tokens[idx : j + 1] = [Token(view, "word", tokens[idx].line)]
 
+    def _substitute_dotted_vars(self, tokens: list[Token]) -> list[Token]:
+        """Resolve dotted VARIABLE names in table position: ``FROM a.x``
+        where ``a.x`` is a passed-in frame (reference: fsql(sql,
+        {"a.x": df}), tests/fugue/sql/test_workflow.py:184-199). Only the
+        token right after FROM/JOIN is considered, so column refs like
+        ``SELECT a.x`` are untouched."""
+        dotted = {
+            n: v
+            for n, v in self.vars.items()
+            if "." in n and isinstance(v, DataFrame)
+        }
+        if not dotted:
+            return tokens
+        tokens = list(tokens)
+        serial = getattr(self, "_dotted_serial", 0)
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == "word" and t.upper in ("FROM", "JOIN") and i + 1 < len(tokens):
+                j = i + 1
+                if tokens[j].kind == "word":
+                    parts = [tokens[j].value]
+                    k = j + 1
+                    while (
+                        k + 1 < len(tokens)
+                        and tokens[k].value == "."
+                        and tokens[k + 1].kind == "word"
+                    ):
+                        parts.append(tokens[k + 1].value)
+                        k += 2
+                    name = ".".join(parts)
+                    if name in dotted:
+                        view = f"__fugue_dotted_{serial}__"
+                        serial += 1
+                        dotted[name].createOrReplaceTempView(view)
+                        tokens[j:k] = [Token(view, "word", tokens[j].line)]
+            i += 1
+        self._dotted_serial = serial
+        return tokens
+
     def _sql_select(self, tokens: list[Token]) -> DataFrame:
         # register in-scope frames as temp views named as their variables
+        # (dotted names can't be temp views — they substitute per-query)
         for name, df in self.vars.items():
-            if isinstance(df, DataFrame):
+            if isinstance(df, DataFrame) and "." not in name:
                 df.createOrReplaceTempView(name)
+        tokens = self._substitute_dotted_vars(tokens)
         tokens = self._substitute_nested(tokens)
         has_from = any(t.upper == "FROM" for t in tokens)
         sql = _sql_text(tokens)
@@ -1365,10 +1407,12 @@ _JINJA_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
 
 def fsql(
     script: str,
+    variables_dict: "dict[str, Any] | None" = None,
     spark: "SparkSession | None" = None,
     functions: "dict[str, Callable] | None" = None,
     yield_dir: "str | None" = None,
     fsql_ignore_case: "bool | None" = None,
+    state: "dict[str, Any] | None" = None,
     **variables: Any,
 ) -> FugueSQLResult:
     """Run a FugueSQL-superset script; returns yields (dict) with ``.last``.
@@ -1382,7 +1426,17 @@ def fsql(
     as statements. Default ``None`` resolves the spark conf
     ``fugue.sql.compile.ignore_case`` if set, else True — this engine is
     permissive by default (a documented superset of the reference's strict
-    default)."""
+    default).
+
+    ``variables_dict`` is the reference's dict-positional variables form
+    (``fsql(sql, {"a.x": df})`` — names that aren't python identifiers,
+    e.g. dotted, can only arrive this way; they resolve in table position).
+    ``state``, when given, pre-seeds the variable scope and receives the
+    final scope back — FugueSQLWorkflow uses it so multiple ``dag(...)``
+    blocks share frames by name (reference fugue/sql/workflow.py)."""
+    if isinstance(variables_dict, SparkSession):
+        # tolerate the legacy positional form fsql(script, spark)
+        spark, variables_dict = variables_dict, None
     if spark is None:
         from fugue_spark.context import current_spark
 
@@ -1393,17 +1447,21 @@ def fsql(
         except Exception:
             conf = "true"
         fsql_ignore_case = str(conf).lower() not in ("0", "false", "no")
+    all_vars = dict(variables_dict or {})
+    all_vars.update(variables)
 
     def sub(m: re.Match) -> str:
         name = m.group(1)
-        if name not in variables:
+        if name not in all_vars:
             raise FugueSQLError(f"undefined template variable {name!r}")
-        v = variables[name]
+        v = all_vars[name]
         return str(v)
 
     script = _JINJA_RE.sub(sub, script)
     ex = _Executor(spark, functions, yield_dir, ignore_case=fsql_ignore_case)
-    for name, val in variables.items():
+    if state:
+        ex.vars.update(state)
+    for name, val in all_vars.items():
         if isinstance(val, DataFrame):
             ex.vars[name] = val
         elif isinstance(val, (dict, list, tuple)) and val and all(
@@ -1412,7 +1470,18 @@ def fsql(
         ):
             # collection variable: access elements with name[idx] / name[key]
             ex.vars[name] = val
+        elif isinstance(val, str) and (
+            val.endswith(".parquet") or os.path.isdir(val) or os.path.isfile(val)
+        ):
+            # a YIELD FILE result used as a source in a later script
+            # (reference: test_workflow.py:205-218 'from yield file')
+            try:
+                ex.vars[name] = fa.load(spark, val)
+            except Exception:  # noqa: BLE001 - not a loadable path after all
+                pass
     for stmt in split_statements(script, ignore_case=fsql_ignore_case):
         ex.run_statement(stmt)
     ex.result.last = ex.last if isinstance(ex.last, DataFrame) else None
+    if state is not None:
+        state.update(ex.vars)
     return ex.result

@@ -267,3 +267,59 @@ def test_fugue_sql_workflow(spark):
     )
     res2 = dag2.run(spark)
     assert rows(res2["out"]) == [(1,), (9,)]
+
+
+def test_fugue_sql_workflow_shared_scope(spark):
+    """Multiple dag(...) blocks share frame scope, caller variables are
+    visible by name, dict-positional variables allow dotted names
+    (reference tests/fugue/sql/test_workflow.py:124-260)."""
+    from fugue_spark import FugueSQLWorkflow
+
+    with FugueSQLWorkflow() as dag:
+        a = dag.df([[0], [1]], "a:int")  # noqa: F841 - visible by capture
+        dag("b = create [[0],[1]] schema a:int")
+        dag(
+            """
+            u = select * from b union all select * from a
+            yield dataframe as u
+            """
+        )
+    res = dag.run(spark)
+    assert sorted(rows(res["u"])) == [(0,), (0,), (1,), (1,)]
+
+    # caller pandas variable + jinja param mix (ref test_use_param)
+    df1 = pd.DataFrame([[7]], columns=["a"])  # noqa: F841
+    x = 5  # noqa: F841
+    dag2 = FugueSQLWorkflow()
+    dag2(
+        """
+        b = create [[{{x}}], [{{y}}]] schema a:long
+        u2 = select * from b union all select a from df1
+        yield dataframe as u2
+        """,
+        y=6,
+    )
+    res2 = dag2.run(spark)
+    assert sorted(rows(res2["u2"])) == [(5,), (6,), (7,)]
+
+
+def test_fsql_dotted_variable_names(spark):
+    """fsql(sql, {"a.x": df}) — dotted names resolve in table position
+    (reference tests/fugue/sql/test_workflow.py:184-199)."""
+    arr = spark.createDataFrame([[0], [1]], parse_schema("a:int"))
+    res = fsql(
+        """
+        b = create [[0], [1]] schema a:int
+        q1 = select * from a.x
+        yield dataframe as q1
+        q2 = select x.* from a.x AS x
+        yield dataframe as q2
+        q3 = select x.*, y.a AS b from a.x x INNER JOIN a.x y ON x.a = y.a
+        yield dataframe as q3
+        """,
+        {"a.x": arr},
+        spark=spark,
+    )
+    assert rows(res["q1"]) == [(0,), (1,)]
+    assert rows(res["q2"]) == [(0,), (1,)]
+    assert rows(res["q3"]) == [(0, 0), (1, 1)]
