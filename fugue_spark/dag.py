@@ -512,6 +512,11 @@ class FugueSQLWorkflow(FugueWorkflow):
                         ),
                     ) or (callable(v) and not inspect.isclass(v) and not inspect.ismodule(v)):
                         captured[k] = v
+                    elif not inspect.ismodule(v) and not inspect.isclass(v) and v is not None:
+                        # plain objects: visible for ``USING obj.method`` /
+                        # ``CALLBACK obj.method`` attribute resolution
+                        # (reference test_workflow.py:311-368)
+                        captured[k] = v
         merged = dict(captured)
         for d in variable_dicts:
             merged.update(d)
@@ -542,7 +547,10 @@ class FugueSQLWorkflow(FugueWorkflow):
                     from fugue_spark.ingest import to_df
 
                     resolved[k] = to_df(run.spark, v)
-                elif callable(v) and not isinstance(v, DataFrame):
+                elif isinstance(v, (int, float, str, bool)) or v is None:
+                    resolved[k] = v
+                elif callable(v) or not isinstance(v, (list, tuple, dict, set)):
+                    # callables AND plain objects: USING/CALLBACK namespace
                     functions[k] = v
                 else:
                     resolved[k] = v

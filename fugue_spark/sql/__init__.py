@@ -184,6 +184,19 @@ class _Executor:
         if name in _EXTENSIONS:
             return _EXTENSIONS[name]
         if "." in name:
+            # instance attribute on a passed-in object — ``USING m.t`` /
+            # ``CALLBACK cb.incr`` where m/cb came via functions= (or
+            # FugueSQLWorkflow caller capture); reference:
+            # tests/fugue/sql/test_workflow.py:311-368
+            head, _, rest = name.partition(".")
+            obj = self.functions.get(head, _EXTENSIONS.get(head))
+            if obj is not None:
+                try:
+                    for part in rest.split("."):
+                        obj = getattr(obj, part)
+                    return obj
+                except AttributeError as ex:
+                    raise FugueSQLError(f"cannot resolve {name!r}: {ex}") from ex
             mod, _, attr = name.rpartition(".")
             try:
                 return getattr(importlib.import_module(mod), attr)

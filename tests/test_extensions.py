@@ -323,3 +323,71 @@ def test_fsql_dotted_variable_names(spark):
     assert rows(res["q1"]) == [(0,), (1,)]
     assert rows(res["q2"]) == [(0,), (1,)]
     assert rows(res["q3"]) == [(0, 0), (1, 1)]
+
+
+def test_local_instance_as_extension(spark):
+    """USING obj.method / self.method — instance attributes resolve
+    through the captured caller object (reference
+    tests/fugue/sql/test_workflow.py:311-338)."""
+    from fugue_spark import FugueSQLWorkflow
+
+    class _Mock:
+        # schema: *
+        def t(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df
+
+        def run_inner(self, spark_):
+            with FugueSQLWorkflow() as dag:
+                dag(
+                    """
+                a = create [[0],[1]] schema a:int
+                b = transform using self.t
+                yield dataframe as b
+                """
+                )
+            return dag.run(spark_)
+
+    m = _Mock()
+    assert rows(m.run_inner(spark)["b"]) == [(0,), (1,)]
+
+    with FugueSQLWorkflow() as dag:
+        dag(
+            """
+        a = create [[0],[1]] schema a:int
+        b = transform using m.t
+        yield dataframe as b
+        """
+        )
+    assert rows(dag.run(spark)["b"]) == [(0,), (1,)]
+
+
+def test_callback_instance_method(spark):
+    """CALLBACK obj.method (reference test_workflow.py:341-368): worker
+    callbacks route to the driver-side instance method; PERSIST postfix
+    keeps the transform from recomputing."""
+    from fugue_spark import FugueSQLWorkflow
+
+    class CB:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self, n):
+            self.n += n
+            return self.n
+
+    cb = CB()
+
+    # schema: *
+    def t(df: pd.DataFrame, callback=None) -> pd.DataFrame:
+        callback(1.0)
+        return df
+
+    with FugueSQLWorkflow() as dag:
+        dag(
+            """
+        a = create [[0],[1],[1]] schema a:int
+        transform prepartition by a using t callback cb.incr persist
+        """
+        )
+    dag.run(spark)
+    assert cb.n == 2  # two a-groups, one callback each
