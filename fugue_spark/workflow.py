@@ -45,13 +45,21 @@ def _checkpoint_dir() -> str:
 
 
 def plan_signature(df: DataFrame, namespace: str = "") -> "str | None":
-    """Determinism key for a dataframe: hash of the analyzed logical plan
-    (+ namespace), mirroring the reference's task uuid
-    (fugue/workflow/_tasks.py:85-98) but derived from Spark's plan.
+    """Determinism key for a dataframe: hash of the CANONICALIZED analyzed
+    plan + output schema + per-leaf source paths (+ namespace), mirroring
+    the reference's task uuid (fugue/workflow/_tasks.py:85-98) but derived
+    from Spark's plan.
 
-    Expression ids (``col#123``) are normalized out — they encode only
-    creation order within a session, so keeping them would break legit
-    cross-run cache hits for identical file-backed plans.
+    Canonicalization (Catalyst ``QueryPlan.canonicalized``) renumbers
+    expression ids deterministically by position — identical file-backed
+    plans hash identically across sessions — while leaving literal text
+    untouched, so ``filter(s == '#1')`` and ``filter(s == '#2')`` stay
+    distinct (a naive ``#\\d+`` strip conflates them, and conflates which
+    side of a self-join a column came from). Canonicalization also erases
+    alias/column NAMES and relation LOCATIONS, so both are hashed back in:
+    the dataframe's schema string, and each leaf relation's root paths in
+    plan order (two different parquet files with the same schema must not
+    share a checkpoint).
 
     Returns ``None`` for plans rooted in raw driver data (LogicalRDD /
     LocalRelation): their plan text carries NO data content, so two
@@ -60,13 +68,31 @@ def plan_signature(df: DataFrame, namespace: str = "") -> "str | None":
     explicit ``data_determiner`` hashes the data
     (fugue/workflow/workflow.py df() / _tasks.py CreateData determinism).
     """
-    import re as _re
-
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if "LogicalRDD" in plan or "LocalRelation" in plan:
+    analyzed = df._jdf.queryExecution().analyzed()
+    raw = analyzed.toString()
+    if "LogicalRDD" in raw or "LocalRelation" in raw:
         return None
-    plan = _re.sub(r"#\d+", "#", plan)
-    return hashlib.sha256((namespace + "\n" + plan).encode()).hexdigest()[:32]
+    text = analyzed.canonicalized().toString()
+    leaves = analyzed.collectLeaves()
+    sources = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        try:
+            paths = leaf.relation().location().rootPaths()
+            sources.append(
+                ";".join(paths.apply(k).toString() for k in range(paths.size()))
+            )
+            continue
+        except Exception:
+            pass
+        try:  # DataSourceV2 / catalog tables identify by table name
+            sources.append("table:" + leaf.table().name())
+            continue
+        except Exception:
+            pass
+        sources.append("leaf:" + leaf.getClass().getName())
+    payload = "\n".join([namespace, text, df.schema.simpleString(), *sources])
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
 def deterministic_checkpoint(df: DataFrame, namespace: str = "") -> DataFrame:

@@ -361,6 +361,57 @@ def test_checkpoint_kinds_semantics(spark, tmp_path):
     assert len(ckpts) == 1
 
 
+def test_plan_signature_collision_classes(spark, tmp_path):
+    """plan_signature must distinguish plans a naive exprId-strip conflates:
+    string literals that LOOK like exprIds, which side of a self-join a
+    column came from, and two same-schema files at different paths (the
+    canonicalized plan text omits relation locations entirely)."""
+    import pyspark.sql.functions as F
+
+    from fugue_spark.workflow import plan_signature
+
+    src = os.path.join(str(tmp_path), "sig_src.parquet")
+    spark.createDataFrame(
+        [["#1", 1], ["#2", 2]], parse_schema("s:str,v:long")
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    # literal '#1' vs '#2' (plan text prints string literals bare)
+    assert plan_signature(df.filter(F.col("s") == "#1")) != plan_signature(
+        df.filter(F.col("s") == "#2")
+    )
+
+    # self-join: selecting left.v vs right.v are different plans
+    j = df.alias("l").join(df.alias("r"), F.col("l.s") == F.col("r.s"))
+    assert plan_signature(j.select(F.col("l.v"))) != plan_signature(
+        j.select(F.col("r.v"))
+    )
+
+    # same schema, different file -> different signature
+    src2 = os.path.join(str(tmp_path), "sig_src2.parquet")
+    spark.createDataFrame(
+        [["a", 9]], parse_schema("s:str,v:long")
+    ).write.parquet(src2)
+    assert plan_signature(spark.read.parquet(src)) != plan_signature(
+        spark.read.parquet(src2)
+    )
+
+    # different output names (canonicalization erases Alias names; the
+    # schema is hashed back in so a reloaded checkpoint keeps right names)
+    assert plan_signature(df.select(F.col("v").alias("x"))) != plan_signature(
+        df.select(F.col("v").alias("y"))
+    )
+
+    # stability: rebuilding the identical plan (fresh exprIds) hashes equal
+    assert plan_signature(spark.read.parquet(src).filter("v > 1")) == plan_signature(
+        spark.read.parquet(src).filter("v > 1")
+    )
+
+    # raw driver data still has no key
+    local = spark.createDataFrame([[1]], parse_schema("x:long"))
+    assert plan_signature(local) is None
+
+
 def test_module_statement(spark):
     def double_and_filter(spark_, df, min_x=0):
         return df.selectExpr("x * 2 AS x").where(f"x >= {min_x}")
