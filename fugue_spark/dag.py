@@ -485,38 +485,28 @@ class FugueSQLWorkflow(FugueWorkflow):
     def __call__(self, script: str, *variable_dicts: dict, **variables: Any) -> None:
         # caller-scope capture (reference get_caller_global_local_vars:
         # python variables are visible to the SQL by name without being
-        # passed explicitly — tests/fugue/sql/test_workflow.py:124-248)
+        # passed explicitly — tests/fugue/sql/test_workflow.py:124-248).
+        # Capture is LAZY by name: only identifiers the script's token
+        # stream actually references are snapshotted, so an unrelated
+        # (possibly huge) caller local is never retained by the deferred
+        # dag and cannot shadow anything the script doesn't mention.
+        # Resolution order for a referenced name: caller globals < caller
+        # locals < *variable_dicts (in order) < **variables.
         import inspect
 
-        import pandas as _pd
-
+        referenced = self._script_identifiers(script)
         captured: dict = {}
         frame = inspect.currentframe()
         caller = frame.f_back if frame is not None else None
         if caller is not None:
             for scope in (caller.f_globals, caller.f_locals):
-                for k, v in scope.items():
-                    if k.startswith("_"):
+                for k in referenced:
+                    if k.startswith("_") or k not in scope:
                         continue
-                    if isinstance(
-                        v,
-                        (
-                            WorkflowDataFrame,
-                            WorkflowDataFrames,
-                            DataFrame,
-                            _pd.DataFrame,
-                            int,
-                            float,
-                            str,
-                            bool,
-                        ),
-                    ) or (callable(v) and not inspect.isclass(v) and not inspect.ismodule(v)):
-                        captured[k] = v
-                    elif not inspect.ismodule(v) and not inspect.isclass(v) and v is not None:
-                        # plain objects: visible for ``USING obj.method`` /
-                        # ``CALLBACK obj.method`` attribute resolution
-                        # (reference test_workflow.py:311-368)
-                        captured[k] = v
+                    v = scope[k]
+                    if v is None or inspect.ismodule(v) or inspect.isclass(v):
+                        continue
+                    captured[k] = v
         merged = dict(captured)
         for d in variable_dicts:
             merged.update(d)
@@ -564,3 +554,23 @@ class FugueSQLWorkflow(FugueWorkflow):
             self._yields.update(res)
 
         self._effects.append(eff)
+
+    @staticmethod
+    def _script_identifiers(script: str) -> "set[str]":
+        """The identifier names a FugueSQL script can resolve from caller
+        scope: every word token outside comments/strings (table refs,
+        USING/CALLBACK names and the leading part of dotted forms, Jinja
+        targets — keywords are included but never collide with locals
+        meaningfully). Falls back to a bare word-regex over-approximation
+        if the script doesn't tokenize (the error surfaces later, at run)."""
+        import re as _re
+
+        # Jinja refs can live inside string literals ("{{path}}") where the
+        # tokenizer can't see them — collect them from the raw text
+        names = set(_re.findall(r"{{\s*([A-Za-z_][A-Za-z0-9_]*)\s*}}", script))
+        try:
+            from fugue_spark.sql.tokenizer import tokenize
+
+            return names | {t.value for t in tokenize(script) if t.kind == "word"}
+        except Exception:
+            return names | set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", script))

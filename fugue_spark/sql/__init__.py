@@ -50,7 +50,13 @@ _CHAIN_START = {
 }
 _SETOP_KWS = ("UNION", "INTERSECT", "EXCEPT", "MINUS")
 
-__all__ = ["fsql", "FugueSQLError", "FugueSQLResult", "register_extension"]
+__all__ = [
+    "fsql",
+    "FugueSQLError",
+    "FugueSQLResult",
+    "YieldedFile",
+    "register_extension",
+]
 
 # global extension registry (reference: named extensions resolvable from
 # FugueSQL USING clauses; builtin_suite.py:1536 extension registry)
@@ -87,6 +93,13 @@ class FugueSQLResult(dict):
     def __init__(self):
         super().__init__()
         self.last: "DataFrame | None" = None
+
+
+class YieldedFile(str):
+    """Path produced by ``YIELD FILE`` — tagged so a later ``fsql`` call
+    can recognize it as a loadable source (reference: 'from yield file',
+    fugue test_workflow.py:205-218) without guessing from arbitrary
+    caller strings."""
 
 
 class _Cursor:
@@ -923,9 +936,12 @@ class _Executor:
     # -- create / load / save --
 
     def _coerce_schema(self, df: DataFrame, schema: str) -> DataFrame:
-        """Apply a SCHEMA clause to an extension's output positionally
-        (rename + cast), as the reference interprets a creator/processor
-        output with the declared schema."""
+        """Apply a SCHEMA clause to an extension's output. Aligns strictly
+        BY NAME when every declared column exists in the output (the
+        reference's PandasDataFrame._apply_schema does pdf[schema.names] —
+        an extension returning the right columns in a different order must
+        not get its data relabeled); falls back to positional rename+cast
+        only when the declared names don't all appear (the rename case)."""
         from pyspark.sql import functions as F
 
         from fugue_spark.schema import parse_schema
@@ -935,6 +951,10 @@ class _Executor:
             raise FugueSQLError(
                 f"SCHEMA {schema!r} has {len(st.fields)} columns but the "
                 f"extension produced {len(df.columns)}"
+            )
+        if all(f.name in df.columns for f in st.fields):
+            return df.select(
+                *(F.col(f.name).cast(f.dataType) for f in st.fields)
             )
         return df.select(
             *(
@@ -1186,12 +1206,9 @@ class _Executor:
         if c.peek() is not None and c.peek().kind == "number":
             n = int(c.pop().value)
             c.match("ROWS") or c.match("ROW")
-        names = []
-        if c.match("FROM"):
-            names = self._df_ref_list(c)
-        else:
-            # FROM is optional in the reference grammar: ``print dfs[0]``
-            names = self._df_ref_list(c)
+        # FROM is optional in the reference grammar: ``print dfs[0]``
+        c.match("FROM")
+        names = self._df_ref_list(c)
         rowcount = c.match("ROWCOUNT")
         title = None
         if c.match("TITLE"):
@@ -1340,7 +1357,7 @@ class _Executor:
             base = self.yield_dir or tempfile.mkdtemp(prefix="fugue_sql_yield_")
             path = os.path.join(base, f"{name}.parquet")
             fa.save(df, path, mode="overwrite")
-            self.result[name] = path
+            self.result[name] = YieldedFile(path)
         else:
             df.write.mode("overwrite").saveAsTable(name)
             self.result[name] = name
@@ -1483,15 +1500,21 @@ def fsql(
         ):
             # collection variable: access elements with name[idx] / name[key]
             ex.vars[name] = val
-        elif isinstance(val, str) and (
-            val.endswith(".parquet") or os.path.isdir(val) or os.path.isfile(val)
-        ):
+        elif isinstance(val, YieldedFile):
             # a YIELD FILE result used as a source in a later script
-            # (reference: test_workflow.py:205-218 'from yield file')
-            try:
-                ex.vars[name] = fa.load(spark, val)
-            except Exception:  # noqa: BLE001 - not a loadable path after all
-                pass
+            # (reference: test_workflow.py:205-218 'from yield file') —
+            # tagged at yield time, so a load failure is a real error
+            ex.vars[name] = fa.load(spark, str(val))
+        elif (
+            isinstance(val, str)
+            and val.endswith((".parquet", ".csv", ".json", ".csv.gz", ".json.gz"))
+            and os.path.exists(val)
+        ):
+            # an explicit data-file path that exists: load it (raising on
+            # a real load error). A not-yet-existing path stays a string —
+            # it may be a SAVE destination — and an arbitrary string that
+            # merely names some existing dir is never loaded.
+            ex.vars[name] = fa.load(spark, val)
     for stmt in split_statements(script, ignore_case=fsql_ignore_case):
         ex.run_statement(stmt)
     ex.result.last = ex.last if isinstance(ex.last, DataFrame) else None

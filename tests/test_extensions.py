@@ -303,6 +303,42 @@ def test_fugue_sql_workflow_shared_scope(spark):
     assert sorted(rows(res2["u2"])) == [(5,), (6,), (7,)]
 
 
+def test_fugue_sql_workflow_lazy_capture(spark):
+    """Capture is lazy by name: a caller local the script never references
+    is neither retained by the deferred dag (weakref dies at scope exit)
+    nor converted/loaded at run time, and cannot shadow a passed variable."""
+    import gc
+    import weakref
+
+    from fugue_spark import FugueSQLWorkflow
+
+    class _Big:
+        pass
+
+    def build():
+        big = _Big()  # unreferenced by the script — must not be retained
+        # a pandas frame Spark can't ingest: if capture were blanket, the
+        # run-time to_df conversion would blow up
+        bad_pdf = pd.DataFrame({"z": [object()]})  # noqa: F841
+        dag = FugueSQLWorkflow()
+        dag("out = create [[1]] schema a:long\nyield dataframe as out")
+        return dag, weakref.ref(big)
+
+    dag, ref = build()
+    gc.collect()
+    assert ref() is None, "unreferenced caller local retained by deferred dag"
+    assert rows(dag.run(spark)["out"]) == [(1,)]
+
+    # explicit variables beat captured caller scope for the same name
+    src = pd.DataFrame({"a": [111]})  # noqa: F841 - shadowed by kwarg below
+    dag2 = FugueSQLWorkflow()
+    dag2(
+        "out = select * from src\nyield dataframe as out",
+        src=pd.DataFrame({"a": [7]}),
+    )
+    assert rows(dag2.run(spark)["out"]) == [(7,)]
+
+
 def test_fsql_dotted_variable_names(spark):
     """fsql(sql, {"a.x": df}) — dotted names resolve in table position
     (reference tests/fugue/sql/test_workflow.py:184-199)."""

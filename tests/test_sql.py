@@ -198,6 +198,39 @@ def test_process_and_output(spark):
     assert seen == [2]
 
 
+def test_schema_clause_aligns_by_name(spark):
+    """A declared SCHEMA whose names all exist in the extension output must
+    align BY NAME (reference pandas_dataframe._apply_schema selects
+    pdf[schema.names]) — an out-of-order return must not be relabeled."""
+
+    def reordered(spark_):
+        return spark_.createDataFrame([(10, "a")], "v long, k string")
+
+    res = fsql(
+        """
+        CREATE USING reordered SCHEMA k:str,v:long
+        YIELD DATAFRAME AS out
+        """,
+        spark=spark,
+        functions={"reordered": reordered},
+    )
+    out = res["out"]
+    assert out.columns == ["k", "v"]
+    assert rows(out) == [("a", 10)]
+
+    # disjoint names -> positional rename+cast (the rename form) still works
+    def fresh(spark_):
+        return spark_.createDataFrame([(1, 2)], "a long, b long")
+
+    res2 = fsql(
+        "CREATE USING fresh SCHEMA x:long,y:long\nYIELD DATAFRAME AS out",
+        spark=spark,
+        functions={"fresh": fresh},
+    )
+    assert res2["out"].columns == ["x", "y"]
+    assert rows(res2["out"]) == [(1, 2)]
+
+
 def test_frame_statements(spark):
     res = fsql(
         """
@@ -256,6 +289,52 @@ def test_yield_file(spark, tmp_path):
     )
     assert os.path.exists(res["f"])
     assert rows(spark.read.parquet(res["f"])) == [(7,)]
+
+
+def test_yield_file_reuse_and_string_source_rules(spark, tmp_path):
+    """YieldedFile results load as sources in a later script; an arbitrary
+    string that names an existing dir is NOT loaded; a not-yet-existing
+    .parquet string stays a string (it may be a SAVE destination); a
+    tagged YieldedFile that fails to load raises instead of passing."""
+    from fugue_spark.sql import YieldedFile
+
+    res = fsql(
+        "CREATE [[7]] SCHEMA x:long\nYIELD FILE AS f",
+        spark=spark,
+        yield_dir=str(tmp_path),
+    )
+    assert isinstance(res["f"], YieldedFile)
+    res2 = fsql(
+        "SELECT x FROM f WHERE x > 1\nYIELD DATAFRAME AS out",
+        spark=spark,
+        f=res["f"],
+    )
+    assert rows(res2["out"]) == [(7,)]
+
+    # existing-dir string: never loaded, script runs untouched by it
+    res3 = fsql(
+        "CREATE [[1]] SCHEMA x:long\nYIELD DATAFRAME AS out",
+        spark=spark,
+        note=str(tmp_path),
+    )
+    assert rows(res3["out"]) == [(1,)]
+
+    # save-destination pattern: nonexistent .parquet stays a plain string
+    dest = os.path.join(str(tmp_path), "dest_out.parquet")
+    res4 = fsql(
+        'CREATE [[3]] SCHEMA x:long\nSAVE OVERWRITE "{{dest}}"',
+        spark=spark,
+        dest=dest,
+    )
+    assert rows(spark.read.parquet(dest)) == [(3,)]
+
+    # a broken tagged path is a real error, not a silent pass
+    with pytest.raises(Exception):
+        fsql(
+            "SELECT x FROM g\nYIELD DATAFRAME AS out",
+            spark=spark,
+            g=YieldedFile(os.path.join(str(tmp_path), "missing.parquet")),
+        )
 
 
 def test_jinja_and_df_variables(spark):
