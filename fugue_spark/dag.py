@@ -480,7 +480,21 @@ class FugueSQLWorkflow(FugueWorkflow):
     at :meth:`run` the script executes with the given variables —
     ``WorkflowDataFrame``/``WorkflowDataFrames`` arguments resolve to
     live frames, callables become USING-resolvable functions — and the
-    script's YIELDs merge into the run result."""
+    script's YIELDs merge into the run result.
+
+    ``conf`` mirrors the reference's compile-conf dict
+    (tests/fugue/sql/test_workflow.py:23-38): pass
+    ``{"fugue.sql.compile.ignore_case": True}`` for case-insensitive
+    keywords; the default is the reference's strict mode (exact-UPPERCASE
+    keywords only)."""
+
+    def __init__(self, conf: "dict | None" = None):
+        super().__init__()
+        self.conf = dict(conf or {})
+        v = self.conf.get("fugue.sql.compile.ignore_case")
+        self._ignore_case: "bool | None" = (
+            None if v is None else str(v).lower() in ("1", "true", "yes")
+        )
 
     def __call__(self, script: str, *variable_dicts: dict, **variables: Any) -> None:
         # caller-scope capture (reference get_caller_global_local_vars:
@@ -550,6 +564,7 @@ class FugueSQLWorkflow(FugueWorkflow):
                 spark=run.spark,
                 functions=functions,
                 state=state,
+                fsql_ignore_case=self._ignore_case,
             )
             self._yields.update(res)
 

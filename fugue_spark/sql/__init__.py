@@ -1454,9 +1454,9 @@ def fsql(
     EXACT-UPPERCASE words are statement keywords, protecting lowercase
     identifiers (a column named ``take`` at a line start) from being read
     as statements. Default ``None`` resolves the spark conf
-    ``fugue.sql.compile.ignore_case`` if set, else True — this engine is
-    permissive by default (a documented superset of the reference's strict
-    default).
+    ``fugue.sql.compile.ignore_case`` if set, else False — STRICT, the
+    reference's default; set the conf to true (or pass
+    ``fsql_ignore_case=True``) for permissive parsing.
 
     ``variables_dict`` is the reference's dict-positional variables form
     (``fsql(sql, {"a.x": df})`` — names that aren't python identifiers,
@@ -1473,10 +1473,10 @@ def fsql(
         spark = current_spark()
     if fsql_ignore_case is None:
         try:
-            conf = spark.conf.get("fugue.sql.compile.ignore_case", "true")
+            conf = spark.conf.get("fugue.sql.compile.ignore_case", "false")
         except Exception:
-            conf = "true"
-        fsql_ignore_case = str(conf).lower() not in ("0", "false", "no")
+            conf = "false"
+        fsql_ignore_case = str(conf).lower() in ("1", "true", "yes")
     all_vars = dict(variables_dict or {})
     all_vars.update(variables)
 

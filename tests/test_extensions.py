@@ -142,6 +142,7 @@ def test_creator_processor_outputter_in_fsql(spark):
         """,
         spark=spark,
         functions={"make": make, "combine": combine, "sink": sink},
+        fsql_ignore_case=True,
     )
     assert rows(res["both"]) == [(1,), (2,)]
     assert res["both"].schema["a"].dataType.simpleString() == "int"
@@ -188,6 +189,7 @@ def test_module_decorator(spark):
         """,
         spark=spark,
         functions={"pipeline": pipeline},
+        fsql_ignore_case=True,
     )
     assert rows(res["out"]) == [(2,)]
 
@@ -228,6 +230,7 @@ def test_register_extension_aliases(spark):
         yield dataframe as out
         """,
         spark=spark,
+        fsql_ignore_case=True,
     )
     assert rows(res["out"]) == [(1, 2)]
 
@@ -238,7 +241,7 @@ def test_fugue_sql_workflow(spark):
     YIELDs land in the run result."""
     from fugue_spark import FugueSQLWorkflow, WorkflowDataFrames
 
-    dag = FugueSQLWorkflow()
+    dag = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True})
     src = dag.df([[1], [2]], "a:long")
 
     def double(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -256,7 +259,7 @@ def test_fugue_sql_workflow(spark):
     assert rows(res["out"]) == [(2,), (4,)]
 
     # WorkflowDataFrames resolve to a member-accessible collection
-    dag2 = FugueSQLWorkflow()
+    dag2 = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True})
     pair = WorkflowDataFrames(lo=dag2.df([[1]], "a:long"), hi=dag2.df([[9]], "a:long"))
     dag2(
         """
@@ -275,7 +278,7 @@ def test_fugue_sql_workflow_shared_scope(spark):
     (reference tests/fugue/sql/test_workflow.py:124-260)."""
     from fugue_spark import FugueSQLWorkflow
 
-    with FugueSQLWorkflow() as dag:
+    with FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True}) as dag:
         a = dag.df([[0], [1]], "a:int")  # noqa: F841 - visible by capture
         dag("b = create [[0],[1]] schema a:int")
         dag(
@@ -290,7 +293,7 @@ def test_fugue_sql_workflow_shared_scope(spark):
     # caller pandas variable + jinja param mix (ref test_use_param)
     df1 = pd.DataFrame([[7]], columns=["a"])  # noqa: F841
     x = 5  # noqa: F841
-    dag2 = FugueSQLWorkflow()
+    dag2 = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True})
     dag2(
         """
         b = create [[{{x}}], [{{y}}]] schema a:long
@@ -320,7 +323,7 @@ def test_fugue_sql_workflow_lazy_capture(spark):
         # a pandas frame Spark can't ingest: if capture were blanket, the
         # run-time to_df conversion would blow up
         bad_pdf = pd.DataFrame({"z": [object()]})  # noqa: F841
-        dag = FugueSQLWorkflow()
+        dag = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True})
         dag("out = create [[1]] schema a:long\nyield dataframe as out")
         return dag, weakref.ref(big)
 
@@ -331,12 +334,33 @@ def test_fugue_sql_workflow_lazy_capture(spark):
 
     # explicit variables beat captured caller scope for the same name
     src = pd.DataFrame({"a": [111]})  # noqa: F841 - shadowed by kwarg below
-    dag2 = FugueSQLWorkflow()
+    dag2 = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True})
     dag2(
         "out = select * from src\nyield dataframe as out",
         src=pd.DataFrame({"a": [7]}),
     )
     assert rows(dag2.run(spark)["out"]) == [(7,)]
+
+
+def test_fugue_sql_workflow_strict_default(spark):
+    """Reference parity (tests/fugue/sql/test_workflow.py:23-38): a bare
+    FugueSQLWorkflow is strict — lowercase statements raise; the
+    ignore_case compile conf opts in, in either bool or string form."""
+    from fugue_spark import FugueSQLWorkflow
+    from fugue_spark.sql import FugueSQLError
+
+    dag = FugueSQLWorkflow()
+    dag("create [[0]] schema a:int")
+    with pytest.raises(FugueSQLError, match="UPPERCASE"):
+        dag.run(spark)
+
+    dag2 = FugueSQLWorkflow({"fugue.sql.compile.ignore_case": "true"})
+    dag2("out = create [[0]] schema a:int\nyield dataframe as out")
+    assert rows(dag2.run(spark)["out"]) == [(0,)]
+
+    dag3 = FugueSQLWorkflow()
+    dag3("out = CREATE [[1]] SCHEMA a:int\nYIELD DATAFRAME AS out")
+    assert rows(dag3.run(spark)["out"]) == [(1,)]
 
 
 def test_fsql_dotted_variable_names(spark):
@@ -355,6 +379,7 @@ def test_fsql_dotted_variable_names(spark):
         """,
         {"a.x": arr},
         spark=spark,
+        fsql_ignore_case=True,
     )
     assert rows(res["q1"]) == [(0,), (1,)]
     assert rows(res["q2"]) == [(0,), (1,)]
@@ -373,7 +398,7 @@ def test_local_instance_as_extension(spark):
             return df
 
         def run_inner(self, spark_):
-            with FugueSQLWorkflow() as dag:
+            with FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True}) as dag:
                 dag(
                     """
                 a = create [[0],[1]] schema a:int
@@ -386,7 +411,7 @@ def test_local_instance_as_extension(spark):
     m = _Mock()
     assert rows(m.run_inner(spark)["b"]) == [(0,), (1,)]
 
-    with FugueSQLWorkflow() as dag:
+    with FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True}) as dag:
         dag(
             """
         a = create [[0],[1]] schema a:int
@@ -418,7 +443,7 @@ def test_callback_instance_method(spark):
         callback(1.0)
         return df
 
-    with FugueSQLWorkflow() as dag:
+    with FugueSQLWorkflow({"fugue.sql.compile.ignore_case": True}) as dag:
         dag(
             """
         a = create [[0],[1],[1]] schema a:int

@@ -797,7 +797,7 @@ def test_nested_statements_multi_level(spark):
 def test_fsql_ignore_case_lowercase_scripts(spark):
     """Reference parity: fsql_ignore_case (fugue/sql/api.py:18-108) — a
     lowercase script parses identically to its uppercase twin under the
-    permissive default."""
+    permissive OPT-IN (the default is the reference's strict mode)."""
     df = spark.createDataFrame(pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 5]}))
 
     def double(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -809,16 +809,23 @@ def test_fsql_ignore_case_lowercase_scripts(spark):
     )
     lower = fsql(
         "transform df using double schema k:str,v:long\nyield dataframe as out",
-        spark, functions={"double": double}, df=df,
+        spark, functions={"double": double}, df=df, fsql_ignore_case=True,
     )
     assert rows(upper["out"]) == rows(lower["out"]) == [("a", 2), ("a", 4), ("b", 10)]
+    # without the opt-in, lowercase statements are errors (strict default)
+    with pytest.raises(FugueSQLError, match="UPPERCASE"):
+        fsql(
+            "transform df using double schema k:str,v:long",
+            spark, functions={"double": double}, df=df,
+        )
 
 
 def test_fsql_ignore_case_lowercase_save_load(spark, tmp_path):
     p = os.path.join(str(tmp_path), "t.parquet")
     df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
-    fsql(f'save df overwrite parquet "{p}"', spark, df=df)
-    res = fsql(f'load parquet "{p}"\nyield dataframe as out', spark)
+    fsql(f'save df overwrite parquet "{p}"', spark, df=df, fsql_ignore_case=True)
+    res = fsql(f'load parquet "{p}"\nyield dataframe as out', spark,
+               fsql_ignore_case=True)
     assert rows(res["out"]) == [(1,), (2,)]
 
 
@@ -835,13 +842,16 @@ def test_fsql_ignore_case_false_is_reference_strict(spark):
         spark, df=df, fsql_ignore_case=False,
     )
     assert rows(res["out"]) == [(1, "x")]
-    # conf-driven default (reference conf key fugue.sql.compile.ignore_case)
-    spark.conf.set("fugue.sql.compile.ignore_case", "false")
+    # strict is the DEFAULT (reference fugue/sql/api.py): no conf, no flag
+    with pytest.raises(FugueSQLError, match="UPPERCASE"):
+        fsql("take 1 row from df", spark, df=df)
+    # conf-driven opt-in (reference conf key fugue.sql.compile.ignore_case)
+    spark.conf.set("fugue.sql.compile.ignore_case", "true")
     try:
-        with pytest.raises(FugueSQLError, match="UPPERCASE"):
-            fsql("take 1 row from df", spark, df=df)
+        res2 = fsql("take 1 row from df\nyield dataframe as out", spark, df=df)
+        assert len(rows(res2["out"])) == 1
     finally:
-        spark.conf.set("fugue.sql.compile.ignore_case", "true")
+        spark.conf.unset("fugue.sql.compile.ignore_case")
 
 
 def test_strict_mode_postfix_and_setops(spark):
