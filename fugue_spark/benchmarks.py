@@ -167,36 +167,66 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # GATE_FULL_r08.json) run FIRST, so every operator family re-earns a
 # driver row at least every other round. Everything else keeps its
 # registration order.
+# r10 rotation (VERDICT r09 task #8): the driver truncates at 50, so the
+# front holds (a) gates NEW or CHANGED this round, (b) every gate whose
+# last driver-artifact row is two rounds old (the r09 pass*-only set:
+# q25-q28, p1-p7, p14-p28, p42-p44), then (c) the relational core. The
+# r09-green remainder (q21-q24, p8-p13, p29-p41, s1-s5) rotates back in
+# next round — no gate goes more than two rounds without a driver row.
 _GATE_FIRST = (
-    "q22_transform_compiled",
-    "q23_cotransform_compiled",
-    "q29_transform_window_compiled",
-    "q30_transform_running_compiled",
-    "q19_sample_seeded",
-    "p8_embedding_neardup",
-    "p9_cosine_topk",
-    "p10_media_meta",
-    "p11_media_features",
-    "p12_embedding_norm_stats",
-    "p13_training_data_pipeline",
-    "p29_sessionize",
-    "p30_asof_join",
-    "p31_range_join",
-    "p32_time_rollup",
-    "p33_audio_resample",
-    "p34_winnowing_pairs",
-    "p35_jpeg_features",
-    "p36_video_frames",
-    "p37_sample_per_key",
-    "p38_cross_corpus_neardup",
-    "p39_gopher_filters",
-    "p40_weighted_sample",
-    "p41_budget_selection",
-    "s1_streaming_windowed_agg",
-    "s2_streaming_text_pipeline",
-    "s3_stream_static_join",
-    "s4_stream_dedup",
-    "s5_stream_session_agg",
+    # new/changed this round
+    "q19_sample_deterministic",
+    "q31_dropna_fillna_persist",
+    # driver-stale since r08 (pass* in r09)
+    "q25_transform_filter_compiled",
+    "q26_transform_condagg_compiled",
+    "q27_transform_topk_compiled",
+    "q28_transform_dedup_compiled",
+    "p1_token_stats",
+    "p2_quality_score",
+    "p3_lang_id",
+    "p4_dedup_exact",
+    "p5_ngram_jaccard_pairs",
+    "p6_minhash_lsh_pairs",
+    "p7_simhash_pairs",
+    "p14_simhash_planted_pairs",
+    "p15_near_dedup_corpus",
+    "p16_sequence_packing",
+    "p17_corpus_length_stats",
+    "p18_hash_sample",
+    "p19_sequence_packing_global",
+    "p20_repetition_stats",
+    "p21_ngram_topk",
+    "p22_ngram_overlap",
+    "p23_stratified_mix",
+    "p24_tfidf_scores",
+    "p25_scrub_text",
+    "p26_chunk_documents",
+    "p27_duplicate_spans",
+    "p28_word_entropy",
+    "p42_temperature_mix",
+    "p43_mixture_budgets",
+    "p44_mixture_report",
+    # relational core fills the remaining window slots
+    "q1_pricing_summary",
+    "q2_filter_project",
+    "q3_join_revenue_by_nation",
+    "q4_semi_join",
+    "q5_anti_join",
+    "q6_topk_per_customer",
+    "q7_setops_brands",
+    "q8_assign_fillna_agg",
+    "q9_io_roundtrip",
+    "q10_sql_passthrough_window",
+    "q11_transform_per_order",
+    "q12_cotransform_order_lines",
+    "q13_fuguesql_script",
+    "q14_alter_columns_cast",
+    "q15_cube_rollup",
+    "q16_pivot",
+    "q17_left_join_fillna",
+    "q18_distinct",
+    "q20_transform_arrow_per_order",
 )
 
 

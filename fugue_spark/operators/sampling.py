@@ -24,7 +24,36 @@ def sample(
     frac: "float | None" = None,
     replace: bool = False,
     seed: "int | None" = None,
+    method: str = "rng",
+    key_cols: "list[str] | None" = None,
 ) -> DataFrame:
+    """Row sampling (reference ExecutionEngine.sample,
+    execution_engine.py:600-640: frac/n, replace, seed).
+
+    ``method`` is a superset extension: the default ``"rng"`` is the
+    reference's per-partition RNG semantics; ``"hash"`` is a fully
+    deterministic, ENGINE-REPRODUCIBLE fraction sample — a row is kept
+    iff md5(seed + its ``key_cols``) falls below ``frac`` of the hash
+    space (the :func:`hash_sample` contract, with the seed salted into
+    the key so different seeds select different subsets). The same rows
+    fall out of Spark, DuckDB, or any reimplementation, on any
+    partitioning, forever — use it when a sample must be auditable.
+    ``method="hash"`` requires ``frac`` and ``key_cols`` (a stable row
+    identity — key on a group column to keep/drop whole groups).
+    """
+    if method == "hash":
+        if frac is None or replace or not key_cols:
+            raise ValueError(
+                "sample(method='hash') needs frac and key_cols, without replace"
+            )
+        salt = [F.lit(str(seed))] if seed is not None else []
+        key = F.concat_ws(
+            "\x1f", *salt, *[F.col(c).cast("string") for c in key_cols]
+        )
+        thr = _md5_threshold(frac)
+        return df if thr is None else df.filter(F.md5(key) < F.lit(thr))
+    if method != "rng":
+        raise ValueError(f"unknown sample method {method!r}")
     if (n is None) == (frac is None):
         raise ValueError("provide exactly one of n / frac")
     if frac is not None:

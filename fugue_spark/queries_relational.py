@@ -880,17 +880,75 @@ def q23_cotransform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q19_sample_seeded", oracle=None, tags=("sample",))
-def q19_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded fraction sample. ``oracle=None`` by NATURE, not omission:
+@register(
+    "q19_sample_deterministic",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE md5(concat_ws(chr(31), '42',
+                        CAST(l_orderkey AS VARCHAR),
+                        CAST(l_linenumber AS VARCHAR)))
+          < '19999999999999999999999999999999'
+    """,
+    tags=("sample",),
+)
+def q19_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2 ``sample`` operator, attested through its deterministic
+    ``method="hash"`` variant: keep a row iff md5(seed + row identity)
+    falls below frac of the hash space — the one sampling semantics an
+    independent engine CAN value-match (the threshold below is exactly
+    2^128/10 in hex). The API-default RNG ``sample()`` (reference
+    execution_engine.py:600-640 semantics) stays pytest-verified instead:
     DuckDB cannot reproduce Spark's seeded per-partition RNG, so no SQL
-    can value-match it. Correctness is pytest-verified instead —
-    tests/test_operators.py sample tests check fraction statistics,
-    seed determinism (same seed ≡ same rows on the same partitioning;
-    Spark's per-partition RNG, the same caveat the reference engine
-    documents), and replace semantics."""
+    oracle exists for it by nature — tests/test_operators.py checks its
+    fraction statistics, seed determinism, and replace semantics."""
     li = load_table(spark, sf_dir, "lineitem")
-    return fa.sample(li, frac=0.1, seed=42)
+    return fa.sample(
+        li,
+        frac=0.1,
+        seed=42,
+        method="hash",
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+@register(
+    "q31_dropna_fillna_persist",
+    oracle="""
+    WITH proj AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_discount < 0.03 THEN NULL ELSE l_quantity END AS qty,
+             CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_tax END AS tax
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT l_orderkey, l_linenumber, qty, COALESCE(tax, -1.0) AS tax
+    FROM proj WHERE qty IS NOT NULL
+    """,
+    tags=("dropna", "fillna", "persist", "fuguesql"),
+)
+def q31_dropna_fillna_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated oracle gate for the three §2.1 operators whose driver
+    attestation was previously indirect (VERDICT r09 task #3): a FugueSQL
+    script builds a null-bearing projection, DROP ROWS (dropna, reference
+    workflow.py dropna/how-any) removes qty nulls, FILL NULLS (fillna)
+    replaces tax nulls, and the PERSIST postfix (engine persist, eager
+    count) materializes the result before yielding."""
+    from fugue_spark.sql import fsql
+
+    res = fsql(
+        """
+        li = LOAD PARQUET "{{path}}"
+        proj = SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount < 0.03 THEN NULL ELSE l_quantity END AS qty,
+               CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_tax END AS tax
+               FROM li WHERE l_orderkey % 7 = 0
+        clean = DROP ROWS IF ANY NULLS ON qty FROM proj
+        FILL NULLS tax:-1.0 FROM clean PERSIST
+        YIELD DATAFRAME AS result
+        """,
+        spark=spark,
+        path=f"{sf_dir}/lineitem.parquet",
+    )
+    return res["result"]
 
 
 @register(

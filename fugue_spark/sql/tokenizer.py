@@ -155,11 +155,12 @@ def _is_boundary(
             if not has_body:
                 return False
         return True
-    if _is_raw_sql(cur, ignore_case):
-        return False  # inside SQL, `a = 5` on a new line is not an assignment
     # assignment: IDENT = <statement>  (the RHS must start with a statement
     # keyword — a labeled dataframe ref continuation line like
-    # ``df1=(create using f),`` is NOT a new statement)
+    # ``df1=(create using f),`` is NOT a new statement). Checked BEFORE the
+    # raw-SQL continuation rule: ``x = SELECT …`` followed by
+    # ``y = DROP ROWS …`` is two statements in the reference grammar, and
+    # a keyword-RHS assignment at a line start can't be SQL text.
     if (
         t.kind == "word"
         and i + 2 < len(tokens)
@@ -168,6 +169,8 @@ def _is_boundary(
         and _is_kw(tokens[i + 2], STATEMENT_KEYWORDS, ignore_case)
     ):
         return True
+    if _is_raw_sql(cur, ignore_case):
+        return False  # inside SQL, `a = 5` on a new line is not an assignment
     return False
 
 

@@ -138,6 +138,29 @@ def test_sample(spark):
         fa.sample(df, n=5, frac=0.5)
 
 
+def test_sample_hash_method(spark):
+    """sample(method='hash'): deterministic engine-reproducible fraction
+    sample — partitioning-invariant (unlike the RNG default), seed-salted,
+    and exactly the md5-threshold contract of hash_sample."""
+    df = make_df(spark, [[i, f"d{i}"] for i in range(500)], "a:int,s:str")
+    r1 = rows(fa.sample(df, frac=0.2, seed=7, method="hash", key_cols=["a"]))
+    # same rows on any partitioning
+    r2 = rows(
+        fa.sample(df.repartition(13), frac=0.2, seed=7, method="hash", key_cols=["a"])
+    )
+    assert r1 == r2 and 40 <= len(r1) <= 160
+    # different seed → different subset; no seed is also legal
+    r3 = rows(fa.sample(df, frac=0.2, seed=8, method="hash", key_cols=["a"]))
+    assert r1 != r3
+    assert rows(fa.sample(df, frac=1.0, method="hash", key_cols=["a"])) == rows(df)
+    with pytest.raises(ValueError):
+        fa.sample(df, n=5, method="hash", key_cols=["a"])  # needs frac
+    with pytest.raises(ValueError):
+        fa.sample(df, frac=0.2, method="hash")  # needs key_cols
+    with pytest.raises(ValueError):
+        fa.sample(df, frac=0.2, method="bogus")
+
+
 def test_sample_n_with_replacement(spark):
     df = make_df(spark, [[i] for i in range(100)], "a:int")
     r = rows(fa.sample(df, n=90, replace=True, seed=3))

@@ -36,6 +36,20 @@ def test_union_not_split():
     assert len(split_statements(s)) == 1
 
 
+def test_assignment_after_raw_sql_is_boundary():
+    """``x = SELECT …`` followed by ``y = DROP ROWS …`` is two statements
+    (reference grammar: any statement can be assigned); a keyword-RHS
+    assignment at a line start terminates the raw SQL. Plain ``a = 5``
+    lines inside SQL still continue it."""
+    s = "p = SELECT a, b FROM t\nWHERE a = 5\nclean = DROP ROWS IF ANY NULLS ON b FROM p"
+    stmts = split_statements(s)
+    assert len(stmts) == 2
+    assert stmts[1][0].value == "clean"
+    # lowercase RHS keyword is NOT a boundary in strict mode
+    s2 = "p = SELECT a FROM t\nclean = drop ROWS IF ANY NULLS ON b FROM p"
+    assert len(split_statements(s2, ignore_case=False)) == 1
+
+
 def test_create_and_select(spark):
     res = fsql(
         """
