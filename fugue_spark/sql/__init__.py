@@ -56,6 +56,7 @@ __all__ = [
     "FugueSQLResult",
     "YieldedFile",
     "register_extension",
+    "transpile_sql",
 ]
 
 # global extension registry (reference: named extensions resolvable from
@@ -100,6 +101,35 @@ class YieldedFile(str):
     can recognize it as a loadable source (reference: 'from yield file',
     fugue test_workflow.py:205-218) without guessing from arbitrary
     caller strings."""
+
+
+# SQL dialects sqlglot can read that CONNECT treats as a dialect spec
+# (anything else — MockEngine, dask, ray… — is an engine name, validated
+# and ignored per SURVEY §2.6: this is a single-engine build)
+_SQL_DIALECTS = frozenset(
+    {
+        "duckdb", "postgres", "postgresql", "mysql", "sqlite", "bigquery",
+        "snowflake", "trino", "presto", "redshift", "oracle", "tsql",
+        "clickhouse", "databricks", "hive",
+    }
+)
+
+
+def transpile_sql(sql: str, dialect: "str | None") -> str:
+    """Transpile a SELECT body from ``dialect`` to Spark SQL (reference
+    ``fugue/collections/sql.py:33-56`` — sqlglot read=dialect,
+    write=target). No-op for ``None``/``spark``; raises a clean
+    FugueSQLError naming the optional dependency when sqlglot is absent."""
+    if not dialect or dialect.lower() in ("spark", "sparksql"):
+        return sql
+    try:
+        import sqlglot
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise FugueSQLError(
+            f"SQL dialect {dialect!r} requires the optional dependency "
+            "sqlglot (pip install sqlglot) to transpile to Spark SQL"
+        ) from e
+    return " ".join(sqlglot.transpile(sql, read=dialect.lower(), write="spark"))
 
 
 class _Cursor:
@@ -180,6 +210,7 @@ class _Executor:
         functions: "dict[str, Callable] | None",
         yield_dir: "str | None",
         ignore_case: bool = True,
+        dialect: "str | None" = None,
     ):
         self.spark = spark
         self.ignore_case = ignore_case
@@ -188,6 +219,7 @@ class _Executor:
         self.last: Any = None
         self.result = FugueSQLResult()
         self.yield_dir = yield_dir
+        self.dialect = dialect
 
     # ---------------- helpers ----------------
 
@@ -931,7 +963,7 @@ class _Executor:
             )
             at = m.start() if m else len(sql)
             sql = sql[:at] + " FROM __fugue_prev__ " + sql[at:]
-        return self.spark.sql(sql)
+        return self.spark.sql(transpile_sql(sql, self.dialect))
 
     # -- create / load / save --
 
@@ -1375,13 +1407,23 @@ class _Executor:
 
     def _st_connect(self, c: _Cursor) -> "DataFrame | None":
         """CONNECT <engine>[(params)] <statement…> — single-engine build:
-        the engine spec is validated and ignored (SURVEY §2.6); the inner
+        an engine spec naming a known SQL DIALECT (duckdb, postgres, …)
+        transpiles the inner statement's raw SQL to Spark SQL via the
+        sqlglot hook (reference fugue/collections/sql.py:33-56); any other
+        engine spec is validated and ignored (SURVEY §2.6). Either way the
         statement runs on Spark."""
-        self._dotted_name(c)
+        name = self._dotted_name(c)
         self._params(c)
         rest = c.rest()
         if not rest:
             return None
+        if name.lower() in _SQL_DIALECTS:
+            prev = self.dialect
+            self.dialect = name.lower()
+            try:
+                return self._run_body(rest)
+            finally:
+                self.dialect = prev
         return self._run_body(rest)
 
     def _st_sub(self, c: _Cursor) -> "DataFrame | None":
@@ -1443,9 +1485,16 @@ def fsql(
     yield_dir: "str | None" = None,
     fsql_ignore_case: "bool | None" = None,
     state: "dict[str, Any] | None" = None,
+    dialect: "str | None" = None,
     **variables: Any,
 ) -> FugueSQLResult:
     """Run a FugueSQL-superset script; returns yields (dict) with ``.last``.
+
+    ``dialect`` transpiles every raw-SQL SELECT body from that dialect to
+    Spark SQL before Catalyst sees it (reference
+    ``fugue/collections/sql.py:33-56``; optional sqlglot dependency — a
+    clean error names it when absent). ``CONNECT duckdb: SELECT …`` sets
+    the dialect for that one statement.
 
     ``fsql_ignore_case`` mirrors the reference's flag of the same name
     (``/root/reference/fugue/sql/api.py:18-108``, conf
@@ -1488,7 +1537,9 @@ def fsql(
         return str(v)
 
     script = _JINJA_RE.sub(sub, script)
-    ex = _Executor(spark, functions, yield_dir, ignore_case=fsql_ignore_case)
+    ex = _Executor(
+        spark, functions, yield_dir, ignore_case=fsql_ignore_case, dialect=dialect
+    )
     if state:
         ex.vars.update(state)
     for name, val in all_vars.items():

@@ -351,6 +351,62 @@ def test_yield_file_reuse_and_string_source_rules(spark, tmp_path):
         )
 
 
+def test_dialect_transpile_hook(spark, monkeypatch):
+    """dialect= transpiles raw-SQL bodies to Spark SQL before Catalyst
+    (reference fugue/collections/sql.py:33-56): wiring is tested with a
+    stub sqlglot (the real one is an optional dependency); absence of
+    sqlglot raises a clean error naming it; CONNECT <dialect>: scopes the
+    dialect to one statement while other engine names stay ignored."""
+    import sys
+    import types
+
+    from fugue_spark.sql import transpile_sql
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 3, 5]}))
+    duck_sql = "SELECT k, v FROM df QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1"
+
+    calls = []
+
+    def fake_transpile(sql, read=None, write=None):
+        calls.append((sql, read, write))
+        # what real sqlglot emits for QUALIFY when writing spark SQL
+        return [
+            "SELECT k, v FROM (SELECT k, v, ROW_NUMBER() OVER "
+            "(PARTITION BY k ORDER BY v DESC) AS _w FROM df) WHERE _w = 1"
+        ]
+
+    stub = types.ModuleType("sqlglot")
+    stub.transpile = fake_transpile
+    monkeypatch.setitem(sys.modules, "sqlglot", stub)
+
+    res = fsql(
+        duck_sql + "\nYIELD DATAFRAME AS out",
+        spark, df=df, dialect="duckdb",
+    )
+    assert rows(res["out"]) == [("a", 3), ("b", 5)]
+    assert calls and calls[0][1:] == ("duckdb", "spark")
+
+    # CONNECT with a dialect spec scopes it to that statement
+    calls.clear()
+    res2 = fsql(
+        "CONNECT duckdb " + duck_sql + "\nYIELD DATAFRAME AS out\n"
+        "SELECT k, v FROM df WHERE v = 1\nYIELD DATAFRAME AS plain",
+        spark, df=df,
+    )
+    assert rows(res2["out"]) == [("a", 3), ("b", 5)]
+    assert rows(res2["plain"]) == [("a", 1)]
+    assert len(calls) == 1  # only the CONNECT'd statement transpiled
+
+    # spark/None dialects are no-ops without importing anything
+    assert transpile_sql("SELECT 1", None) == "SELECT 1"
+    assert transpile_sql("SELECT 1", "spark") == "SELECT 1"
+
+    # absent sqlglot -> clean, actionable error
+    monkeypatch.setitem(sys.modules, "sqlglot", None)
+    with pytest.raises(FugueSQLError, match="sqlglot"):
+        fsql(duck_sql + "\nYIELD DATAFRAME AS out", spark, df=df, dialect="duckdb")
+
+
 def test_jinja_and_df_variables(spark):
     src = spark.createDataFrame([[1], [5]], parse_schema("x:long"))
     res = fsql(
