@@ -26,6 +26,26 @@ import sys
 import time
 
 
+def load_guard(point: dict, cpus: int) -> None:
+    """Record the 1/5/15-min load average in the artifact and flag a bad
+    measurement window. This box shares a host with other tenants: r09's
+    committed bench was taken at external load ~17 and its q1/q3 rows were
+    unadjudicable (BASELINE.md §4a). Called BEFORE Spark starts any work,
+    so a non-trivial 1-min load is EXTERNAL by construction."""
+    try:
+        l1, l5, l15 = os.getloadavg()
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return
+    point["load_avg_start"] = [round(l1, 2), round(l5, 2), round(l15, 2)]
+    if l1 > max(2.0, 0.125 * cpus):
+        point["load_warning"] = (
+            f"1-min load {l1:.1f} at bench start with no local work running: "
+            "external tenant load — treat per-query rows as weather-dominated "
+            "(compare spread blocks, not medians)"
+        )
+        print(f"# LOAD WARNING: {point['load_warning']}", file=sys.stderr)
+
+
 def run_queries(
     spark,
     bench_specs,
@@ -186,6 +206,10 @@ def sf10_child() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from make_sf1 import make_sf1 as _mk
 
+    guard: dict = {}
+    load_guard(guard, cpus)  # note: 1-min load still carries decay from
+    # the parent's sf0.1/sf1 phases — read it against the parent's value
+
     sf10_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf10")
     if not os.path.isdir(sf10_dir):
         print("# generating sf10 (first use)", file=sys.stderr)
@@ -214,11 +238,14 @@ def sf10_child() -> None:
     ]
     specs = [(n, QUERIES[n]) for n in names if n in QUERIES]
     spreads: dict = {}
-    t10 = run_queries(spark, specs, sf10_dir, passes=2, spreads_out=spreads)
+    # n>=3 timed passes on the headline rows (r09 verdict task #1: n=2
+    # samples made the committed sf10 artifact unadjudicable)
+    t10 = run_queries(spark, specs, sf10_dir, passes=3, spreads_out=spreads)
     point = {
         "value": round(sum(t10.values()), 3),
         "queries": t10,
         "spread": spreads,
+        **guard,
     }
     try:
         duck_specs = [
@@ -256,6 +283,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    guard: dict = {}
+    load_guard(guard, cpus)
+
     from fugue_spark.benchmarks import QUERIES
     from fugue_spark.session import get_spark
 
@@ -270,15 +300,18 @@ def main() -> None:
     )
 
     bench_specs = [(n, s) for n, s in QUERIES.items() if s.bench]
-    timings = run_queries(spark, bench_specs, sf_dir)
+    spreads01: dict = {}
+    timings = run_queries(spark, bench_specs, sf_dir, spreads_out=spreads01)
 
     out = {
         "metric": "fugue_spark bench: wall-clock of headline queries (noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads01,
         "sf": sf,
         "cpus": cpus,
+        **guard,
         # measured floor (r07 profile): a 1-row noop write is ~50 ms and AQE
         # materializes 2-10 jobs/query, so every sub-second query carries
         # 0.1-1 s of scale-INVARIANT scheduling cost that DuckDB's in-process
@@ -326,8 +359,13 @@ def main() -> None:
             from fugue_spark.benchmarks import release_cache
 
             release_cache(sf_dir)  # drop the sf0.1 cache: less heap, less GC
-            t1 = run_queries(spark, bench_specs, sf1_dir)
-            point = {"value": round(sum(t1.values()), 3), "queries": t1}
+            spreads1: dict = {}
+            t1 = run_queries(spark, bench_specs, sf1_dir, spreads_out=spreads1)
+            point = {
+                "value": round(sum(t1.values()), 3),
+                "queries": t1,
+                "spread": spreads1,
+            }
             try:
                 with_ratios(point, run_duckdb(bench_specs, sf1_dir, cpus))
             except Exception as ex:  # noqa: BLE001

@@ -19,6 +19,28 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_bench_load_guard(monkeypatch):
+    """bench.load_guard records the load average in the artifact and flags
+    a weather-dominated window (r09: a bench at external load ~17 shipped
+    unadjudicable rows) — pure function, no Spark."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    import bench
+
+    point: dict = {}
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.4, 0.6, 0.5))
+    bench.load_guard(point, cpus=32)
+    assert point["load_avg_start"] == [0.4, 0.6, 0.5]
+    assert "load_warning" not in point
+
+    bad: dict = {}
+    monkeypatch.setattr(_os, "getloadavg", lambda: (17.2, 12.0, 8.0))
+    bench.load_guard(bad, cpus=32)
+    assert "17.2" in bad["load_warning"]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
