@@ -41,9 +41,18 @@ TABLES = (
 # Optional input cache (bench harness): the driver-generated parquet files
 # have a single row group each, which caps any scan at ONE task (a parquet
 # row group is Spark's splitting unit). warm_cache() re-partitions each
-# table across the cores and persists it, so benchmarks measure query
+# such table across the cores and persists it, so benchmarks measure query
 # execution rather than a single-threaded decode of a test-file artifact.
-# At real scale inputs arrive as many files/row groups and this is a no-op.
+#
+# MULTI-row-group scan-bound tables (the sf1/sf10 inputs: 13-489 row
+# groups) are deliberately NOT cached (r10): the native parquet scan
+# already parallelizes, and the measured comparison
+# (scripts/scan_experiment.py, clean window, sf10) showed the
+# InMemoryColumnar posture is BIMODAL under heap pressure — q1 cached
+# sampled 2.4s best / 27-68s under GC, while the native multi-split scan
+# held a tight 1.90-2.26s and BEAT the best cached sample. Skipping the
+# cache is also the honest 100 TB posture: nobody persists 100 TB of
+# input before querying it.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -56,12 +65,15 @@ def warm_cache(spark: SparkSession, sf_dir: str, tables: "tuple[str, ...]" = TAB
     # parquet BYTES track compute for scan/join/agg tables, but badly
     # under-represent it for the text/embedding/event pipelines (shingling,
     # vector math — row-proportional with heavy per-row constants), so
-    # those always fan out to all cores.
+    # those always fan out to all cores AND stay cached at every scale
+    # (they are small — the compute, not the scan, is the workload).
     compute_dense = {"documents", "embeddings", "events"}
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(path) or (sf_dir, t) in _TABLE_CACHE:
             continue
+        if t not in compute_dense and _splittable_row_groups(path) > 1:
+            continue  # native scan parallelizes; see module note above
         # size the cache's partition count to the TABLE, not the core count:
         # a 0.3 MB dim cached as 32 partitions makes every downstream stage
         # pay 32 task dispatches for microseconds of work (measured: the
@@ -85,6 +97,26 @@ def warm_cache(spark: SparkSession, sf_dir: str, tables: "tuple[str, ...]" = TAB
         )
         df.count()
         _TABLE_CACHE[(sf_dir, t)] = df
+
+
+def _splittable_row_groups(path: str) -> int:
+    """Row groups a Spark scan of ``path`` can split into (a directory of
+    files splits at least per file). Unreadable metadata counts as 1 —
+    the caller then falls back to caching, the safe legacy posture."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).num_row_groups
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if len(parts) > 1:
+                return len(parts)
+            if parts:
+                return pq.ParquetFile(os.path.join(path, parts[0])).num_row_groups
+    except Exception:  # noqa: BLE001 - metadata read is best-effort
+        pass
+    return 1
 
 
 def release_cache(sf_dir: "str | None" = None) -> None:
