@@ -52,6 +52,7 @@ def run_queries(
     sf_dir: str,
     passes: int = 3,
     spreads_out: "dict | None" = None,
+    gc_between: bool = False,
 ) -> dict[str, float]:
     from statistics import median
 
@@ -88,6 +89,17 @@ def run_queries(
     # adaptive rule is applied to the DuckDB side (run_duckdb).
     timings: dict[str, float] = {}
     for name, spec in bench_specs:
+        if gc_between:
+            # at the big scale points a long single-JVM barrage accumulates
+            # heap debt that lands on later queries (measured r10: q11
+            # standalone 5.4 s vs 45.7 s mid-barrage, q3 3.8 vs 12.3 —
+            # session wear, not weather); a full GC + settle between
+            # queries measures the engine, not the preceding 50 actions
+            try:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1)
+            except Exception:  # noqa: BLE001 - hygiene only
+                pass
         samples = []
         for _ in range(passes):
             t0 = time.perf_counter()
@@ -240,7 +252,9 @@ def sf10_child() -> None:
     spreads: dict = {}
     # n>=3 timed passes on the headline rows (r09 verdict task #1: n=2
     # samples made the committed sf10 artifact unadjudicable)
-    t10 = run_queries(spark, specs, sf10_dir, passes=3, spreads_out=spreads)
+    t10 = run_queries(
+        spark, specs, sf10_dir, passes=3, spreads_out=spreads, gc_between=True
+    )
     point = {
         "value": round(sum(t10.values()), 3),
         "queries": t10,
