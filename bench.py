@@ -374,7 +374,9 @@ def main() -> None:
 
             release_cache(sf_dir)  # drop the sf0.1 cache: less heap, less GC
             spreads1: dict = {}
-            t1 = run_queries(spark, bench_specs, sf1_dir, spreads_out=spreads1)
+            t1 = run_queries(
+                spark, bench_specs, sf1_dir, spreads_out=spreads1, gc_between=True
+            )
             point = {
                 "value": round(sum(t1.values()), 3),
                 "queries": t1,

@@ -101,9 +101,16 @@ def run_engine_function(func, engine: "SparkSession | None" = None):
         return func(spark)
 
 
-def raw_sql(*parts: "str | DataFrame", spark: "SparkSession | None" = None) -> DataFrame:
+def raw_sql(
+    *parts: "str | DataFrame",
+    spark: "SparkSession | None" = None,
+    dialect: "str | None" = None,
+) -> DataFrame:
     """Reference ``fa.raw_sql``: interleave SQL text with dataframes —
-    each frame becomes a temp view spliced in by name.
+    each frame becomes a temp view spliced in by name. ``dialect``
+    transpiles the assembled statement to Spark SQL first (reference
+    StructuredRawSQL dialect, fugue/collections/sql.py — optional
+    sqlglot dependency, clean error when absent).
 
     >>> raw_sql("SELECT a FROM", df, "WHERE a > 1")
     """
@@ -116,4 +123,9 @@ def raw_sql(*parts: "str | DataFrame", spark: "SparkSession | None" = None) -> D
             pieces.append(name)
         else:
             pieces.append(str(p))
-    return spark.sql(" ".join(pieces))
+    sql = " ".join(pieces)
+    if dialect is not None:
+        from fugue_spark.sql import transpile_sql
+
+        sql = transpile_sql(sql, dialect)
+    return spark.sql(sql)

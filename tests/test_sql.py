@@ -401,6 +401,19 @@ def test_dialect_transpile_hook(spark, monkeypatch):
     assert transpile_sql("SELECT 1", None) == "SELECT 1"
     assert transpile_sql("SELECT 1", "spark") == "SELECT 1"
 
+    # raw_sql dialect= goes through the same hook
+    import fugue_spark.api as fa
+
+    calls.clear()
+    out3 = fa.raw_sql(
+        "SELECT k, v FROM", df,
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1",
+        spark=spark, dialect="duckdb",
+    )
+    # the stub rewrites to the fixed 'df' query; only the invocation matters
+    assert calls and calls[0][1:] == ("duckdb", "spark")
+    assert out3.columns == ["k", "v"]
+
     # absent sqlglot -> clean, actionable error
     monkeypatch.setitem(sys.modules, "sqlglot", None)
     with pytest.raises(FugueSQLError, match="sqlglot"):
