@@ -207,6 +207,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 # next round — no gate goes more than two rounds without a driver row.
 _GATE_FIRST = (
     # new/changed this round
+    "p45_semantic_dedup",
     "q19_sample_deterministic",
     "q31_dropna_fillna_persist",
     # driver-stale since r08 (pass* in r09)

@@ -47,6 +47,7 @@ from fugue_spark.pipeline.similarity import (
     cosine_topk_lsh,
     near_duplicates_by_embedding,
     near_duplicates_lsh,
+    semantic_dedup,
 )
 from fugue_spark.pipeline.text import (
     assign_pack_bins,

@@ -27,6 +27,7 @@ __all__ = [
     "cosine_topk_ivf",
     "near_duplicates_by_embedding",
     "near_duplicates_lsh",
+    "semantic_dedup",
 ]
 
 # Above this corpus size the exact all-pairs forms refuse to run unless the
@@ -400,3 +401,112 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_e6", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "first-k",
+    sample_size: int = 20000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication") clusters the
+    corpus with a coarse quantizer, then removes near-duplicates WITHIN
+    each cluster only — the cluster partitioning is what bounds the
+    otherwise-quadratic pair search. Reference has no counterpart
+    (beyond-reference training-data operator, same family as
+    ``near_duplicates_lsh``).
+
+    Semantics (deterministic, engine-portable): each row is assigned to
+    the centroid with the highest e6-floored cosine (ties → lowest
+    centroid index); a row SURVIVES iff no lower-``id_col`` row in the
+    same cluster has cosine_e6 ≥ floor(threshold·10⁶) — a greedy prefix
+    filter (a dropped row can still shadow later rows; cheaper and
+    order-stable vs. connected components, which ``near_dup_clusters``
+    provides for the transitive variant).
+
+    Centroid modes:
+
+    * ``"first-k"`` — the ``n_clusters`` rows with the smallest ids ARE
+      the centroids. Fully deterministic and expressible in plain SQL, so
+      the driver's DuckDB oracle value-checks the whole operator
+      (gate p45).
+    * ``"kmeans"`` — spherical k-means on a bounded driver-side sample
+      (``sample_size`` rows, seeded); better cluster balance, same plan
+      shape. Pytest-verified (the trained centroids are not
+      SQL-reproducible).
+
+    Scale shape (the 100 TB posture): the only driver-side collect is the
+    centroid set (k or sample_size rows — independent of corpus size);
+    assignment is one map-only JVM pass (k cosine folds per row, no
+    Python); the within-cluster pair probe is a self-EQUI-join on the
+    cluster id (one hash shuffle of (id, vec)), and survivors come from
+    one anti-join on the id. No cross join at any size — but cluster
+    sizes bound the join fan-out, so ``n_clusters`` must grow with the
+    corpus (SemDeDup uses ~n/10⁴ clusters at web scale).
+
+    Returns the surviving rows (all original columns) plus ``cluster``.
+    """
+    if centroids not in ("first-k", "kmeans"):
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    if centroids == "first-k":
+        rows = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col).asc())
+            .limit(n_clusters)
+            .collect()
+        )
+        cent = [list(r[1]) for r in rows]
+    else:
+        sample = np.array(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vec_col).limit(sample_size).collect()
+            ]
+        )
+        cent = [list(map(float, c)) for c in _kmeans_centroids(sample, n_clusters, seed=seed)]
+    if not cent:
+        return df.withColumn("cluster", F.lit(0).cast("int")).limit(0)
+
+    # argmax(cosine_e6, tie -> lowest centroid index) as ONE JVM expression:
+    # array_min over (neg_cosine_e6, index) structs compares
+    # lexicographically, so the min struct is the best centroid. The
+    # centroid vectors ride the plan as literals (k·d doubles — bounded).
+    scored = F.array(
+        *[
+            F.struct(
+                (-_cosine_e6(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "neg"
+                ),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(cent)
+        ]
+    )
+    # lazy localCheckpoint: both sides of the pair probe and the final
+    # anti-join reference the assignment; without it Catalyst re-runs the
+    # k-fold scoring once per branch (same fix as near_duplicates_lsh).
+    assigned = df.withColumn("cluster", F.array_min(scored)["cid"]).localCheckpoint(
+        eager=False
+    )
+    thr_e6 = int(threshold * 1000000)
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    shadowed = (
+        a.join(b, on="cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(_cosine_e6(F.col("_va"), F.col("_vb")) >= thr_e6)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(shadowed, on=id_col, how="left_anti")

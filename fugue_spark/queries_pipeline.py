@@ -24,6 +24,7 @@ from fugue_spark.pipeline import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_against,
     near_duplicates_lsh,
+    semantic_dedup,
     ngram_jaccard_pairs,
     ngram_overlap,
     ngram_topk,
@@ -830,6 +831,48 @@ def p8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_lsh(
         emb, threshold=0.4, n_planes=5, n_tables=64
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "p45_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_e6('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster FROM assign a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM assign b
+      WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+        AND {_cos_e6('a.embedding', 'b.embedding')} >= 350000
+    )
+    ORDER BY vec_id
+    """,
+    tags=("dedup", "embedding", "semdedup"),
+)
+def p45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic_dedup, first-k centroid mode): cluster the corpus
+    with a deterministic coarse quantizer, drop every row shadowed by a
+    lower-id same-cluster row at cosine ≥ 0.35 (the corpus has no true
+    dups; the low threshold exercises the drop path on its similarity
+    tail). The oracle replays the exact assignment + greedy prefix filter
+    in SQL, so survivors AND their cluster ids are value-checked. Scale
+    path: the pair probe is a self-equi-join on the cluster id — the
+    quadratic is bounded by cluster size, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.35, n_clusters=8)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
 
 
 @register(

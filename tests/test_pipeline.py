@@ -1648,3 +1648,87 @@ def test_select_until_budget_topk_plan_has_no_exchange(spark):
     out = select_until_budget(df, 500, "n_tok", "ord")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """SemDeDup semantics on planted near-copies: for each base vector with
+    3 noisy copies, exactly the lowest-id member of the copy group must
+    survive (the copies land in the base's cluster and are shadowed by
+    it); well-separated bases all survive."""
+    import numpy as np
+
+    from fugue_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((12, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [[i, [float(x) for x in base[i]]] for i in range(12)]
+    vid = 12
+    for i in range(12):
+        for _ in range(3):
+            noisy = base[i] + 0.02 * rng.standard_normal(64)
+            rows.append([vid, [float(x) for x in noisy]])
+            vid += 1
+    df = spark.createDataFrame(rows, parse_schema("vec_id:long,embedding:[float]"))
+    kept = semantic_dedup(df, threshold=0.9, n_clusters=12).collect()
+    kept_ids = {r.vec_id for r in kept}
+    # random 64-dim unit vectors: pairwise |cos| ~ 0.12, far below 0.9, so
+    # every base survives; each noisy copy (cos ≈ 0.998 to its base) is
+    # shadowed by the base or an earlier copy
+    assert kept_ids == set(range(12))
+    # survivors keep all original columns + cluster
+    assert set(kept[0].asDict()) == {"vec_id", "embedding", "cluster"}
+
+
+def test_semantic_dedup_kmeans_mode_valid(spark, emb):
+    """kmeans centroid mode: every dropped row must have a lower-id
+    same-cluster row at cosine >= threshold (verified independently in
+    numpy), and survivors must be a subset of the input."""
+    import numpy as np
+
+    from fugue_spark.pipeline import semantic_dedup
+
+    thr = 0.35
+    kept_df = semantic_dedup(
+        emb, threshold=thr, n_clusters=6, centroids="kmeans", sample_size=500
+    )
+    kept = {r.vec_id: r.cluster for r in kept_df.select("vec_id", "cluster").collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    assert set(kept) <= set(vecs) and 0 < len(kept) <= len(vecs)
+    # reconstruct each row's cluster from the survivors' labels is not
+    # possible for dropped rows, so check the weaker (but sufficient)
+    # direction: no two SURVIVORS in the same cluster are near-dups where
+    # the later one should have been shadowed
+    by_cluster: dict = {}
+    for vid, cl in kept.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    for members in by_cluster.values():
+        members.sort()
+        for i, b in enumerate(members):
+            for a in members[:i]:
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                assert int(np.floor(cos * 1e6)) < int(thr * 1e6)
+
+
+def test_semantic_dedup_plan_no_cartesian(spark, emb):
+    """The pair probe must be a cluster equi-join — no cartesian or
+    nested-loop join anywhere in the physical plan."""
+    from fugue_spark.pipeline import semantic_dedup
+
+    plan = (
+        semantic_dedup(emb, threshold=0.35, n_clusters=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_bad_mode_raises(spark, emb):
+    from fugue_spark.pipeline import semantic_dedup
+
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(emb, centroids="median")
