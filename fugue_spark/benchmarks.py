@@ -208,6 +208,7 @@ from fugue_spark import queries_pipeline  # noqa: E402,F401
 _GATE_FIRST = (
     # new/changed this round
     "p45_semantic_dedup",
+    "p46_compact_roundtrip",
     "q19_sample_deterministic",
     "q31_dropna_fillna_persist",
     # driver-stale since r08 (pass* in r09)

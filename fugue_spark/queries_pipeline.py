@@ -876,6 +876,46 @@ def p45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p46_compact_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("io", "compaction"),
+)
+def p46_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (compact_dataset): documents is first
+    scattered into 16 tiny files (the ingest pathology), compacted back
+    into size-bounded files via the Hadoop-FS-sized rewrite, reloaded and
+    aggregated. The oracle aggregates the ORIGINAL table — equality
+    proves the compaction is lossless end-to-end."""
+    import os
+    import tempfile
+
+    from fugue_spark.sources import load_df
+    from fugue_spark.sources.compact import compact_dataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"fugue_spark_p46_{tag}_small.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"fugue_spark_p46_{tag}_compact.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    compact_dataset(spark, src, out, target_file_bytes=1 << 20)
+    return (
+        load_df(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "p9_cosine_topk",
     oracle=f"""
     SELECT query_id, neighbor_id, cosine_e6, rank FROM (

@@ -51,3 +51,91 @@ def test_json_single_file(spark, tmp_path):
     assert os.path.isfile(p)
     back = fa.load(spark, p, columns="a:long,b:str")
     assert rows(back) == [(1, "x"), (2, "y")]
+
+
+# --- compact_dataset (small-files compaction) ---
+
+
+def _mk_small_files(spark, path, n_parts=16):
+    df = spark.range(0, 2000).selectExpr("id", "id % 3 AS lang", "repeat('x', 50) AS pad")
+    df.repartition(n_parts).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_compact_reduces_file_count_losslessly(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset, dataset_file_stats
+
+    src = str(tmp_path / "many.parquet")
+    out = str(tmp_path / "compacted.parquet")
+    _mk_small_files(spark, src, n_parts=16)
+    assert dataset_file_stats(spark, src)["n_files"] == 16
+    stats = compact_dataset(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["in_files"] == 16 and stats["out_files"] == 1
+    assert stats["requested_files"] == 1
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert a == b
+
+
+def test_compact_target_splits_into_multiple_files(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "many2.parquet")
+    out = str(tmp_path / "split.parquet")
+    _mk_small_files(spark, src, n_parts=16)
+    total = compact_dataset(spark, src, out, target_file_bytes=1 << 30)["in_bytes"]
+    stats = compact_dataset(
+        spark, src, out, target_file_bytes=max(1, total // 4 + 1), mode="overwrite"
+    )
+    assert stats["out_files"] == stats["requested_files"] == 4
+
+
+def test_compact_coalesce_path_no_shuffle(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "many3.parquet")
+    out = str(tmp_path / "coal.parquet")
+    _mk_small_files(spark, src, n_parts=8)
+    stats = compact_dataset(spark, src, out, target_file_bytes=1 << 30, shuffle=False)
+    assert stats["out_files"] == 1
+    assert spark.read.parquet(out).count() == 2000
+
+
+def test_compact_partitioned_layout_bounded(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset, dataset_file_stats
+
+    src = str(tmp_path / "many4.parquet")
+    out = str(tmp_path / "bylang.parquet")
+    _mk_small_files(spark, src, n_parts=16)
+    stats = compact_dataset(
+        spark, src, out, target_file_bytes=1 << 30, partition_by=["lang"]
+    )
+    # 3 partition values, global request of 1 file -> 1 file per value
+    assert stats["out_files"] == 3
+    assert dataset_file_stats(spark, out)["n_files"] == 3
+    visible = sorted(e for e in os.listdir(out) if not e.startswith("."))
+    assert visible == ["_SUCCESS", "lang=0", "lang=1", "lang=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 2000 and back.select("lang").distinct().count() == 3
+
+
+def test_compact_refuses_in_place_and_bad_target(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "many5.parquet")
+    _mk_small_files(spark, src, n_parts=2)
+    with pytest.raises(ValueError, match="in place"):
+        compact_dataset(spark, src, src)
+    with pytest.raises(ValueError, match="positive"):
+        compact_dataset(spark, src, str(tmp_path / "o.parquet"), target_file_bytes=0)
+
+
+def test_compact_format_conversion(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "many6.parquet")
+    out = str(tmp_path / "conv.orc")
+    _mk_small_files(spark, src, n_parts=4)
+    stats = compact_dataset(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["out_files"] == 1
+    assert spark.read.orc(out).count() == 2000
