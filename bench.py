@@ -424,11 +424,28 @@ def main() -> None:
             print(f"# sf10 scaling run failed: {ex}", file=sys.stderr)
 
     line = json.dumps(out)
-    print(line)
-    # the driver captures stdout with a tail cap; a long run's JSON line can
-    # be truncated mid-object there (BENCH_r05.json had parsed=null). Write
-    # the full object to a sibling artifact so the result is always
-    # machine-readable regardless of how stdout was captured.
+    # stdout gets the COMPACT driver-contract line (metric/value/unit/
+    # queries/sf + the headline ratios): the full object with per-query
+    # spreads and audits grew past the driver's stdout tail cap and was
+    # truncated mid-JSON in r05 AND r09 (BENCH_r09.json parsed=null) —
+    # the complete artifact lives in BENCH_LAST.json either way.
+    compact = {k: out[k] for k in ("metric", "value", "unit", "queries", "sf") if k in out}
+    for extra in ("total_ratio_vs_duckdb", "load_avg_start", "load_warning"):
+        if extra in out:
+            compact[extra] = out[extra]
+    scaling = out.get("scaling") or {}
+    if scaling:
+        compact["scaling"] = {
+            name: {
+                k: p[k]
+                for k in ("value", "total_ratio_vs_duckdb", "load_avg_start", "load_warning")
+                if k in p
+            }
+            for name, p in scaling.items()
+            if isinstance(p, dict)
+        }
+        compact["scaling_detail"] = "see BENCH_LAST.json for per-query rows/spreads/audits"
+    print(json.dumps(compact))
     try:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
