@@ -771,3 +771,78 @@ def test_temperature_mix_cross_engine_fuzz(spark, seed):
         ).fetchall()
     )
     assert got == want, (alpha, len(got), len(want))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_semantic_dedup_matches_duckdb_replay_fuzz(spark, seed):
+    """semantic_dedup (first-k mode) vs an independent DuckDB replay of the
+    same semantics on random embeddings: random corpus size, dimension,
+    cluster count and threshold per seed — assignment AND survivor set
+    must agree exactly (e6-floor contract)."""
+    import duckdb
+    import numpy as np
+
+    from fugue_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(20, 120))
+    dim = int(rng.choice([4, 16, 64]))
+    k = int(rng.integers(2, 9))
+    thr = float(rng.choice([0.2, 0.35, 0.5, 0.9]))
+    base = rng.standard_normal((n, dim))
+    # plant a few near-copies so the drop path is exercised at high thr
+    for i in range(0, n, 7):
+        j = (i + 3) % n
+        base[j] = base[i] + 0.01 * rng.standard_normal(dim)
+    rows = [[i, [float(x) for x in base[i]]] for i in range(n)]
+    df = spark.createDataFrame(rows, parse_schema("vec_id:long,embedding:[float]"))
+    got = sorted(
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup(df, threshold=thr, n_clusters=k).select(
+            "vec_id", "cluster"
+        ).collect()
+    )
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [np.asarray(v, dtype=np.float32).tolist() for _, v in ((r[0], r[1]) for r in rows)]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    dot = (
+        "list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        " x -> x[1] * x[2]), (p, q) -> p + q)"
+    )
+    normv = "sqrt(list_reduce(list_transform({a}::DOUBLE[], x -> x * x), (p, q) -> p + q))"
+
+    def cos_e6(a, b):
+        return (
+            f"CAST(FLOOR(({dot.format(a=a, b=b)}) / "
+            f"(({normv.format(a=a)}) * ({normv.format(a=b)})) * 1000000) AS BIGINT)"
+        )
+
+    want = sorted(
+        (int(v), int(c))
+        for v, c in con.sql(
+            f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos_e6('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.cid FROM assign a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM assign b
+          WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+            AND {cos_e6('a.embedding', 'b.embedding')} >= {int(thr * 1000000)}
+        )
+        """
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) <= n
