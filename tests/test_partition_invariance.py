@@ -43,6 +43,9 @@ GATES = [
     "p30_asof_join",
     "p32_time_rollup",
     "p41_budget_selection",
+    # embedding dedup: centroid assignment + prefix filter must not
+    # depend on how rows arrive partitioned
+    "p45_semantic_dedup",
 ]
 
 
