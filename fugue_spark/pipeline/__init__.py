@@ -72,4 +72,10 @@ from fugue_spark.pipeline.text import (
     with_word_entropy,
 )
 from fugue_spark.pipeline.sessions import session_stats, sessionize  # noqa: E402,F401
+from fugue_spark.pipeline.bloom import (  # noqa: E402,F401
+    bloom_build,
+    bloom_flag,
+    bloom_merge,
+    dedup_incremental,
+)
 from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401

@@ -1732,3 +1732,100 @@ def test_semantic_dedup_bad_mode_raises(spark, emb):
 
     with pytest.raises(ValueError, match="centroids"):
         semantic_dedup(emb, centroids="median")
+
+
+# --- distributed Bloom filter (incremental dedup) ---
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark, docs):
+    """Every history document must be flagged when re-probed (exact
+    no-false-negative guarantee); fresh documents should almost all pass
+    (FP rate ~1% at 10 bits/fingerprint, k=5)."""
+    from fugue_spark.pipeline import bloom_build, bloom_flag
+
+    bloom = bloom_build(docs, n_bits=1 << 16, n_hashes=5)
+    assert bloom.count() <= (1 << 16) // 64
+    # re-probe history: all maybe_dup
+    re = bloom_flag(docs, bloom)
+    assert re.filter(~F.col("maybe_dup")).count() == 0
+    # fresh docs: text guaranteed disjoint from the corpus vocabulary mix
+    fresh = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('fresh document ', id, ' zzqx') AS text"
+    )
+    fl = bloom_flag(fresh, bloom)
+    n_fp = fl.filter(F.col("maybe_dup")).count()
+    assert n_fp <= 15  # ~1% expected; generous bound keeps the test stable
+
+
+def test_bloom_dedup_incremental_exact_with_history(spark, docs):
+    """bloom-then-verify: with history attached the result equals the exact
+    anti-join — FPs are rescued by the bounded verify step."""
+    from fugue_spark.pipeline import bloom_build, dedup_incremental
+
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    # new batch: half true dups (even ids re-sent), half genuinely new
+    dups = history.limit(50)
+    fresh = spark.range(10_000, 10_200).selectExpr(
+        "id AS doc_id", "concat('novel text ', id) AS text"
+    )
+    new = dups.select("doc_id", "text").unionByName(fresh)
+    bloom = bloom_build(history, n_bits=1 << 16)
+    out = dedup_incremental(new, bloom, history=history)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == sorted(r.doc_id for r in fresh.collect())
+    # without history: still drops ALL true dups (no false negatives),
+    # may additionally drop ~FP-rate of the fresh rows
+    approx = dedup_incremental(new, bloom)
+    ids = {r.doc_id for r in approx.collect()}
+    assert ids <= set(got) and len(ids) >= 0.95 * len(got)
+
+
+def test_bloom_merge_is_union(spark, docs):
+    from fugue_spark.pipeline import bloom_build, bloom_flag, bloom_merge
+
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = bloom_merge(
+        bloom_build(a, n_bits=1 << 16), bloom_build(b, n_bits=1 << 16)
+    )
+    whole = bloom_build(docs, n_bits=1 << 16)
+    # OR-composition: identical (word, bits) rows
+    m = {(r.word, r.bits) for r in merged.collect()}
+    w = {(r.word, r.bits) for r in whole.collect()}
+    assert m == w
+    assert bloom_flag(docs, merged).filter(~F.col("maybe_dup")).count() == 0
+
+
+def test_bloom_validation_errors(spark, docs):
+    from fugue_spark.pipeline import bloom_build, bloom_merge
+
+    with pytest.raises(ValueError, match="multiple"):
+        bloom_build(docs, n_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_build(docs, n_hashes=0)
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge()
+
+
+def test_bloom_roundtrips_through_parquet(spark, docs, tmp_path):
+    """The filter is a plain DataFrame — the parquet save/load IS the
+    signature store for incremental pipelines."""
+    from fugue_spark.pipeline import bloom_build, bloom_flag
+
+    path = str(tmp_path / "bloom.parquet")
+    bloom_build(docs, n_bits=1 << 16).write.parquet(path)
+    back = spark.read.parquet(path)
+    assert bloom_flag(docs, back).filter(~F.col("maybe_dup")).count() == 0
+
+
+def test_bloom_geometry_mismatch_and_missing_metadata(spark, docs):
+    from fugue_spark.pipeline import bloom_build, bloom_flag, bloom_merge
+
+    a = bloom_build(docs, n_bits=1 << 16)
+    b = bloom_build(docs, n_bits=1 << 17)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_merge(a, b)
+    # a frame without the stamp is rejected, not probed wrong
+    bare = a.select("word", F.col("bits").cast("long").alias("bits"))
+    with pytest.raises(ValueError, match="not a bloom frame"):
+        bloom_flag(docs, bare)
