@@ -79,3 +79,9 @@ from fugue_spark.pipeline.bloom import (  # noqa: E402,F401
     dedup_incremental,
 )
 from fugue_spark.pipeline.similarity import cosine_topk_ivf  # noqa: E402,F401
+from fugue_spark.pipeline.similarity import (  # noqa: E402,F401
+    PQCodebook,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)

@@ -28,6 +28,10 @@ __all__ = [
     "near_duplicates_by_embedding",
     "near_duplicates_lsh",
     "semantic_dedup",
+    "PQCodebook",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 # Above this corpus size the exact all-pairs forms refuse to run unless the
@@ -510,3 +514,196 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(shadowed, on=id_col, how="left_anti")
+
+
+def _lloyd(mat: "np.ndarray", k: int, iters: int = 15, seed: int = 42) -> "np.ndarray":
+    """Plain L2 Lloyd's k-means on a small driver-side matrix (PQ subspace
+    codebooks are (k × dim/m) — a few KB each)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+class PQCodebook:
+    """Product-quantization codebook: m subspace k-means codebooks over a
+    normalized embedding space. ``centroids`` is (m, k, dim//m) float64."""
+
+    def __init__(self, centroids: "np.ndarray", dim: int, normalized: bool = True):
+        self.centroids = centroids
+        self.m = centroids.shape[0]
+        self.k = centroids.shape[1]
+        self.dim = dim
+        self.normalized = normalized
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Flat frame (sub, centroid, vec) — parquet-persistable store."""
+        rows = [
+            (j, c, self.centroids[j, c].tolist())
+            for j in range(self.m)
+            for c in range(self.k)
+        ]
+        df = pd.DataFrame(rows, columns=["sub", "centroid", "vec"])
+        df.attrs = {"dim": self.dim, "normalized": self.normalized}
+        return df
+
+    @classmethod
+    def from_pandas(cls, pdf: pd.DataFrame, dim: "int | None" = None, normalized: bool = True) -> "PQCodebook":
+        m = int(pdf["sub"].max()) + 1
+        k = int(pdf["centroid"].max()) + 1
+        sub_dim = len(pdf["vec"].iloc[0])
+        cent = np.zeros((m, k, sub_dim))
+        for _, r in pdf.iterrows():
+            cent[int(r["sub"]), int(r["centroid"])] = np.asarray(r["vec"])
+        return cls(cent, dim or m * sub_dim, normalized)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 20000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> PQCodebook:
+    """Train PQ codebooks on a bounded driver-side sample (sample_size rows
+    — independent of corpus size, the same contract as cosine_topk_ivf).
+
+    Vectors are L2-normalized first, so PQ's L2 distance ranks like
+    cosine and PQ results are comparable to the rest of the ANN family.
+    ``m`` subspaces × ``n_centroids`` centroids ⇒ codes of m bytes when
+    n_centroids ≤ 256 (a 64-dim float32 vector compresses 256 B → 8 B)."""
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+    if sample.size == 0:
+        raise ValueError("pq_train needs a non-empty corpus")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_centroids > 256:
+        raise ValueError("n_centroids > 256 does not fit byte codes")
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sub = dim // m
+    cents = np.stack(
+        [
+            _lloyd(sample[:, j * sub : (j + 1) * sub], n_centroids, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+    return PQCodebook(cents, dim)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only vectorized encoding: each vector becomes an m-byte binary
+    code (argmin centroid per subspace). The codebook ships in the UDF
+    closure (m·k·dim/m doubles — bounded)."""
+    cent = codebook.centroids
+    m, sub = codebook.m, codebook.dim // codebook.m
+    normalized = codebook.normalized
+
+    @F.pandas_udf("binary")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        if normalized:
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((x[:, None, :] - cent[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.select(F.col(id_col), encode_udf(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: PQCodebook,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries_guard: int = 1000,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ codes.
+
+    The corpus side never touches full vectors: one mapInPandas pass scores
+    every (corpus code, query) pair from per-query lookup tables
+    (LUT[j][code] = ‖query_sub_j − centroid‖², so a code's distance is m
+    table adds — the FAISS IVFADC inner loop, here over Arrow batches).
+    Queries (with LUTs: |Q|·m·k doubles) ship in the closure — guarded,
+    same posture as cosine_topk_bruteforce's broadcast side. Ranking is
+    one window on query_id. Output: query_id, neighbor_id, dist_e6, rank
+    (ascending distance; on normalized vectors d² = 2 − 2·cos, so the
+    order matches the cosine family)."""
+    q_rows = queries.select(id_col, vec_col).limit(n_queries_guard + 1).collect()
+    if len(q_rows) > n_queries_guard:
+        raise ValueError(
+            f"pq_topk ships query LUTs in the closure; >{n_queries_guard} "
+            "queries needs batching (split the query side)"
+        )
+    cent = codebook.centroids
+    m, sub = codebook.m, codebook.dim // codebook.m
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if codebook.normalized:
+        q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # LUTs: (|Q|, m, k) — squared L2 from each query subvector to each centroid
+    luts = np.stack(
+        [
+            ((q_mat[:, j * sub : (j + 1) * sub][:, None, :] - cent[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.frombuffer(b"".join(pdf["pq_code"]), dtype=np.uint8).reshape(-1, m)
+            # dists[q, n] = sum_j LUT[q, j, c[n, j]]
+            dists = np.zeros((len(q_ids), len(c)))
+            for j in range(m):
+                dists += luts[:, j, :][:, c[:, j]]
+            nid = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nid,
+                        "dist_e6": np.floor(dists[qi] * 1e6).astype("int64"),
+                    }
+                )
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, dist_e6 long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_e6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_e6", "rank")
+    )

@@ -1829,3 +1829,71 @@ def test_bloom_geometry_mismatch_and_missing_metadata(spark, docs):
     bare = a.select("word", F.col("bits").cast("long").alias("bits"))
     with pytest.raises(ValueError, match="not a bloom frame"):
         bloom_flag(docs, bare)
+
+
+# --- product quantization (compressed ANN) ---
+
+
+def _planted_corpus(spark, n_base=20, copies=3, dim=64, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    rows = [[i, [float(x) for x in base[i]]] for i in range(n_base)]
+    vid = n_base
+    for i in range(n_base):
+        for _ in range(copies):
+            noisy = base[i] + 0.05 * rng.standard_normal(dim)
+            rows.append([vid, [float(x) for x in noisy]])
+            vid += 1
+    return spark.createDataFrame(rows, parse_schema("vec_id:long,embedding:[float]"))
+
+
+def test_pq_recall_on_planted_neighbors(spark):
+    """PQ/ADC must recall planted near-copies: 8-byte codes (32x smaller
+    than the float32 vectors) still rank the cos~0.99 copies first."""
+    from fugue_spark.pipeline import pq_encode, pq_topk, pq_train
+
+    df = _planted_corpus(spark)
+    queries = df.filter(F.col("vec_id") < 20)
+    cb = pq_train(df, m=8, n_centroids=32, sample_size=200)
+    codes = pq_encode(df, cb)
+    row = codes.first()
+    assert len(bytes(row.pq_code)) == 8  # m bytes per vector
+    brute = cosine_topk_bruteforce(df, queries, k=3)
+    approx = pq_topk(codes, queries, cb, k=3)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(b) == 60
+    assert len(a & b) >= 0.85 * len(b)
+
+
+def test_pq_codebook_roundtrip_and_determinism(spark):
+    from fugue_spark.pipeline import PQCodebook, pq_encode, pq_train
+
+    df = _planted_corpus(spark, n_base=10, copies=1)
+    cb = pq_train(df, m=4, n_centroids=8, sample_size=100)
+    # store roundtrip: flat pandas frame (parquet-persistable)
+    back = PQCodebook.from_pandas(cb.to_pandas(), dim=cb.dim)
+    assert back.centroids.shape == cb.centroids.shape
+    assert float(abs(back.centroids - cb.centroids).max()) == 0.0
+    # deterministic: same seed, same codes
+    c1 = {r.vec_id: bytes(r.pq_code) for r in pq_encode(df, cb).collect()}
+    c2 = {r.vec_id: bytes(r.pq_code) for r in pq_encode(df, back).collect()}
+    assert c1 == c2
+
+
+def test_pq_validation_errors(spark):
+    from fugue_spark.pipeline import pq_topk, pq_train
+
+    df = _planted_corpus(spark, n_base=5, copies=0)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=7)
+    with pytest.raises(ValueError, match="byte codes"):
+        pq_train(df, m=8, n_centroids=512)
+    cb = pq_train(df, m=8, n_centroids=4, sample_size=10)
+    from fugue_spark.pipeline import pq_encode
+
+    codes = pq_encode(df, cb)
+    with pytest.raises(ValueError, match="batching"):
+        pq_topk(codes, df, cb, k=2, n_queries_guard=3)
