@@ -35,6 +35,8 @@ bounded by the flagged count, not the batch.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,17 +132,32 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     return _stamp(merged, *geoms.pop())
 
 
+_BROADCAST_MAX_BITS = 1 << 31  # 256 MB bitmap — above this, use mode="join"
+
+
 def bloom_flag(
     df: DataFrame,
     bloom: DataFrame,
     text_col: str = "text",
+    mode: str = "join",
 ) -> DataFrame:
     """Add ``maybe_dup`` (boolean): true iff all k probed bits are set in
     ``bloom``. The probe geometry (n_bits/n_hashes) is read from the
     filter's own metadata — a mismatched probe cannot be expressed.
 
-    One equi-join on the word index carries the probes; the left join
-    treats an absent word row as all-zero bits (definitely new)."""
+    ``mode="join"`` (default): one equi-join on the word index carries the
+    probes; the left join treats an absent word row as all-zero bits
+    (definitely new). Works at ANY filter size.
+
+    ``mode="broadcast"``: the filter materializes into one dense bitmap
+    (n_bits/8 bytes — refused above 256 MB) shipped via a Spark broadcast;
+    membership is a single vectorized Arrow pass with NO join, NO shuffle
+    and NO checkpoint — the streaming-safe and small-filter-fast path
+    (an ingest stream can probe history inline)."""
+    if mode == "broadcast":
+        return _bloom_flag_broadcast(df, bloom, text_col)
+    if mode != "join":
+        raise ValueError(f"unknown bloom_flag mode {mode!r}")
     n_bits, n_hashes = _geometry(bloom)
     id_tag = "__bloom_row__"
     probes = F.array(*_positions(_fingerprint(text_col), n_bits, n_hashes))
@@ -199,3 +216,31 @@ def dedup_incremental(
         hist_fp, on="__fp__", how="left_anti"
     ).drop("__fp__")
     return clean.unionByName(rescued)
+
+
+def _bloom_flag_broadcast(df: DataFrame, bloom: DataFrame, text_col: str) -> DataFrame:
+    n_bits, n_hashes = _geometry(bloom)
+    if n_bits > _BROADCAST_MAX_BITS:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the broadcast-bitmap bound "
+            f"({_BROADCAST_MAX_BITS}); use mode='join'"
+        )
+    # bounded collect: <= n_bits/64 (word, bits) rows by construction
+    arr = np.zeros(n_bits // _WORD_BITS, dtype=np.uint64)
+    for r in bloom.select("word", "bits").collect():
+        arr[int(r[0])] = np.uint64(np.int64(r[1]))
+    bc = df.sparkSession.sparkContext.broadcast(arr)
+
+    @F.pandas_udf("boolean")
+    def member_udf(probe_lists: pd.Series) -> pd.Series:
+        bitmap = bc.value
+        if not len(probe_lists):
+            return pd.Series([], dtype=bool)
+        pos = np.stack([np.asarray(p, dtype=np.int64) for p in probe_lists])
+        word = pos // _WORD_BITS
+        mask = np.uint64(1) << (pos % _WORD_BITS).astype(np.uint64)
+        hit = (bitmap[word] & mask) == mask
+        return pd.Series(hit.all(axis=1))
+
+    probes = F.array(*_positions(_fingerprint(text_col), n_bits, n_hashes))
+    return df.withColumn("maybe_dup", member_udf(probes))

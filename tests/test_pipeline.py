@@ -1897,3 +1897,31 @@ def test_pq_validation_errors(spark):
     codes = pq_encode(df, cb)
     with pytest.raises(ValueError, match="batching"):
         pq_topk(codes, df, cb, k=2, n_queries_guard=3)
+
+
+def test_bloom_broadcast_mode_matches_join_mode(spark, docs):
+    from fugue_spark.pipeline import bloom_build, bloom_flag
+
+    bloom = bloom_build(docs, n_bits=1 << 16)
+    fresh = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('bcast probe ', id) AS text"
+    )
+    for probe in (docs.select("doc_id", "text"), fresh):
+        j = {(r.doc_id, r.maybe_dup) for r in bloom_flag(probe, bloom).collect()}
+        b = {
+            (r.doc_id, r.maybe_dup)
+            for r in bloom_flag(probe, bloom, mode="broadcast").collect()
+        }
+        assert j == b
+    with pytest.raises(ValueError, match="mode"):
+        bloom_flag(docs, bloom, mode="bitmap")
+
+
+def test_bloom_broadcast_refuses_oversize_bitmap(spark, docs):
+    from fugue_spark.pipeline import bloom_build, bloom_flag
+    from fugue_spark.pipeline.bloom import _stamp
+
+    bloom = bloom_build(docs.limit(5), n_bits=1 << 16)
+    huge = _stamp(bloom, 1 << 34, 5)  # forged geometry: 2 GiB bitmap
+    with pytest.raises(ValueError, match="broadcast-bitmap bound"):
+        bloom_flag(docs, huge, mode="broadcast")

@@ -437,3 +437,44 @@ def test_stream_static_join_matches_batch(spark):
         ("2024-01-01 00:00:00", "A"): (2, 300),
         ("2024-01-01 01:00:00", "B"): (1, 400),
     }
+
+
+def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
+    """Ingest-time incremental dedup: a STREAM of new documents probed
+    against a static history Bloom filter (broadcast bitmap — map-only,
+    no stateful operator, append-safe). The surviving set must equal the
+    batch run of the same probe."""
+    from fugue_spark.benchmarks import load_table
+    from fugue_spark.pipeline import bloom_build, bloom_flag
+
+    docs = load_table(spark, SF, "documents")
+    history = docs.filter("doc_id % 2 = 0")
+    bloom = bloom_build(history, n_bits=1 << 16)
+
+    # new batch: 30 re-sent history docs + 100 fresh ones, as stream files
+    dups = history.select("doc_id", "text").limit(30)
+    fresh = spark.range(50_000, 50_100).selectExpr(
+        "id AS doc_id", "concat('stream novel ', id) AS text"
+    )
+    new = dups.unionByName(fresh)
+    src = str(tmp_path / "incoming")
+    new.coalesce(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    flagged = bloom_flag(stream, bloom, mode="broadcast")
+    assert flagged.isStreaming
+    clean = flagged.filter("NOT maybe_dup").drop("maybe_dup")
+    out = fs.run_to_memory(clean, "bloom_stream_test", output_mode="append")
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(
+        r.doc_id
+        for r in bloom_flag(new, bloom, mode="broadcast")
+        .filter("NOT maybe_dup")
+        .collect()
+    )
+    assert got == want
+    # every fresh doc that bloom passes is present; every dup is gone
+    assert set(got) <= set(range(50_000, 50_100))
+    assert len(got) >= 95
