@@ -203,16 +203,21 @@ def dedup_incremental(
 
     Without ``history``: drops every maybe-dup (exact no-false-negative
     guarantee keeps all truly-new rows except Bloom's ~FP-rate collateral).
-    With ``history``: the flagged remainder is re-checked EXACTLY against
-    history's fingerprints (anti-join bounded by the flagged count — the
-    classic bloom-then-verify split), so the result is exact."""
+    With ``history``: the flagged remainder is re-checked against
+    history's 128-bit md5 fingerprints (anti-join bounded by the flagged
+    count — the classic bloom-then-verify split). The verify key is md5
+    of the normalized text, NOT the bloom's 64-bit xxhash64: at
+    billion-document histories a 64-bit birthday collision is likely and
+    would silently drop a novel document, while 128 bits is the same
+    "same document" contract ``dedup_exact`` stakes its own results on."""
     flagged = bloom_flag(new_df, bloom, text_col)
     clean = flagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
     if history is None:
         return clean
     suspects = flagged.filter(F.col("maybe_dup")).drop("maybe_dup")
-    hist_fp = history.select(_fingerprint(text_col).alias("__fp__")).distinct()
-    rescued = suspects.withColumn("__fp__", _fingerprint(text_col)).join(
+    verify_fp = F.md5(_normalized(text_col))
+    hist_fp = history.select(verify_fp.alias("__fp__")).distinct()
+    rescued = suspects.withColumn("__fp__", verify_fp).join(
         hist_fp, on="__fp__", how="left_anti"
     ).drop("__fp__")
     return clean.unionByName(rescued)
@@ -225,10 +230,15 @@ def _bloom_flag_broadcast(df: DataFrame, bloom: DataFrame, text_col: str) -> Dat
             f"n_bits={n_bits} exceeds the broadcast-bitmap bound "
             f"({_BROADCAST_MAX_BITS}); use mode='join'"
         )
-    # bounded collect: <= n_bits/64 (word, bits) rows by construction
+    # bounded materialization: <= n_bits/64 (word, bits) rows by
+    # construction — Arrow transfer + one vectorized scatter, never a
+    # Python loop over Row objects (33.5M rows at the 256 MB bound)
     arr = np.zeros(n_bits // _WORD_BITS, dtype=np.uint64)
-    for r in bloom.select("word", "bits").collect():
-        arr[int(r[0])] = np.uint64(np.int64(r[1]))
+    pdf = bloom.select("word", "bits").toPandas()
+    if len(pdf):
+        arr[pdf["word"].to_numpy(dtype=np.int64)] = (
+            pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
     bc = df.sparkSession.sparkContext.broadcast(arr)
 
     @F.pandas_udf("boolean")

@@ -587,25 +587,36 @@ class PQCodebook:
         self.normalized = normalized
 
     def to_pandas(self) -> pd.DataFrame:
-        """Flat frame (sub, centroid, vec) — parquet-persistable store."""
+        """Flat frame (sub, centroid, vec, dim, normalized) — a
+        parquet-persistable store. dim/normalized ride as ordinary columns
+        (pandas ``.attrs`` would NOT survive a parquet round trip)."""
         rows = [
-            (j, c, self.centroids[j, c].tolist())
+            (j, c, self.centroids[j, c].tolist(), self.dim, self.normalized)
             for j in range(self.m)
             for c in range(self.k)
         ]
-        df = pd.DataFrame(rows, columns=["sub", "centroid", "vec"])
-        df.attrs = {"dim": self.dim, "normalized": self.normalized}
-        return df
+        return pd.DataFrame(rows, columns=["sub", "centroid", "vec", "dim", "normalized"])
 
     @classmethod
-    def from_pandas(cls, pdf: pd.DataFrame, dim: "int | None" = None, normalized: bool = True) -> "PQCodebook":
+    def from_pandas(
+        cls,
+        pdf: pd.DataFrame,
+        dim: "int | None" = None,
+        normalized: "bool | None" = None,
+    ) -> "PQCodebook":
         m = int(pdf["sub"].max()) + 1
         k = int(pdf["centroid"].max()) + 1
         sub_dim = len(pdf["vec"].iloc[0])
         cent = np.zeros((m, k, sub_dim))
         for _, r in pdf.iterrows():
             cent[int(r["sub"]), int(r["centroid"])] = np.asarray(r["vec"])
-        return cls(cent, dim or m * sub_dim, normalized)
+        if dim is None:
+            dim = int(pdf["dim"].iloc[0]) if "dim" in pdf.columns else m * sub_dim
+        if normalized is None:
+            normalized = (
+                bool(pdf["normalized"].iloc[0]) if "normalized" in pdf.columns else True
+            )
+        return cls(cent, dim, normalized)
 
 
 def pq_train(
@@ -700,11 +711,26 @@ def pq_topk(
     one window on query_id. Output: query_id, neighbor_id, dist_e6, rank
     (ascending distance; on normalized vectors d² = 2 − 2·cos, so the
     order matches the cosine family)."""
+    from pyspark.sql import types as T
+
+    # id types follow the inputs (the rest of the cosine family preserves
+    # id columns through joins; the mapInPandas schema must do the same)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", codes.schema[id_col].dataType),
+            T.StructField("dist_e6", T.LongType()),
+        ]
+    )
     q_rows = queries.select(id_col, vec_col).limit(n_queries_guard + 1).collect()
     if len(q_rows) > n_queries_guard:
         raise ValueError(
             f"pq_topk ships query LUTs in the closure; >{n_queries_guard} "
             "queries needs batching (split the query side)"
+        )
+    if not q_rows:
+        return codes.sparkSession.createDataFrame(
+            [], schema.add("rank", T.IntegerType())
         )
     cent = codebook.centroids
     m, sub = codebook.m, codebook.dim // codebook.m
@@ -742,9 +768,9 @@ def pq_topk(
                     }
                 )
 
-    scored = codes.mapInPandas(
-        score, schema="query_id long, neighbor_id long, dist_e6 long"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = codes.mapInPandas(score, schema=schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_e6").asc(), F.col("neighbor_id").asc()
     )

@@ -896,7 +896,9 @@ def p46_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugue_spark.sources import load_df
     from fugue_spark.sources.compact import compact_dataset
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # pid in the scratch names: two processes gating the same sf must not
+    # clobber each other's lazily-read output mid-scan
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     src = os.path.join(tempfile.gettempdir(), f"fugue_spark_p46_{tag}_small.parquet")
     out = os.path.join(tempfile.gettempdir(), f"fugue_spark_p46_{tag}_compact.parquet")
     docs = load_table(spark, sf_dir, "documents")

@@ -82,14 +82,26 @@ def compact_dataset(
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     in_fmt = format_hint or infer_format(in_path)
-    out_fmt = out_format or (infer_format(out_path) if "." in out_path.rsplit("/", 1)[-1] else in_fmt)
-    # normalized-path identity only — a true same-FS check needs resolved
-    # URIs, and the failure mode (clobbering the lazy input) is severe
-    # enough that an exact match must hard-fail
-    if in_path.rstrip("/") == out_path.rstrip("/"):
+    if out_format:
+        out_fmt = out_format
+    else:
+        # dotted basenames with an unknown extension (out.2024_01) fall
+        # back to the input format instead of failing the inference
+        try:
+            out_fmt = infer_format(out_path)
+        except ValueError:
+            out_fmt = in_fmt
+    # string-normalized containment check — a true same-FS check needs
+    # resolved URIs, but the failure modes are severe enough to hard-fail
+    # on what IS checkable: identical paths clobber the lazy input, and a
+    # NESTED output re-enters the input's recursive scan on the next run
+    # (the corpus plus its own compacted copy — every row duplicated)
+    a, b = in_path.rstrip("/") + "/", out_path.rstrip("/") + "/"
+    if a == b or b.startswith(a) or a.startswith(b):
         raise ValueError(
-            "compact_dataset cannot overwrite its input in place (the scan "
-            "is lazy); write to a new path, then swap"
+            "compact_dataset output must not be the input or nested "
+            "inside/around it (the scan is lazy and recursive); write to "
+            "a sibling path, then swap"
         )
     before = dataset_file_stats(spark, in_path)
     n_out = max(1, math.ceil(before["n_bytes"] / target_file_bytes))

@@ -124,7 +124,7 @@ def test_compact_refuses_in_place_and_bad_target(spark, tmp_path):
 
     src = str(tmp_path / "many5.parquet")
     _mk_small_files(spark, src, n_parts=2)
-    with pytest.raises(ValueError, match="in place"):
+    with pytest.raises(ValueError, match="must not be the input"):
         compact_dataset(spark, src, src)
     with pytest.raises(ValueError, match="positive"):
         compact_dataset(spark, src, str(tmp_path / "o.parquet"), target_file_bytes=0)
@@ -139,3 +139,25 @@ def test_compact_format_conversion(spark, tmp_path):
     stats = compact_dataset(spark, src, out, target_file_bytes=1 << 30)
     assert stats["out_files"] == 1
     assert spark.read.orc(out).count() == 2000
+
+
+def test_compact_refuses_nested_output(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "nested.parquet")
+    _mk_small_files(spark, src, n_parts=2)
+    with pytest.raises(ValueError, match="nested"):
+        compact_dataset(spark, src, src + "/compact.parquet")
+    with pytest.raises(ValueError, match="nested"):
+        compact_dataset(spark, src, str(tmp_path))  # output contains input
+
+
+def test_compact_unknown_out_extension_falls_back_to_input_format(spark, tmp_path):
+    from fugue_spark.sources.compact import compact_dataset
+
+    src = str(tmp_path / "dated.parquet")
+    out = str(tmp_path / "out.2024_01")
+    _mk_small_files(spark, src, n_parts=4)
+    stats = compact_dataset(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["out_files"] == 1
+    assert spark.read.parquet(out).count() == 2000

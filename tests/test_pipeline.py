@@ -1925,3 +1925,39 @@ def test_bloom_broadcast_refuses_oversize_bitmap(spark, docs):
     huge = _stamp(bloom, 1 << 34, 5)  # forged geometry: 2 GiB bitmap
     with pytest.raises(ValueError, match="broadcast-bitmap bound"):
         bloom_flag(docs, huge, mode="broadcast")
+
+
+def test_pq_empty_queries_and_string_ids(spark):
+    """Edge cases from review: zero query rows must return an empty frame
+    (not crash in the LUT build), and non-long id columns must carry
+    through with their own types."""
+    from fugue_spark.pipeline import pq_encode, pq_topk, pq_train
+
+    df = _planted_corpus(spark, n_base=8, copies=1)
+    cb = pq_train(df, m=8, n_centroids=8, sample_size=50)
+    sdf = df.selectExpr("concat('v', vec_id) AS vec_id", "embedding")
+    codes = pq_encode(sdf, cb)
+    empty = pq_topk(codes, sdf.limit(0), cb, k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "dist_e6", "rank",
+    ]
+    got = pq_topk(codes, sdf.filter("vec_id = 'v0'"), cb, k=3).collect()
+    assert len(got) == 3 and all(isinstance(r.neighbor_id, str) for r in got)
+
+
+def test_pq_codebook_parquet_roundtrip_preserves_flags(spark, tmp_path):
+    """to_pandas/from_pandas must carry dim and normalized THROUGH parquet
+    (pandas .attrs would silently drop them)."""
+    import pandas as pd
+
+    from fugue_spark.pipeline import PQCodebook, pq_train
+
+    df = _planted_corpus(spark, n_base=8, copies=0)
+    cb = pq_train(df, m=4, n_centroids=4, sample_size=20)
+    cb.normalized = False  # non-default must survive the store
+    path = str(tmp_path / "cb.parquet")
+    cb.to_pandas().to_parquet(path)
+    back = PQCodebook.from_pandas(pd.read_parquet(path))
+    assert back.dim == cb.dim and back.normalized is False
+    assert float(abs(back.centroids - cb.centroids).max()) == 0.0
