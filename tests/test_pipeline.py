@@ -1961,3 +1961,13 @@ def test_pq_codebook_parquet_roundtrip_preserves_flags(spark, tmp_path):
     back = PQCodebook.from_pandas(pd.read_parquet(path))
     assert back.dim == cb.dim and back.normalized is False
     assert float(abs(back.centroids - cb.centroids).max()) == 0.0
+
+
+def test_bloom_build_partition_invariant(spark, docs):
+    """bit_or is commutative/associative: the filter must be identical for
+    any input partitioning (the local form of the 1000-executor claim)."""
+    from fugue_spark.pipeline import bloom_build
+
+    one = {(r.word, r.bits) for r in bloom_build(docs.coalesce(1), n_bits=1 << 16).collect()}
+    many = {(r.word, r.bits) for r in bloom_build(docs.repartition(7), n_bits=1 << 16).collect()}
+    assert one == many and len(one) > 0
