@@ -449,12 +449,14 @@ def semantic_dedup(
 
     Scale shape (the 100 TB posture): the only driver-side collect is the
     centroid set (k or sample_size rows — independent of corpus size);
-    assignment is one map-only JVM pass (k cosine folds per row, no
-    Python); the within-cluster pair probe is a self-EQUI-join on the
-    cluster id (one hash shuffle of (id, vec)), and survivors come from
-    one anti-join on the id. No cross join at any size — but cluster
-    sizes bound the join fan-out, so ``n_clusters`` must grow with the
-    corpus (SemDeDup uses ~n/10⁴ clusters at web scale).
+    assignment is one map-only pass (JVM expression folds, or one
+    vectorized Arrow matmul for large k — see ``assignment``); the
+    within-cluster pair probe is a self-EQUI-join on the cluster id (one
+    hash shuffle of (id, vec), norms folded once per row below the join),
+    and survivors come from one anti-join on the id. No cross join at any
+    size — but cluster sizes bound the join fan-out, so ``n_clusters``
+    must grow with the corpus (SemDeDup uses ~n/10⁴ clusters at web
+    scale; measured on 200k×64-dim: k=64 → 235 s, k=512 → 22.5 s).
 
     Assignment paths (``assignment``): ``"expr"`` scores the k centroids
     as ONE JVM expression (sequential double folds — bit-exact with the
