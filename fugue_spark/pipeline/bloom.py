@@ -209,7 +209,11 @@ def dedup_incremental(
     of the normalized text, NOT the bloom's 64-bit xxhash64: at
     billion-document histories a 64-bit birthday collision is likely and
     would silently drop a novel document, while 128 bits is the same
-    "same document" contract ``dedup_exact`` stakes its own results on."""
+    "same document" contract ``dedup_exact`` stakes its own results on.
+
+    Scope: this dedups against HISTORY only — two copies of the same new
+    document within one batch both survive; run ``dedup_exact`` on the
+    batch first (or after) for within-batch uniqueness."""
     flagged = bloom_flag(new_df, bloom, text_col)
     clean = flagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
     if history is None:
