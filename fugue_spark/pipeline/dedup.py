@@ -10,10 +10,12 @@ Five strategies, each expressed as a shuffle-conscious DataFrame plan:
                      Jaccard. Exact but quadratic in worst case; the
                      shingle join is the classic "small candidate set"
                      trick: only pairs sharing ≥1 shingle are generated.
-* minhash_lsh      — shingle → m minhashes (one groupBy, m min() aggs) →
-                     b bands → band-bucket join produces candidates →
-                     exact-Jaccard verify. Near-linear; the banded join is
-                     the scale path (no all-pairs anywhere).
+* minhash_lsh      — shingle → ONE groupBy(id) computing m minhashes AND
+                     the per-doc shingle set → b band keys → bucket
+                     aggregation enumerates candidate pairs in-row →
+                     exact-Jaccard verify on per-doc arrays. Near-linear;
+                     no all-pairs join anywhere and the index is shuffled
+                     exactly once.
 * simhash          — 64-bit simhash per doc (vectorized pandas UDF, no
                      shuffle) → 16-bit chunk banding (pigeonhole: hamming
                      ≤3 ⇒ ≥1 of 4 chunks equal) → candidate join →
@@ -54,7 +56,15 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep the lowest-id row per distinct normalized text. The shuffle key
     is the md5 fingerprint, not the document — at 100 TB the exchange moves
-    ~48 bytes/row."""
+    ~48 bytes/row.
+
+    Kept as a row_number window rather than a ``min_by(struct(*cols))``
+    aggregation (tried r10): Catalyst prunes columns THROUGH a window, so a
+    consumer that projects two columns after dedup shuffles only those plus
+    the fingerprint — while min_by's struct pins every column into the
+    exchange (measured: p4 0.43 s → 0.65 s at sf1 because the full text
+    rode the shuffle). Partial-agg dedup only wins when consumers keep all
+    columns AND the duplicate rate is high."""
     fp = F.md5(_normalized(text_col))
     w = Window.partitionBy("__fp__").orderBy(F.col(id_col).asc())
     return (
@@ -96,16 +106,26 @@ def _shingles(text_col: str, n: int) -> F.Column:
     return grams
 
 
-def _shingle_index(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+def _shingle_index(
+    df: DataFrame, n: int, text_col: str, id_col: str, with_size: bool = False
+) -> DataFrame:
     """(id, g) inverted index over 64-bit shingle fingerprints — 16 bytes/row
     through the exchange instead of full n-grams. Callers repartition this on
     the reuse key ONCE so every downstream branch (hot-set agg, join sides,
     per-doc counts) reads a single materialized exchange instead of
     recomputing the shingling scan per branch (ReuseExchange matches the
-    identical subtree)."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
-    )
+    identical subtree).
+
+    ``with_size=True`` adds ``n_sh`` (the doc's distinct-shingle count, an
+    int — computed for free from the pre-explode array) to every row: +4
+    bytes/row through the exchange buys consumers the per-doc set size
+    WITHOUT a separate groupBy(id) aggregation + join-back."""
+    base = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("__gr__"))
+    if with_size:
+        return base.select(
+            "id", F.size("__gr__").alias("n_sh"), F.explode("__gr__").alias("g")
+        )
+    return base.select("id", F.explode("__gr__").alias("g"))
 
 
 # driver-side bound for the hot-set probe in ngram_jaccard_pairs: above
@@ -166,24 +186,23 @@ def ngram_jaccard_pairs(
     thr = int(threshold * 10000)
     # ONE shingling pass: the index is repartitioned on the join key and
     # materialized (lazy local checkpoint) so the hot-set agg, both join
-    # sides, the per-doc counts, and the near-branch arrays all read the
-    # stored partitions instead of re-running the shingling scan — Catalyst
-    # can't share the subtree itself because per-branch column pruning makes
-    # the copies non-identical. (At cluster scale, swap for
-    # persist(MEMORY_AND_DISK) or a reliable checkpoint if executor loss
-    # must be survivable; the structure — index materialized once — is the
-    # scale-critical part.)
+    # sides, and the near-branch arrays all read the stored partitions
+    # instead of re-running the shingling scan — Catalyst can't share the
+    # subtree itself because per-branch column pruning makes the copies
+    # non-identical. Every row carries n_sh (with_size=True), so no branch
+    # ever needs a per-doc count aggregation + join-back. (At cluster
+    # scale, swap for persist(MEMORY_AND_DISK) or a reliable checkpoint if
+    # executor loss must be survivable; the structure — index materialized
+    # once — is the scale-critical part.)
     exr = (
-        _shingle_index(df, n, text_col, id_col)
+        _shingle_index(df, n, text_col, id_col, with_size=True)
         .repartition("g")
         .localCheckpoint(eager=False)
     )
     hot = _hot_shingles(exr, df, max_shingle_df, min_shingle_df_cap)
 
     if hot is None:
-        pairs = _pair_counts(exr)
-        sizes = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        return _jaccard_from_counts(pairs, sizes, thr)
+        return _pair_jaccard(exr, thr)
 
     # AQE-style runtime specialization: probe the hot set ONCE (a bounded
     # aggregation job over the just-materialized index — the checkpoint it
@@ -196,10 +215,8 @@ def ngram_jaccard_pairs(
     hot_rows = hot.limit(_HOT_PROBE_MAX + 1).collect()
     if len(hot_rows) == 0:
         # nothing is hot: the capped index IS the full index — emit the
-        # exact 2-branch plan (pair counts + per-doc sizes)
-        pairs = _pair_counts(exr)
-        sizes = exr.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        return _jaccard_from_counts(pairs, sizes, thr)
+        # exact single-aggregation plan (sizes ride on the index rows)
+        return _pair_jaccard(exr, thr)
     if len(hot_rows) <= _HOT_PROBE_MAX:
         # small hot set: inline it as a literal relation (no recompute of
         # the counts aggregation when the broadcast is built)
@@ -210,27 +227,15 @@ def ngram_jaccard_pairs(
     # as the broadcast side (unbounded collect on the driver is never OK)
 
     # mark-and-filter against the broadcast hot set: the SAME left join
-    # feeds the capped index, the per-doc totals, and the per-doc hot
-    # counts — all readers of the one materialized exchange
+    # feeds the capped index and the per-doc hot counts — all readers of
+    # the one materialized exchange (total sizes ride on the index rows)
     j = exr.join(F.broadcast(hot.withColumn("__hot__", F.lit(True))), on="g", how="left")
-    ex = j.filter(F.col("__hot__").isNull()).select("id", "g")
-    info = j.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_sh"), F.count("__hot__").alias("n_hot")
-    )
-    pairs = _pair_counts(ex)
+    ex = j.filter(F.col("__hot__").isNull()).select("id", "n_sh", "g")
+    info = j.groupBy("id").agg(F.count("__hot__").alias("n_hot"))
     p = (
-        pairs.join(
-            info.select(
-                F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("n_hot").alias("ha")
-            ),
-            on="id_a",
-        )
-        .join(
-            info.select(
-                F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("n_hot").alias("hb")
-            ),
-            on="id_b",
-        )
+        _pair_counts(ex, thr)
+        .join(info.select(F.col("id").alias("id_a"), F.col("n_hot").alias("ha")), on="id_a")
+        .join(info.select(F.col("id").alias("id_b"), F.col("n_hot").alias("hb")), on="id_b")
         .withColumn("min_hot", F.least("ha", "hb"))
     )
     # min_hot = 0 ⇒ no shared shingle could have been dropped ⇒ count exact
@@ -262,46 +267,51 @@ def ngram_jaccard_pairs(
     return exact.unionByName(resolved)
 
 
-def _pair_counts(ex: DataFrame) -> DataFrame:
+def _pair_counts(ex: DataFrame, thr: int) -> DataFrame:
     """Candidate generation and intersection count in ONE aggregation over
     the inverted-index self-join: pairs sharing >=1 indexed shingle, with
-    shared_c = the number they share. The exchanges carry only ids + longs."""
-    a = ex.select(F.col("id").alias("id_a"), "g")
-    b = ex.select(F.col("id").alias("id_b"), "g")
+    shared_c = the number they share and (na, nb) the per-doc set sizes
+    riding along from the index rows. The exchanges carry only ids + ints.
+
+    The size filter before the aggregation is the classic length bound:
+    jaccard ≤ min(na,nb)/max(na,nb) regardless of overlap, so a pair whose
+    size ratio can't reach ``thr`` is dropped BEFORE its rows enter the
+    pair aggregation — exact (never drops a qualifying pair), and it
+    shrinks the aggregation's input by every co-shingled-but-incompatible
+    pair."""
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
     return (
         a.join(b, on="g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("na", "nb").cast("long") * 10000
+                >= F.lit(int(thr)) * F.greatest("na", "nb").cast("long")
+            )
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_c"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
 
 
 def _jaccard_e4(shared: str, na: str, nb: str) -> F.Column:
-    return F.floor(
-        (F.col(shared) * 10000) / (F.col(na) + F.col(nb) - F.col(shared))
-    ).cast("long")
+    s, a, b = (F.col(c).cast("long") for c in (shared, na, nb))
+    return F.floor((s * 10000) / (a + b - s)).cast("long")
 
 
-def _jaccard_from_counts(
-    pairs: DataFrame,
-    sizes: DataFrame,
-    thr: int,
-    left_id: str = "id_a",
-    right_id: str = "id_b",
-    sizes_right: "DataFrame | None" = None,
-) -> DataFrame:
-    """Attach per-doc set sizes (id, n_sh) to (left_id, right_id, shared_c)
-    pair counts and emit exact Jaccard — the exchanges carry three longs per
-    row, never the shingle arrays. ``sizes_right`` lets the two pair sides
-    come from different corpora (cross-corpus variant); default is the
-    self-join case where one sizes frame serves both sides."""
-    sr = sizes_right if sizes_right is not None else sizes
+def _pair_jaccard(ex: DataFrame, thr: int) -> DataFrame:
+    """Exact Jaccard pairs from a size-carrying inverted index (id, n_sh, g):
+    one self-join + one aggregation, no per-doc size frame to join back."""
     return (
-        pairs.join(sizes.select(F.col("id").alias(left_id), F.col("n_sh").alias("na")), on=left_id)
-        .join(sr.select(F.col("id").alias(right_id), F.col("n_sh").alias("nb")), on=right_id)
+        _pair_counts(ex, thr)
         .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
         .filter(F.col("jaccard_e4") >= thr)
-        .select(left_id, right_id, "jaccard_e4")
+        .select("id_a", "id_b", "jaccard_e4")
     )
 
 
@@ -331,36 +341,70 @@ def _minhash_from_index(ex: DataFrame, num_hashes: int) -> DataFrame:
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def _banded(sig: DataFrame, bands: int, r: int, max_bucket_size: "int | None") -> DataFrame:
-    """(id, band, bh) LSH bucket keys from (id, sig) signatures: one 64-bit
-    hash per band over that band's r signature slots. Buckets larger than
-    ``max_bucket_size`` are dropped before any join consumes them (a k-doc
-    bucket emits O(k²) candidates — the quadratic guard lives here so every
-    banding consumer inherits it)."""
-    banded = sig.select(
+def _band_keys(doc: DataFrame, bands: int, r: int, h: "Callable[[int], F.Column]") -> DataFrame:
+    """(id, bh) LSH bucket keys: one 64-bit hash per band over that band's r
+    signature slots (band index folded into the hash as a seed — docs collide
+    only when the same band's slots are equal, so capture is unchanged vs. a
+    (band, hash) composite key; cross-band hash collisions merely add
+    candidates the exact verify discards). ``h(k)`` yields signature slot k.
+    Hashing the slot longs directly (no string concat) keeps the banding
+    projection allocation-free."""
+    return doc.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])
-                        ).alias("bh"),
-                    )
+                    F.xxhash64(F.lit(i), *[h(i * r + j) for j in range(r)])
                     for i in range(bands)
                 ]
             )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
-    if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__sz__"))
-            .filter(F.col("__sz__") <= int(max_bucket_size))
+        ).alias("bh"),
+    )
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    max_bucket_size: "int | None",
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Distinct candidate pairs from LSH buckets: ONE aggregation on the
+    bucket key, pairs enumerated in-row from the sorted member array — no
+    bucket-census join and no bucket self-join. A k-member bucket emits
+    k(k-1)/2 ordered pairs; buckets above ``max_bucket_size`` are dropped
+    before any pair materializes (the quadratic guard every banding consumer
+    inherits), which also bounds the in-row pair array at cap²/2 structs.
+
+    Uncapped callers (``max_bucket_size=None`` — tests and deliberately
+    guard-off gates) fall back to the bucket self-join: a degenerate bucket
+    there must stream its k²/2 pairs through the join, never materialize
+    them as one in-row array."""
+    if max_bucket_size is None:
+        l = banded.select(F.col("id").alias(left), "bh")
+        r = banded.select(F.col("id").alias(right), "bh")
+        return (
+            l.join(r, on="bh")
+            .filter(F.col(left) < F.col(right))
+            .select(left, right)
+            .distinct()
         )
-        banded = banded.join(small.select("band", "bh"), on=["band", "bh"])
-    return banded
+    buckets = banded.groupBy("bh").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    keep = (F.size("ids") >= 2) & (F.size("ids") <= int(max_bucket_size))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(keep)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias(left), F.col("p.b").alias(right))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -388,37 +432,53 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # ONE shingling pass, partitioned on id and materialized: the signature
-    # agg (exchange-free on id), the verify joins, and the size agg all read
-    # the stored index. The signature frame is materialized too — the band
-    # bucketing consumes it from three plan branches.
-    ex = (
-        _shingle_index(df, n, text_col, id_col)
-        .repartition("id")
+    # ONE shuffle (groupBy id over the shingle index) computes the minhash
+    # signatures AND the per-doc shingle set in the same aggregation; the
+    # result is materialized once (lazy local checkpoint) and read by the
+    # banding projection and both verify-join sides. Everything downstream
+    # of this frame shuffles only bucket keys and candidate pairs.
+    ex = _shingle_index(df, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    doc = (
+        ex.groupBy("id")
+        .agg(*aggs, F.collect_list("g").alias("sh"))
         .localCheckpoint(eager=False)
     )
-    sig = _minhash_from_index(ex, num_hashes).localCheckpoint(eager=False)
-    banded = _banded(sig, bands, r, max_bucket_size)
-    left = banded.select(F.col("id").alias("id_a"), "band", "bh")
-    right = banded.select(F.col("id").alias("id_b"), "band", "bh")
-    cands = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    banded = _band_keys(doc, bands, r, lambda k: F.col(f"h{k}"))
+    cands = _bucket_pairs(banded, max_bucket_size)
+    # exact verify on the candidate set only: attach each side's shingle SET
+    # (already materialized per doc, partitioned on id — no index reshuffle)
+    # and intersect in-row. Only candidate pairs ever carry an array through
+    # an exchange; the full index never moves again.
+    return _verify_pairs_exact(cands, doc, doc, int(threshold * 10000))
+
+
+def _verify_pairs_exact(
+    cands: DataFrame,
+    doc_left: DataFrame,
+    doc_right: DataFrame,
+    thr: int,
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs: join each side's
+    per-doc array (frames already partitioned on id), intersect in-row,
+    threshold. Output: (left, right, jaccard_e4) — no false positives."""
+    a = doc_left.select(F.col("id").alias(left), F.col("sh").alias("sh_a"))
+    b = doc_right.select(F.col("id").alias(right), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, on=left)
+        .join(b, on=right)
+        .withColumn("shared_c", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("na", F.size("sh_a"))
+        .withColumn("nb", F.size("sh_b"))
+        .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
+        .filter(F.col("jaccard_e4") >= thr)
+        .select(left, right, "jaccard_e4")
     )
-    # exact verify on the candidate set only: restrict the inverted index to
-    # candidate pairs and COUNT(*) the co-occurring shingles — the exchanges
-    # carry (id_a, id_b, g) longs, never the shingle arrays (the minhash
-    # index has no hot-cap, so the count IS the exact intersection size)
-    pairs = (
-        cands.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
-        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
-    )
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_from_counts(pairs, sizes, int(threshold * 10000))
 
 
 def minhash_lsh_pairs_against(
@@ -458,41 +518,43 @@ def minhash_lsh_pairs_against(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    exp = (
-        _shingle_index(probe, n, text_col, id_col)
-        .repartition("id")
-        .localCheckpoint(eager=False)
-    )
-    exc = (
-        _shingle_index(corpus, n, text_col, id_col)
-        .repartition("id")
-        .localCheckpoint(eager=False)
-    )
-    bp = _banded(_minhash_from_index(exp, num_hashes), bands, r, max_bucket_size)
-    bc = _banded(_minhash_from_index(exc, num_hashes), bands, r, max_bucket_size)
+
+    def _doc(side: DataFrame) -> DataFrame:
+        # one shuffle per side: signatures + shingle set in one aggregation
+        # (same shape as the self-join variant; same hash family on both
+        # sides so bucket keys are comparable)
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return (
+            _shingle_index(side, n, text_col, id_col)
+            .groupBy("id")
+            .agg(*aggs, F.collect_list("g").alias("sh"))
+            .localCheckpoint(eager=False)
+        )
+
+    docp, docc = _doc(probe), _doc(corpus)
+    bp = _band_keys(docp, bands, r, lambda k: F.col(f"h{k}"))
+    bc = _band_keys(docc, bands, r, lambda k: F.col(f"h{k}"))
+    # per-side bucket membership lists (one aggregation each, capped per
+    # side — the join fan-out stays bounded by max_bucket_size² per bucket),
+    # then pairs enumerate from the joined lists
+    pa = bp.groupBy("bh").agg(F.collect_list("id").alias("ia"))
+    pc = bc.groupBy("bh").agg(F.collect_list("id").alias("ib"))
+    if max_bucket_size is not None:
+        pa = pa.filter(F.size("ia") <= int(max_bucket_size))
+        pc = pc.filter(F.size("ib") <= int(max_bucket_size))
     cands = (
-        bp.select(F.col("id").alias("probe_id"), "band", "bh")
-        .join(bc.select(F.col("id").alias("corpus_id"), "band", "bh"), on=["band", "bh"])
-        .select("probe_id", "corpus_id")
+        pa.join(pc, on="bh")
+        .select(F.explode("ia").alias("probe_id"), "ib")
+        .select("probe_id", F.explode("ib").alias("corpus_id"))
         .distinct()
     )
-    # exact verify on candidates only: count co-occurring shingles across the
-    # two indexes — exchanges carry (probe_id, corpus_id, g) longs
-    pairs = (
-        cands.join(exp.select(F.col("id").alias("probe_id"), "g"), on="probe_id")
-        .join(exc.select(F.col("id").alias("corpus_id"), "g"), on=["corpus_id", "g"])
-        .groupBy("probe_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
-    )
-    np_ = exp.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    nc = exc.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_from_counts(
-        pairs,
-        np_,
-        int(threshold * 10000),
-        left_id="probe_id",
-        right_id="corpus_id",
-        sizes_right=nc,
+    # exact verify on candidates only: per-doc shingle arrays from the two
+    # materialized frames — neither index is ever reshuffled
+    return _verify_pairs_exact(
+        cands, docp, docc, int(threshold * 10000), left="probe_id", right="corpus_id"
     )
 
 
@@ -572,45 +634,63 @@ def _simhash_candidates(
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
     sim_udf = F.pandas_udf(_simhash_batch, "long")
-    # materialize the signatures ONCE (lazy localCheckpoint): the plan
-    # references them from the bucket-size census, the left and the right
-    # side of the candidate join — without the checkpoint Catalyst
-    # re-runs the python hashing UDF on every branch (3-4× the corpus
-    # hash work; the plan audit showed it as stacked python stages). Same
-    # pattern as the jaccard inverted index.
-    s = df.select(
-        F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh")
-    ).localCheckpoint(eager=False)
+    # one python stage computes the signatures; ONE aggregation per bucket
+    # key (chunk index folded into the key exactly: key = chunk·2^bits | ch
+    # — no hash, so no cross-chunk collisions) collects the members and
+    # enumerates pairs in-row from the sorted (id, sh) structs. No census
+    # join, no self-join, and the python UDF runs in exactly one plan
+    # branch, so no checkpoint is needed to stop Catalyst re-running it.
+    s = df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("sh"))
     chunks = s.select(
-        "id",
-        "sh",
+        F.struct("id", "sh").alias("m"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("ch"),
-                    )
+                    F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
+                    .bitwiseAND(F.lit(chunk_mask))
+                    .bitwiseOR(F.lit(c << chunk_bits))
+                    .alias("bk")
                     for c in range(n_chunks)
                 ]
             )
-        ).alias("c"),
-    ).select("id", "sh", "c.chunk", "c.ch")
-    if max_bucket_size is not None:
-        small = (
-            chunks.groupBy("chunk", "ch")
-            .agg(F.count(F.lit(1)).alias("__sz__"))
-            .filter(F.col("__sz__") <= int(max_bucket_size))
+        ).alias("bk"),
+    )
+    if max_bucket_size is None:
+        # uncapped (guard-off callers): stream pairs through a bucket
+        # self-join — a degenerate bucket's k²/2 pairs must never
+        # materialize as one in-row array. The signature column rides the
+        # join sides, so no extra lookup is needed. The python UDF feeds
+        # both sides: checkpoint so it runs once.
+        sc = chunks.select(F.col("m.id").alias("id"), F.col("m.sh").alias("sh"), "bk")
+        sc = sc.localCheckpoint(eager=False)
+        l = sc.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bk")
+        r = sc.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bk")
+        return (
+            l.join(r, on="bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
         )
-        chunks = chunks.join(small.select("chunk", "ch"), on=["chunk", "ch"])
-    left = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ch")
-    right = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ch")
+    buckets = chunks.groupBy("bk").agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    keep = (F.size("ms") >= 2) & (F.size("ms") <= int(max_bucket_size))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, on=["chunk", "ch"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.filter(keep)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
 
@@ -684,21 +764,15 @@ def simhash_verified_pairs(
         .select("id_a", "id_b")
     )
     # exact verify on the candidate set only (same shape as minhash_lsh):
-    # restrict the inverted index to candidate pairs and COUNT(*) the
-    # co-occurring shingles — no hot-cap, so the count IS the intersection
-    ex = (
+    # per-doc shingle arrays (one groupBy(id) over the index), intersected
+    # in-row — only candidate pairs carry an array through an exchange
+    doc = (
         _shingle_index(df, n, text_col, id_col)
-        .repartition("id")
+        .groupBy("id")
+        .agg(F.collect_list("g").alias("sh"))
         .localCheckpoint(eager=False)
     )
-    pairs = (
-        cand_ids.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
-        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
-    )
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_from_counts(pairs, sizes, thr)
+    return _verify_pairs_exact(cand_ids, doc, doc, thr)
 
 
 def near_dup_clusters(

@@ -9,7 +9,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fugue_spark.session import get_spark
+from fugue_spark.session import get_spark, tune_for_input
 from fugue_spark.benchmarks import QUERIES, warm_cache
 
 
@@ -28,6 +28,7 @@ def main():
         spark__ui__enabled="false",
         spark__driver__memory="48g",
     )
+    tune_for_input(spark, sf_dir)  # same conf posture as bench.py
     warm_cache(spark, sf_dir)
     for qname in names:
         spec = QUERIES[qname]
