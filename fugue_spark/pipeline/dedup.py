@@ -11,11 +11,11 @@ Five strategies, each expressed as a shuffle-conscious DataFrame plan:
                      shingle join is the classic "small candidate set"
                      trick: only pairs sharing ≥1 shingle are generated.
 * minhash_lsh      — shingle → ONE groupBy(id) computing m minhashes AND
-                     the per-doc shingle set → b band keys → bucket
-                     aggregation enumerates candidate pairs in-row →
-                     exact-Jaccard verify on per-doc arrays. Near-linear;
-                     no all-pairs join anywhere and the index is shuffled
-                     exactly once.
+                     the per-doc set size (all fixed-width buffers) → b
+                     band keys → bucket aggregation enumerates candidate
+                     pairs in-row → count-based exact-Jaccard verify over
+                     the materialized index. Near-linear; no all-pairs
+                     join and no shingle arrays anywhere.
 * simhash          — 64-bit simhash per doc (vectorized pandas UDF, no
                      shuffle) → 16-bit chunk banding (pigeonhole: hamming
                      ≤3 ⇒ ≥1 of 4 chunks equal) → candidate join →
@@ -28,10 +28,28 @@ can pick survivors; ``dedup_exact`` also offers keep-first directly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _materialize_index(df: DataFrame) -> DataFrame:
+    """Lazily materialize a corpus-sized inverted index that several plan
+    branches read (lazy local checkpoint — same fault-tolerance posture as
+    before; swap for a reliable checkpoint on a cluster where executor loss
+    must be survivable). Storage level is env-tunable for measurement:
+    FUGUE_SPARK_INDEX_STORAGE=DISK_ONLY keeps the index out of the executor
+    heap (the index is a large fraction of heap at corpus scale; GC-driven
+    swings vs a sequential spill/read are a measured tradeoff)."""
+    from pyspark import StorageLevel
+
+    level = getattr(
+        StorageLevel, os.environ.get("FUGUE_SPARK_INDEX_STORAGE", "MEMORY_AND_DISK")
+    )
+    return df.localCheckpoint(eager=False, storageLevel=level)
 
 __all__ = [
     "dedup_exact",
@@ -194,10 +212,8 @@ def ngram_jaccard_pairs(
     # scale, swap for persist(MEMORY_AND_DISK) or a reliable checkpoint if
     # executor loss must be survivable; the structure — index materialized
     # once — is the scale-critical part.)
-    exr = (
-        _shingle_index(df, n, text_col, id_col, with_size=True)
-        .repartition("g")
-        .localCheckpoint(eager=False)
+    exr = _materialize_index(
+        _shingle_index(df, n, text_col, id_col, with_size=True).repartition("g")
     )
     hot = _hot_shingles(exr, df, max_shingle_df, min_shingle_df_cap)
 
@@ -432,52 +448,59 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # ONE shuffle (groupBy id over the shingle index) computes the minhash
-    # signatures AND the per-doc shingle set in the same aggregation; the
-    # result is materialized once (lazy local checkpoint) and read by the
-    # banding projection and both verify-join sides. Everything downstream
-    # of this frame shuffles only bucket keys and candidate pairs.
-    ex = _shingle_index(df, n, text_col, id_col)
+    # The index is materialized ONCE (16 bytes/row, partitioned on id): the
+    # signature aggregation reads it exchange-free and the two verify joins
+    # read it again instead of re-running the shingling scan. Signatures and
+    # the per-doc set size come from ONE HashAggregate — count() is a
+    # fixed-width buffer, so fusing n_sh into the m min() aggregates is
+    # free. (Fusing collect_list(g) of the shingle SET instead — tried
+    # r10 — turned the aggregation into ObjectHashAggregate, whose hash map
+    # falls back to SORT-based aggregation past 128 keys, and checkpointed
+    # KB-sized array rows: p6@sf10 min 16.3 s → 56.5 s. Count-based verify
+    # keeps every buffer fixed-width and every exchange long-sized.)
+    ex = _materialize_index(
+        _shingle_index(df, n, text_col, id_col).repartition("id")
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    doc = (
-        ex.groupBy("id")
-        .agg(*aggs, F.collect_list("g").alias("sh"))
-        .localCheckpoint(eager=False)
-    )
+    doc = ex.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
+    doc = doc.localCheckpoint(eager=False)  # read by banding AND the size join
     banded = _band_keys(doc, bands, r, lambda k: F.col(f"h{k}"))
     cands = _bucket_pairs(banded, max_bucket_size)
-    # exact verify on the candidate set only: attach each side's shingle SET
-    # (already materialized per doc, partitioned on id — no index reshuffle)
-    # and intersect in-row. Only candidate pairs ever carry an array through
-    # an exchange; the full index never moves again.
-    return _verify_pairs_exact(cands, doc, doc, int(threshold * 10000))
+    # exact verify on the candidate set only: restrict the inverted index to
+    # candidate pairs and COUNT(*) the co-occurring shingles — the exchanges
+    # carry (id_a, id_b, g) longs, never shingle arrays (the minhash index
+    # has no hot-cap, so the count IS the exact intersection size)
+    pairs = (
+        cands.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    return _jaccard_from_counts(pairs, doc.select("id", "n_sh"), int(threshold * 10000))
 
 
-def _verify_pairs_exact(
-    cands: DataFrame,
-    doc_left: DataFrame,
-    doc_right: DataFrame,
+def _jaccard_from_counts(
+    pairs: DataFrame,
+    sizes: DataFrame,
     thr: int,
-    left: str = "id_a",
-    right: str = "id_b",
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    sizes_right: "DataFrame | None" = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard over candidate pairs: join each side's
-    per-doc array (frames already partitioned on id), intersect in-row,
-    threshold. Output: (left, right, jaccard_e4) — no false positives."""
-    a = doc_left.select(F.col("id").alias(left), F.col("sh").alias("sh_a"))
-    b = doc_right.select(F.col("id").alias(right), F.col("sh").alias("sh_b"))
+    """Attach per-doc set sizes (id, n_sh) to (left_id, right_id, shared_c)
+    pair counts and emit exact Jaccard — the exchanges carry three longs per
+    row, never shingle arrays. ``sizes_right`` serves the cross-corpus case
+    where the two pair sides come from different frames."""
+    sr = sizes_right if sizes_right is not None else sizes
     return (
-        cands.join(a, on=left)
-        .join(b, on=right)
-        .withColumn("shared_c", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("na", F.size("sh_a"))
-        .withColumn("nb", F.size("sh_b"))
+        pairs.join(sizes.select(F.col("id").alias(left_id), F.col("n_sh").alias("na")), on=left_id)
+        .join(sr.select(F.col("id").alias(right_id), F.col("n_sh").alias("nb")), on=right_id)
         .withColumn("jaccard_e4", _jaccard_e4("shared_c", "na", "nb"))
         .filter(F.col("jaccard_e4") >= thr)
-        .select(left, right, "jaccard_e4")
+        .select(left_id, right_id, "jaccard_e4")
     )
 
 
@@ -519,22 +542,25 @@ def minhash_lsh_pairs_against(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    def _doc(side: DataFrame) -> DataFrame:
-        # one shuffle per side: signatures + shingle set in one aggregation
-        # (same shape as the self-join variant; same hash family on both
-        # sides so bucket keys are comparable)
+    def _side(frame: DataFrame) -> "tuple[DataFrame, DataFrame]":
+        # per side: index materialized once (16 B/row, id-partitioned), then
+        # signatures + per-doc size in ONE HashAggregate (same hash family on
+        # both sides so bucket keys are comparable; count-based verify — see
+        # the self-join variant for why no shingle arrays are materialized)
+        ex = (
+            _shingle_index(frame, n, text_col, id_col)
+            .repartition("id")
+            .localCheckpoint(eager=False)
+        )
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-        return (
-            _shingle_index(side, n, text_col, id_col)
-            .groupBy("id")
-            .agg(*aggs, F.collect_list("g").alias("sh"))
-            .localCheckpoint(eager=False)
-        )
+        doc = ex.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
+        return ex, doc.localCheckpoint(eager=False)
 
-    docp, docc = _doc(probe), _doc(corpus)
+    exp, docp = _side(probe)
+    exc, docc = _side(corpus)
     bp = _band_keys(docp, bands, r, lambda k: F.col(f"h{k}"))
     bc = _band_keys(docc, bands, r, lambda k: F.col(f"h{k}"))
     # per-side bucket membership lists (one aggregation each, capped per
@@ -551,10 +577,21 @@ def minhash_lsh_pairs_against(
         .select("probe_id", F.explode("ib").alias("corpus_id"))
         .distinct()
     )
-    # exact verify on candidates only: per-doc shingle arrays from the two
-    # materialized frames — neither index is ever reshuffled
-    return _verify_pairs_exact(
-        cands, docp, docc, int(threshold * 10000), left="probe_id", right="corpus_id"
+    # exact verify on candidates only: count co-occurring shingles across the
+    # two materialized indexes — exchanges carry (probe_id, corpus_id, g) longs
+    pairs = (
+        cands.join(exp.select(F.col("id").alias("probe_id"), "g"), on="probe_id")
+        .join(exc.select(F.col("id").alias("corpus_id"), "g"), on=["corpus_id", "g"])
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    return _jaccard_from_counts(
+        pairs,
+        docp.select("id", "n_sh"),
+        int(threshold * 10000),
+        left_id="probe_id",
+        right_id="corpus_id",
+        sizes_right=docc.select("id", "n_sh"),
     )
 
 
@@ -764,15 +801,22 @@ def simhash_verified_pairs(
         .select("id_a", "id_b")
     )
     # exact verify on the candidate set only (same shape as minhash_lsh):
-    # per-doc shingle arrays (one groupBy(id) over the index), intersected
-    # in-row — only candidate pairs carry an array through an exchange
-    doc = (
+    # restrict the inverted index to candidate pairs and COUNT(*) the
+    # co-occurring shingles — fixed-width aggregation buffers, long-sized
+    # exchanges, no per-doc arrays (no hot-cap, so the count is exact)
+    ex = (
         _shingle_index(df, n, text_col, id_col)
-        .groupBy("id")
-        .agg(F.collect_list("g").alias("sh"))
+        .repartition("id")
         .localCheckpoint(eager=False)
     )
-    return _verify_pairs_exact(cand_ids, doc, doc, thr)
+    pairs = (
+        cand_ids.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_counts(pairs, sizes, thr)
 
 
 def near_dup_clusters(
