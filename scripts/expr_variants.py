@@ -117,6 +117,23 @@ def p1_variants(spark, sf_dir, passes):
                       F.regexp_count(t, F.lit(_BPE_TOKEN_RE)).alias("bpe")),
           "p1 regexp_count", passes)
     _time(docs.select("doc_id", ws_split.alias("ws")), "p1 ws-only (ablation)", passes)
+    # split form: #alpha-runs + #digit-runs (two simple regexes) + #other
+    # non-space chars (translate length arithmetic) — equals the 3-way
+    # alternation count exactly (alternation matches maximal runs of each
+    # class; every other non-space char matches alone)
+    t2 = F.col("text")
+    n = F.length(t2)
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    c_alpha = n - F.length(F.translate(t2, letters, ""))
+    c_digit = n - F.length(F.translate(t2, "0123456789", ""))
+    c_ws = n - F.length(F.translate(t2, " \t\n\x0b\f\r", ""))
+    bpe_split = (
+        F.regexp_count(t2, F.lit(r"[A-Za-z]+"))
+        + F.regexp_count(t2, F.lit(r"[0-9]+"))
+        + (n - c_alpha - c_digit - c_ws)
+    )
+    _time(docs.select("doc_id", ws_split.alias("ws"), bpe_split.alias("bpe")),
+          "p1 split-class runs + translate", passes)
 
 
 def p2_variants(spark, sf_dir, passes):

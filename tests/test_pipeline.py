@@ -60,6 +60,35 @@ def test_token_stats_small(spark):
     assert r[2].n_ws_tokens == 0 and r[2].n_bpe_tokens == 0
 
 
+def test_token_stats_split_form_equals_alternation(spark):
+    """The split-form BPE count (r10: per-class run regexes + translate
+    arithmetic) must equal counting matches of the reference alternation
+    [A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s] on adversarial inputs: class
+    transitions without separators, every Java \\s char, non-ASCII
+    whitespace (NBSP counts as a token), CJK, punctuation runs."""
+    import re
+
+    cases = [
+        "abc123def",  # letter/digit transitions, no separators
+        "a1b2c3!!??..",  # alternating + punctuation run
+        " \t\n\x0b\f\r",  # exactly the Java \s set
+        "café touché",  # non-ASCII letters are NOT [A-Za-z]
+        " nbsp ",  # NBSP is not \s → counts as a token
+        "漢字テスト abc 123",
+        "", "   ", "a", "1", ".",
+        "e=mc^2; x_1+x_2=10 (approx.)",
+    ]
+    # reference spelled with Java's \\s set explicitly (Python \\s is
+    # Unicode-wide and would wrongly swallow NBSP)
+    ref = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+    df = spark.createDataFrame(
+        [[i, t] for i, t in enumerate(cases)], parse_schema("doc_id:long,text:str")
+    )
+    got = {x.doc_id: x.n_bpe_tokens for x in with_token_stats(df).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == len(ref.findall(t)), (i, t, got[i], len(ref.findall(t)))
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [
