@@ -101,8 +101,14 @@ def _shingles(text_col: str, n: int) -> F.Column:
     then each n-gram fingerprint is an xxhash64 over the n word hashes —
     pure long arithmetic instead of per-gram string building (the dominant
     cost of the naive concat_ws form). Collision odds per doc are
-    ~grams²/2⁶⁴ — vanishing."""
-    words = F.split(_normalized(text_col), " ")
+    ~grams²/2⁶⁴ — vanishing.
+
+    Words come from ONE regex pass — ``split(lower(trim(x)), '\\s+')`` —
+    instead of collapse-whitespace-then-split-on-space: token boundaries
+    are identical for any separator class (maximal runs of non-separator
+    chars), and dropping the regexp_replace pass measured ~0.4 s of the
+    sf10 corpus scan (scripts/shingle_variants.py v6 vs v7)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hw = F.transform(words, lambda w: F.xxhash64(w))
     k = F.size(words) - (n - 1)
     # n shifted slices zipped elementwise: position i's struct holds
@@ -137,8 +143,22 @@ def _shingle_index(
     ``with_size=True`` adds ``n_sh`` (the doc's distinct-shingle count, an
     int — computed for free from the pre-explode array) to every row: +4
     bytes/row through the exchange buys consumers the per-doc set size
-    WITHOUT a separate groupBy(id) aggregation + join-back."""
-    base = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("__gr__"))
+    WITHOUT a separate groupBy(id) aggregation + join-back.
+
+    The gram ARRAYS are materialized (lazy local checkpoint) before the
+    explode: the shingling chain is a higher-order-function expression
+    (CodegenFallback — interpreted), and Catalyst re-evaluates it for
+    every consumer of the array — ``size()`` + the generator input cost
+    2× the chain, and an explode whose generator input is the raw chain
+    (no other reference) re-evaluates it per OUTPUT row. Measured at sf10
+    (scripts/shingle_variants.py): chain once 2.6 s; size+explode of the
+    inline chain 7.1 s; explode-only inline 21 s; struct-carrying explode
+    111 s; size+explode over the materialized arrays **0.09 s**. The
+    arrays are the same bytes as the exploded index (~8 B/gram), so the
+    extra copy is metadata-sized next to the corpus text."""
+    base = _materialize_index(
+        df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("__gr__"))
+    )
     if with_size:
         return base.select(
             "id", F.size("__gr__").alias("n_sh"), F.explode("__gr__").alias("g")
