@@ -116,13 +116,32 @@ def save_df(
                 return all(hashable(f.dataType) for f in dt.fields)
             return True
 
+        explicit_layout = "files_per_partition" in params
         k = int(params.pop("files_per_partition", 8))
-        exprs = [df[c] for c in partition_by]
-        salt_cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
-        if k > 1 and salt_cols:
-            salt = F.pmod(F.xxhash64(*[df[c] for c in salt_cols]), F.lit(k))
-            exprs.append(salt)
-        df = df.repartition(*exprs)
+        # The clustering exchange is a FULL shuffle of the payload — worth it
+        # only when the input is big enough that the direct write would
+        # actually fragment. When the optimizer's (column-pruned, pre-
+        # execution, no job) size estimate says the whole frame fits in k
+        # target-size files, the direct write's file count is already
+        # bounded by its scan/shuffle task count — which for an input this
+        # small is of the same order as k — so the shuffle buys nothing.
+        # The bound scales with DATA (estimate grows 100 TB-ward → always
+        # cluster), not with the local core count. Unknown estimates come
+        # back as 8 EiB and keep the clustered path — fail-safe. An EXPLICIT
+        # files_per_partition is a layout request (compact_dataset sizes its
+        # output through it) and always clusters.
+        threshold = int(params.pop("cluster_threshold_bytes", k * (128 << 20)))
+        try:
+            est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 - estimate is best-effort
+            est_bytes = None
+        if explicit_layout or est_bytes is None or est_bytes > threshold:
+            exprs = [df[c] for c in partition_by]
+            salt_cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+            if k > 1 and salt_cols:
+                salt = F.pmod(F.xxhash64(*[df[c] for c in salt_cols]), F.lit(k))
+                exprs.append(salt)
+            df = df.repartition(*exprs)
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", str(bool(params.pop("header", False))).lower())

@@ -365,6 +365,47 @@ def test_save_modes(spark, tmp_path):
         fa.save(df, p, mode="error")
 
 
+def test_partitioned_save_clusters_only_above_size_threshold(
+    spark, tmp_path, monkeypatch
+):
+    # a parquet-BACKED frame: scans carry a real size estimate (RDD-backed
+    # frames report unknown and fail safe into the clustered path)
+    base = os.path.join(str(tmp_path), "base.parquet")
+    make_df(spark, [[i, i % 3] for i in range(60)], "a:long,b:int").write.parquet(base)
+    df = fa.load(spark, base)
+
+    calls = []
+    cls = type(df)  # the concrete (classic) DataFrame class, not the ABC
+    real_repartition = cls.repartition
+
+    def spying(self, *args, **kw):
+        calls.append(args)
+        return real_repartition(self, *args, **kw)
+
+    monkeypatch.setattr(cls, "repartition", spying)
+
+    # tiny estimate, default threshold: the clustering shuffle is skipped
+    fa.save(df, os.path.join(str(tmp_path), "direct.parquet"), partition_by=["b"])
+    assert calls == []
+    assert sorted(
+        rows(fa.load(spark, os.path.join(str(tmp_path), "direct.parquet")))
+    ) == [(i, i % 3) for i in range(60)]
+
+    # threshold forced to 0 = the cluster-scale posture: salted repartition
+    fa.save(
+        df, os.path.join(str(tmp_path), "forced.parquet"), partition_by=["b"],
+        cluster_threshold_bytes=0,
+    )
+    assert len(calls) == 1
+
+    # an EXPLICIT files_per_partition is a layout request and always clusters
+    fa.save(
+        df, os.path.join(str(tmp_path), "explicit.parquet"), partition_by=["b"],
+        files_per_partition=2,
+    )
+    assert len(calls) == 2
+
+
 def test_salted_join_matches_plain_join(spark):
     from fugue_spark.operators.joins import salted_join
 
