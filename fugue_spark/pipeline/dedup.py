@@ -335,6 +335,87 @@ def _pair_counts(ex: DataFrame, thr: int) -> DataFrame:
     )
 
 
+# verify-side candidate-id prefilter bound: the broadcast id set is built
+# only when the materialized candidate-pair count is at or below this, so
+# the broadcast is bounded at ~2x this many longs (default ≈ 64 MB framed).
+# Above it (enormous dup rate at corpus scale) the verify joins run against
+# the full index exactly as before.
+_VERIFY_PREFILTER_MAX_PAIRS = 4_000_000
+
+# ...and the prefilter only engages at all when the INPUT's optimizer size
+# estimate exceeds this: below it the whole index fits a handful of tasks
+# and the probe's fixed cost (checkpoint + count job + broadcast build)
+# exceeds what the joins save (measured: p6@sf0.1 — est 1.6 MiB — pays
+# +0.15 s for the probe; p6@sf10 — est ≈ 230 MiB — saves 1.5-2 s, p38@sf10
+# 6+ s). Unknown estimates read as 8 EiB and prefilter — fail-safe at
+# scale, same convention as the save_df clustering bound.
+_VERIFY_PREFILTER_MIN_INPUT_BYTES = 64 << 20
+
+
+def _est_input_bytes(df: DataFrame) -> "int | None":
+    """Optimizer pre-execution size estimate (column-pruned, no job)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - estimate is best-effort
+        return None
+
+
+def _verify_prefilter_bound(df: DataFrame) -> "int | None":
+    """Scale-adaptive prefilter decision for :func:`_verified_pair_counts`:
+    the candidate-pair bound when ``df`` (the corpus input) is estimated
+    large enough for the prefilter to pay, else ``None`` (skip)."""
+    est = _est_input_bytes(df)
+    if est is None or est > _VERIFY_PREFILTER_MIN_INPUT_BYTES:
+        return _VERIFY_PREFILTER_MAX_PAIRS
+    return None
+
+
+def _verified_pair_counts(
+    cands: DataFrame,
+    ex_a: DataFrame,
+    ex_b: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    prefilter_max_pairs: "int | None" = _VERIFY_PREFILTER_MAX_PAIRS,
+) -> DataFrame:
+    """COUNT(*)-based exact verify shared by the LSH/simhash families:
+    restrict the inverted index(es) to candidate pairs and count the
+    co-occurring shingles — fixed-width aggregation buffers, long-sized
+    exchanges, never shingle arrays.
+
+    Runtime specialization (the AQE trade, same as p5's hot probe): the
+    candidate frame is materialized (it is consumed by both verify joins
+    anyway) and its count probed with ONE driver job; when bounded by
+    ``prefilter_max_pairs``, each index side is semi-filtered to the
+    candidate ids through a broadcast BEFORE the verify joins. The indexes
+    are corpus-sized (every doc × every shingle) while candidates are
+    usually metadata-sized, so this turns the (right, g) exchange of the
+    full index into an exchange of only candidate docs' rows — measured at
+    sf10 (scripts/r10b_experiments.py E3): verify 2.8-3.3 s → 2.2 s with
+    25k candidate pairs against an 80M-row index. A semi-join on the join
+    key never changes inner-join results, so the output is exact either
+    way; above the bound the broadcast is skipped (never an unbounded
+    driver-side set).
+    """
+    if prefilter_max_pairs:
+        cands = cands.localCheckpoint(eager=False)
+        if cands.count() <= prefilter_max_pairs:
+            ids_a = cands.select(F.col(left).alias("id"))
+            ids_b = cands.select(F.col(right).alias("id"))
+            if ex_a is ex_b:
+                ids = ids_a.unionByName(ids_b).distinct()
+                ex_a = ex_b = ex_a.join(F.broadcast(ids), on="id", how="left_semi")
+            else:
+                ex_a = ex_a.join(F.broadcast(ids_a.distinct()), on="id", how="left_semi")
+                ex_b = ex_b.join(F.broadcast(ids_b.distinct()), on="id", how="left_semi")
+    return (
+        cands.join(ex_a.select(F.col("id").alias(left), "g"), on=left)
+        .join(ex_b.select(F.col("id").alias(right), "g"), on=[right, "g"])
+        .groupBy(left, right)
+        .agg(F.count(F.lit(1)).alias("shared_c"))
+    )
+
+
 def _jaccard_e4(shared: str, na: str, nb: str) -> F.Column:
     s, a, b = (F.col(c).cast("long") for c in (shared, na, nb))
     return F.floor((s * 10000) / (a + b - s)).cast("long")
@@ -489,15 +570,12 @@ def minhash_lsh_pairs(
     doc = doc.localCheckpoint(eager=False)  # read by banding AND the size join
     banded = _band_keys(doc, bands, r, lambda k: F.col(f"h{k}"))
     cands = _bucket_pairs(banded, max_bucket_size)
-    # exact verify on the candidate set only: restrict the inverted index to
-    # candidate pairs and COUNT(*) the co-occurring shingles — the exchanges
-    # carry (id_a, id_b, g) longs, never shingle arrays (the minhash index
-    # has no hot-cap, so the count IS the exact intersection size)
-    pairs = (
-        cands.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
-        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
+    # exact verify on the candidate set only (the minhash index has no
+    # hot-cap, so the count IS the exact intersection size); the shared
+    # helper also semi-filters the index to candidate ids when the probed
+    # candidate count is bounded — see _verified_pair_counts
+    pairs = _verified_pair_counts(
+        cands, ex, ex, prefilter_max_pairs=_verify_prefilter_bound(df)
     )
     return _jaccard_from_counts(pairs, doc.select("id", "n_sh"), int(threshold * 10000))
 
@@ -598,12 +676,13 @@ def minhash_lsh_pairs_against(
         .distinct()
     )
     # exact verify on candidates only: count co-occurring shingles across the
-    # two materialized indexes — exchanges carry (probe_id, corpus_id, g) longs
-    pairs = (
-        cands.join(exp.select(F.col("id").alias("probe_id"), "g"), on="probe_id")
-        .join(exc.select(F.col("id").alias("corpus_id"), "g"), on=["corpus_id", "g"])
-        .groupBy("probe_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
+    # two materialized indexes — exchanges carry (probe_id, corpus_id, g)
+    # longs; each side is semi-filtered to its candidate ids when the probed
+    # candidate count is bounded (see _verified_pair_counts — the corpus
+    # index is the 100-TB side, the matched ids are metadata-sized)
+    pairs = _verified_pair_counts(
+        cands, exp, exc, left="probe_id", right="corpus_id",
+        prefilter_max_pairs=_verify_prefilter_bound(corpus),
     )
     return _jaccard_from_counts(
         pairs,
@@ -820,21 +899,20 @@ def simhash_verified_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b")
     )
-    # exact verify on the candidate set only (same shape as minhash_lsh):
-    # restrict the inverted index to candidate pairs and COUNT(*) the
-    # co-occurring shingles — fixed-width aggregation buffers, long-sized
-    # exchanges, no per-doc arrays (no hot-cap, so the count is exact)
+    # exact verify on the candidate set only (same shape as minhash_lsh,
+    # via the shared helper — no hot-cap, so the count is exact; the index
+    # is semi-filtered to candidate ids when the probed candidate count is
+    # bounded)
     ex = (
         _shingle_index(df, n, text_col, id_col)
         .repartition("id")
         .localCheckpoint(eager=False)
     )
-    pairs = (
-        cand_ids.join(ex.select(F.col("id").alias("id_a"), "g"), on="id_a")
-        .join(ex.select(F.col("id").alias("id_b"), "g"), on=["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_c"))
+    pairs = _verified_pair_counts(
+        cand_ids, ex, ex, prefilter_max_pairs=_verify_prefilter_bound(df)
     )
+    # sizes come from the UNFILTERED index: n_sh is each doc's full
+    # shingle-set size, independent of the candidate prefilter
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_counts(pairs, sizes, thr)
 

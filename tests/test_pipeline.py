@@ -360,6 +360,38 @@ def test_minhash_bucket_cap(spark):
     assert capped.count() == 0  # the whole cluster sits in >1-doc buckets
 
 
+def test_verify_prefilter_exactness_and_bound(spark, docs):
+    """The verify-side candidate-id prefilter (r10) must be a pure plan
+    optimization: identical pairs with the prefilter forced on, forced off,
+    and under the adaptive bound; and the bound itself must engage only on
+    large (or unknown-size) inputs."""
+    from fugue_spark.pipeline import dedup as D
+
+    base = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+    want = {(r.id_a, r.id_b, r.jaccard_e4) for r in base.collect()}
+    assert len(want) > 0
+
+    # force the prefilter ON regardless of input size, via the helper the
+    # operator routes through
+    orig = D._verify_prefilter_bound
+    try:
+        D._verify_prefilter_bound = lambda df: D._VERIFY_PREFILTER_MAX_PAIRS
+        forced_on = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+        assert {(r.id_a, r.id_b, r.jaccard_e4) for r in forced_on.collect()} == want
+        D._verify_prefilter_bound = lambda df: None
+        forced_off = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+        assert {(r.id_a, r.id_b, r.jaccard_e4) for r in forced_off.collect()} == want
+    finally:
+        D._verify_prefilter_bound = orig
+
+    # adaptive bound: tiny inputs skip (None); unknown estimates (an
+    # RDD-backed plan reports Long.MaxValue) engage — fail-safe at scale
+    assert D._verify_prefilter_bound(docs) is None  # sf0.001 ≪ 64 MiB
+    spark_s = docs.sparkSession
+    unknown = spark_s.createDataFrame(docs.rdd, docs.schema)  # RDD-backed plan
+    assert D._verify_prefilter_bound(unknown) == D._VERIFY_PREFILTER_MAX_PAIRS
+
+
 def test_simhash_batch_deterministic_and_vectorized(spark):
     import pandas as pd
     from fugue_spark.pipeline.dedup import _simhash_batch
